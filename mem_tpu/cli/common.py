@@ -1,0 +1,136 @@
+"""Shared CLI plumbing: dataset detection, preprocessing config assembly,
+pipeline construction (the role of mem/datasets.py's build_* factories).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+from mem_tpu.data.device_pipeline import PreprocConfig
+from mem_tpu.data.folder import NpyFolder, loader_for_path, resolve_split_root
+from mem_tpu.data.pipeline import EventBatchIterator, PipelineConfig
+
+
+def detect_dataset(data_path: str) -> str:
+    """Substring dispatch, mirroring mem/datasets.py:159-168, 640."""
+    p = data_path.lower()
+    if "caltech" in p:
+        return "ncaltech101"
+    if "ncars" in p or "n-cars" in p:
+        return "ncars"
+    if "imagenet" in p:
+        return "nimagenet"
+    if "dsec" in p or "ss_final" in p:
+        return "dsec"
+    return "ncaltech101"
+
+
+def build_preproc(args, is_train: bool, color_jitter: float = 0.0) -> PreprocConfig:
+    ds = detect_dataset(args.data_path)
+    if ds == "dsec":
+        canvas = (440, 640)
+        resize, crop = True, False
+    elif ds == "nimagenet":
+        if is_train:
+            # ReshapeScaleXandY train: short-side-256 scale of 480x640
+            canvas = (256, 342)
+        else:
+            canvas = (args.input_H, args.input_W)
+        resize, crop = False, is_train
+    else:  # ncaltech101 / ncars: variable extents, ATIS coords < 256
+        canvas = (256, 256)
+        resize, crop = True, False
+    return PreprocConfig(
+        input_h=args.input_H,
+        input_w=args.input_W,
+        canvas_h=canvas[0],
+        canvas_w=canvas[1],
+        resize_to_input=resize,
+        random_crop=crop,
+        timesurface=bool(args.timesurface),
+        hotpixfilter=bool(args.hotpixfilter),
+        hotpix_num_stds=float(args.hotpix_num_stds),
+        logtrafo=bool(args.logtrafo),
+        gammatrafo=bool(args.gammatrafo),
+        gamma=float(args.gamma),
+        normalize_events=bool(args.normalize_events),
+        rand_aug=bool(args.rand_aug) and is_train,
+        color_jitter=color_jitter if is_train else 0.0,
+    )
+
+
+def build_pipeline(
+    args,
+    split: str,
+    is_train: bool,
+    batch_size: int,
+    masking: Optional[str] = None,
+    window_size: Tuple[int, int] = (14, 14),
+    seed: int = 0,
+    num_workers: int = 4,
+    shard_id: int = 0,
+    num_shards: int = 1,
+) -> Tuple[NpyFolder, EventBatchIterator]:
+    ds = detect_dataset(args.data_path)
+    root = resolve_split_root(args.data_path, split)
+    folder = NpyFolder(root, loader=loader_for_path(args.data_path))
+
+    scale_xy = None
+    fixed_hw = None
+    sample_hw_from_data = True
+    canvas = (256, 256)
+    if ds == "nimagenet":
+        sample_hw_from_data = False
+        if is_train:
+            s = 256.0 / 480.0
+            scale_xy = (s, s)
+            fixed_hw = (256, 342)
+            canvas = (256, 342)
+        else:
+            scale_xy = (args.input_W / 640.0, args.input_H / 480.0)
+            fixed_hw = (args.input_H, args.input_W)
+            canvas = (args.input_H, args.input_W)
+    elif ds == "dsec":
+        sample_hw_from_data = False
+        fixed_hw = (440, 640)
+        canvas = (440, 640)
+
+    cfg = PipelineConfig(
+        batch_size=batch_size,
+        slice_max_evs=args.slice_max_evs,
+        is_train=is_train,
+        max_random_shift_evs=args.max_random_shift_evs if is_train else 0,
+        sample_hw_from_data=sample_hw_from_data,
+        canvas_h=canvas[0],
+        canvas_w=canvas[1],
+        fixed_hw=fixed_hw,
+        scale_xy=scale_xy,
+        masking=masking,
+        window_size=window_size,
+        num_mask_patches=getattr(args, "num_mask_patches", 98),
+        min_mask_patches_per_block=getattr(args, "min_mask_patches_per_block", 16),
+        max_mask_patches_per_block=getattr(args, "max_mask_patches_per_block", None),
+        seed=seed,
+        shuffle=is_train,
+        drop_last=is_train,
+        num_workers=num_workers,
+        shard_id=shard_id,
+        num_shards=num_shards,
+    )
+    return folder, EventBatchIterator(folder, cfg)
+
+
+def add_preprocessing_args(parser) -> None:
+    """The shared preprocessing flag block (run_mem_pretraining.py:48-57)."""
+    parser.add_argument("--timesurface", type=int, default=0)
+    parser.add_argument("--hotpixfilter", type=int, default=1)
+    parser.add_argument("--hotpix_num_stds", type=float, default=10)
+    parser.add_argument("--logtrafo", type=int, default=0)
+    parser.add_argument("--gammatrafo", type=int, default=0)
+    parser.add_argument("--gamma", type=float, default=0.5)
+    parser.add_argument("--normalize_events", type=int, default=0)
+    parser.add_argument("--slice_max_evs", type=int, default=30000)
+    parser.add_argument("--max_random_shift_evs", type=int, default=15)
+    parser.add_argument("--rand_aug", type=int, default=1)
+    parser.add_argument("--input_W", type=int, default=224)
+    parser.add_argument("--input_H", type=int, default=224)

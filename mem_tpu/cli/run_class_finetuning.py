@@ -1,0 +1,273 @@
+"""Classification finetuning CLI (stage 3).
+
+Same flag/config surface as mem/run_class_finetuning.py. Jitted step:
+on-chip preprocessing -> ft_vit forward -> CE (label smoothing / soft-target
+mixup) -> AdamW with BEiT layer decay + cosine schedules; grad accumulation
+via ``--update_freq`` micro-batch folding; post-step EMA; top-1/top-5 eval of
+both raw and EMA params; "best" checkpoint tagging.
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mem_tpu.cli.common import add_preprocessing_args, build_preproc, build_pipeline
+from mem_tpu.models import create_model
+from mem_tpu.parallel import get_mesh, init_distributed, replicate, shard_batch
+from mem_tpu.train.mixup import make_mixup
+from mem_tpu.train.optim import create_optimizer
+from mem_tpu.train.schedules import as_schedule_fn, cosine_scheduler
+from mem_tpu.train.steps import make_finetune_eval_step, make_finetune_train_step
+from mem_tpu.utils.checkpoint import auto_resume, load_checkpoint, save_checkpoint
+from mem_tpu.utils.config import ConfigArgumentParser
+from mem_tpu.utils.metrics import MetricLogger, maybe_wandb
+
+
+def get_args(argv=None):
+    p = ConfigArgumentParser("MEM classification finetuning")
+    p.add_argument("--expweek", type=str, default="")
+    p.add_argument("--expname", type=str, default="")
+    p.add_argument("--data_path", type=str, default="")
+    p.add_argument("--data_set", type=str, default="npy")
+    p.add_argument("--nb_classes", type=int, default=0)
+    add_preprocessing_args(p)
+
+    p.add_argument("--model", type=str, default="ft_vit")
+    p.add_argument("--finetune", "--class_checkpoint", type=str, default="")
+    p.add_argument("--model_key", type=str, default="model|module")
+    p.add_argument("--rel_pos_bias", type=int, default=1)
+    p.add_argument("--abs_pos_emb", type=int, default=0)
+    p.add_argument("--layer_scale_init_value", type=float, default=0.1)
+    p.add_argument("--init_scale", type=float, default=0.001)
+    p.add_argument("--use_mean_pooling", type=int, default=1)
+    p.add_argument("--freeze_backbone", type=int, default=0)
+    p.add_argument("--linear_probe_batch_norm", type=int, default=0)
+    p.add_argument("--drop", type=float, default=0.0)
+    p.add_argument("--attn_drop_rate", type=float, default=0.0)
+    p.add_argument("--drop_path", "--class_dropout", type=float, default=0.1)
+    p.add_argument("--voxel", type=int, default=0)
+    p.add_argument("--num_layers", type=int, default=4)
+    p.add_argument("--transformer_emb", type=int, default=768)
+    p.add_argument("--transformer_depth", type=int, default=12)
+    p.add_argument("--transformer_heads", type=int, default=12)
+    p.add_argument("--transformer_mlp_ratio", type=float, default=4.0)
+    p.add_argument("--MAE", "--mae", type=int, default=0)
+
+    p.add_argument("--epochs", "--class_epochs", type=int, default=300)
+    p.add_argument("--batch_size", "--class_batch_size", type=int, default=1024)
+    p.add_argument("--update_freq", "--class_update_freq", type=int, default=1)
+    p.add_argument("--lr", "--class_lr", type=float, default=4e-3)
+    p.add_argument("--layer_decay", "--class_lr_decay", type=float, default=0.9)
+    p.add_argument("--warmup_lr", type=float, default=1e-6)
+    p.add_argument("--min_lr", type=float, default=1e-6)
+    p.add_argument("--warmup_epochs", "--class_warmup_epochs", type=int, default=20)
+    p.add_argument("--warmup_steps", type=int, default=-1)
+    p.add_argument("--weight_decay", "--class_weight_decay", type=float, default=5e-2)
+    p.add_argument("--weight_decay_end", type=float, default=None)
+    p.add_argument("--clip_grad", type=float, default=None)
+    p.add_argument("--opt_eps", type=float, default=1e-8)
+    p.add_argument("--smoothing", type=float, default=0.1)
+    p.add_argument("--mixup", type=float, default=0.8)
+    p.add_argument("--cutmix", type=float, default=1.0)
+    p.add_argument("--mixup_prob", type=float, default=0.0)
+    p.add_argument("--mixup_switch_prob", type=float, default=0.5)
+    p.add_argument("--model_ema", type=int, default=1)
+    p.add_argument("--model_ema_decay", type=float, default=0.9999)
+    p.add_argument("--color_jitter", type=float, default=0.0)
+    p.add_argument("--save_ckpt_freq", "--class_save_ckpt_freq", type=int, default=25)
+    p.add_argument("--output_dir", type=str, default="./ft_out")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--auto_resume", type=int, default=1)
+    p.add_argument("--eval", action="store_true")
+    p.add_argument("--wandb", type=int, default=0)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    init_distributed()
+    os.makedirs(args.output_dir, exist_ok=True)
+    mesh = get_mesh()
+    nproc = jax.process_count()
+    # effective batch = batch_size; per-step micro-batch = batch/update_freq
+    micro_bs = args.batch_size // args.update_freq
+    local_micro = micro_bs // nproc
+
+    ds_train, train_it = build_pipeline(
+        args, "train", True, local_micro, seed=args.seed,
+        num_workers=args.num_workers, shard_id=jax.process_index(), num_shards=nproc,
+    )
+    _, val_it = build_pipeline(
+        args, "val", False, local_micro, seed=args.seed,
+        num_workers=args.num_workers, shard_id=jax.process_index(), num_shards=nproc,
+    )
+    nb_classes = args.nb_classes or ds_train.nb_classes
+    preproc_train = build_preproc(args, True, color_jitter=args.color_jitter)
+    preproc_val = build_preproc(args, False)
+
+    patch = 2 ** args.num_layers
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = create_model(
+        args.model,
+        num_classes=nb_classes,
+        drop_rate=args.drop,
+        drop_path_rate=args.drop_path,
+        attn_drop_rate=args.attn_drop_rate,
+        use_mean_pooling=bool(args.use_mean_pooling),
+        init_scale=args.init_scale,
+        use_rel_pos_bias=bool(args.rel_pos_bias),
+        use_abs_pos_emb=bool(args.abs_pos_emb),
+        init_values=args.layer_scale_init_value,
+        in_chans=3 if args.voxel == 0 else args.voxel,
+        img_size=(args.input_H, args.input_W),
+        patch_size=(patch, patch),
+        embed_dim=args.transformer_emb,
+        depth=args.transformer_depth,
+        num_heads=args.transformer_heads,
+        mlp_ratio=args.transformer_mlp_ratio,
+        use_batch_norm=bool(args.linear_probe_batch_norm),
+        dtype=dtype,
+    )
+    window = (args.input_H // patch, args.input_W // patch)
+
+    steps_per_epoch = train_it.steps_per_epoch() // args.update_freq
+    rng = jax.random.key(args.seed)
+    params = jax.jit(model.init)(
+        rng, jnp.zeros((2, args.input_H, args.input_W, 3 if args.voxel == 0 else args.voxel))
+    )
+
+    # load pretrained encoder with checkpoint surgery (utils.py:613-732)
+    if args.finetune:
+        payload = load_checkpoint(args.finetune)
+        from mem_tpu.utils.surgery import surgery_for_finetune
+
+        params = surgery_for_finetune(
+            {"params": payload["params"]["params"]}, params, dst_window=window
+        )
+        print(f"loaded + adapted pretrain checkpoint {args.finetune}")
+
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+    print(f"model params: {n_params/1e6:.1f}M  classes: {nb_classes}")
+
+    lr_sched = cosine_scheduler(
+        args.lr, args.min_lr, args.epochs, steps_per_epoch,
+        warmup_epochs=args.warmup_epochs, warmup_steps=args.warmup_steps,
+        start_warmup_value=args.warmup_lr,
+    )
+    wd_end = args.weight_decay_end if args.weight_decay_end is not None else args.weight_decay
+    wd_sched = cosine_scheduler(args.weight_decay, wd_end, args.epochs, steps_per_epoch)
+
+    tx = create_optimizer(
+        params, as_schedule_fn(lr_sched), wd_schedule=as_schedule_fn(wd_sched),
+        weight_decay=args.weight_decay, layer_decay=args.layer_decay,
+        num_layers=args.transformer_depth, clip_grad=args.clip_grad,
+        opt_eps=args.opt_eps,
+    )
+    opt_state = tx.init(params)
+    ema_params = jax.tree.map(lambda x: x.copy(), params) if args.model_ema else params
+    params, opt_state = replicate(params, mesh), replicate(opt_state, mesh)
+    ema_params = replicate(ema_params, mesh)
+
+    mixup_fn = make_mixup(
+        nb_classes, args.mixup, args.cutmix, args.mixup_prob,
+        args.mixup_switch_prob, args.smoothing,
+    )
+    train_step = make_finetune_train_step(
+        model, tx, preproc_train, nb_classes, mixup_fn=mixup_fn,
+        smoothing=args.smoothing, update_freq=args.update_freq,
+        ema_decay=args.model_ema_decay if args.model_ema else None,
+    )
+    eval_step = make_finetune_eval_step(model, preproc_val)
+
+    start_epoch = 0
+    best_acc = 0.0
+    if args.auto_resume and not args.eval:
+        payload, start_epoch = auto_resume(
+            args.output_dir,
+            {"params": params, "opt_state": opt_state, "ema": ema_params,
+             "epoch": 0, "best_acc": 0.0},
+        )
+        if payload is not None:
+            params = replicate(payload["params"], mesh)
+            opt_state = replicate(payload["opt_state"], mesh)
+            ema_params = replicate(payload["ema"], mesh)
+            best_acc = float(payload.get("best_acc", 0.0))
+
+    def evaluate(p):
+        vlog = MetricLogger()
+        for batch in val_it.epoch(0):
+            out = eval_step(p, shard_batch(batch, mesh))
+            vlog.update(n=batch["label"].shape[0], loss=float(out["loss"]),
+                        acc1=float(out["acc1"]), acc5=float(out["acc5"]))
+        return {k: m.global_avg for k, m in vlog.meters.items()}
+
+    if args.eval:
+        stats = evaluate(params)
+        print(f"* eval acc1 {stats['acc1']:.2f} acc5 {stats['acc5']:.2f}")
+        return
+
+    run = maybe_wandb(bool(args.wandb), project="mem_finetuning_classification",
+                      group=f"{args.expweek}_{args.expname}")
+    key = jax.random.key(args.seed + jax.process_index() + 2)
+
+    for epoch in range(start_epoch, args.epochs):
+        logger = MetricLogger()
+        t0 = time.time()
+        micro_iter = iter(train_it.epoch(epoch))
+        for step in range(steps_per_epoch):
+            micros = [next(micro_iter) for _ in range(args.update_freq)]
+            batch = {
+                k: np.stack([m[k] for m in micros]) for k in micros[0]
+            }
+            key, sk = jax.random.split(key)
+            # leading axis = update_freq micro-batches; shard the batch dim
+            b = shard_batch(batch, mesh, axis_pos=1)
+            params, opt_state, ema_params, m = train_step(params, opt_state, ema_params, b, sk)
+            if not math.isfinite(float(m["loss"])):
+                raise RuntimeError(f"non-finite loss at epoch {epoch} step {step}")
+            logger.update(loss=float(m["loss"]))
+            if run and step % 100 == 0:
+                run.log({"train/loss": float(m["loss"]),
+                         "epoch": epoch, "step": epoch * steps_per_epoch + step})
+        sps = steps_per_epoch * args.batch_size / (time.time() - t0)
+        print(f"epoch {epoch}: loss {logger.meters['loss'].global_avg:.4f} "
+              f"{sps:.1f} samples/sec")
+
+        stats = evaluate(params)
+        print(f"* acc1 {stats['acc1']:.2f} acc5 {stats['acc5']:.2f}")
+        if args.model_ema:
+            ema_stats = evaluate(ema_params)
+            print(f"* EMA acc1 {ema_stats['acc1']:.2f}")
+        if run:
+            run.log({"val/acc1": stats["acc1"], "val/acc5": stats["acc5"], "epoch": epoch})
+
+        if stats["acc1"] > best_acc:
+            best_acc = stats["acc1"]
+            if jax.process_index() == 0:
+                save_checkpoint(args.output_dir, "best", {
+                    "params": jax.tree.map(np.asarray, params),
+                    "epoch": epoch, "acc1": stats["acc1"],
+                })
+        if jax.process_index() == 0 and (
+            (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
+        ):
+            save_checkpoint(args.output_dir, epoch, {
+                "params": jax.tree.map(np.asarray, params),
+                "opt_state": jax.tree.map(np.asarray, opt_state),
+                "ema": jax.tree.map(np.asarray, ema_params),
+                "epoch": epoch, "best_acc": best_acc,
+            })
+
+    print(f"best acc1: {best_acc:.2f}")
+
+
+if __name__ == "__main__":
+    main()

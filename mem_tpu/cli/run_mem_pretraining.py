@@ -1,0 +1,293 @@
+"""MEM masked-event pretraining CLI (stage 2) — the core entry point.
+
+Same flag/config surface as mem/run_mem_pretraining.py (configs/*.conf keys
+bind via aliases; the args the reference forgot to declare — voxel,
+num_layers, transformer_* (SURVEY §2.11(1)) — are declared here so
+``--model pt_vit`` actually runs). One jitted step fuses: on-chip event
+preprocessing -> frozen VAE codebook indices -> masked ViT-B forward ->
+CE at masked positions -> AdamW with cosine LR/WD schedules. DP via the data
+mesh.
+
+Design deviation (documented): the reference maps voxel==0 -> in_chans=2
+(run_mem_pretraining.py:184), which cannot consume the 3-channel histograms
+its own pipeline emits (the script crashes before reaching this point as
+shipped). Here voxel==0 -> in_chans=3 so the default config trains.
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mem_tpu.cli.common import add_preprocessing_args, build_preproc, build_pipeline
+from mem_tpu.models import create_model
+from mem_tpu.models.discrete_vae import DiscreteVAE
+from mem_tpu.parallel import get_mesh, init_distributed, replicate, shard_batch
+from mem_tpu.train.optim import create_optimizer
+from mem_tpu.train.schedules import as_schedule_fn, cosine_scheduler
+from mem_tpu.train.steps import (
+    make_mae_train_step,
+    make_pretrain_eval_step,
+    make_pretrain_train_step,
+)
+from mem_tpu.utils.checkpoint import auto_resume, load_checkpoint, save_checkpoint
+from mem_tpu.utils.config import ConfigArgumentParser
+from mem_tpu.utils.metrics import MetricLogger, TensorboardLogger, maybe_wandb
+
+
+def get_args(argv=None):
+    p = ConfigArgumentParser("MEM pretraining")
+    p.add_argument("--expweek", type=str, default="")
+    p.add_argument("--expname", type=str, default="")
+    p.add_argument("--data_path", type=str, default="")
+    p.add_argument("--data_set", type=str, default="npy")
+    add_preprocessing_args(p)
+
+    p.add_argument("--model", type=str, default="pt_vit")
+    p.add_argument("--discrete_vae_weight_path", "--vae_checkpoint", type=str, default="")
+    p.add_argument("--discrete_vae_type", type=str, default="event")
+    p.add_argument("--rel_pos_bias", type=int, default=1)
+    p.add_argument("--abs_pos_emb", type=int, default=0)
+    p.add_argument("--layer_scale_init_value", type=float, default=0.1)
+    p.add_argument("--masking", type=str, default="block")
+    p.add_argument("--num_mask_patches", type=int, default=75)
+    p.add_argument("--max_mask_patches_per_block", type=int, default=None)
+    p.add_argument("--min_mask_patches_per_block", type=int, default=16)
+    p.add_argument("--drop_path", "--pt_dropout", type=float, default=0.1)
+    p.add_argument("--color_jitter", "--pt_color_jitter", type=float, default=0.2)
+
+    # architecture keys the reference's parser forgot (SURVEY §2.11(1))
+    p.add_argument("--voxel", type=int, default=0)
+    p.add_argument("--num_layers", type=int, default=4)
+    p.add_argument("--transformer_emb", type=int, default=768)
+    p.add_argument("--transformer_depth", type=int, default=12)
+    p.add_argument("--transformer_heads", type=int, default=12)
+    p.add_argument("--transformer_mlp_ratio", type=float, default=4.0)
+    p.add_argument("--num_tokens", type=int, default=8192)
+    p.add_argument("--MAE", "--mae", type=int, default=0)
+    p.add_argument("--mae_decoder_emb", type=int, default=512)
+    p.add_argument("--mae_decoder_depth", type=int, default=8)
+    p.add_argument("--mae_decoder_heads", type=int, default=16)
+    p.add_argument("--mae_norm_pix_loss", type=int, default=0)
+    p.add_argument("--mae_loss_only_masked", type=int, default=0)
+    p.add_argument("--pretrained", type=int, default=0)
+
+    p.add_argument("--epochs", "--pt_epochs", type=int, default=3000)
+    p.add_argument("--batch_size", "--pt_batch_size", type=int, default=512)
+    p.add_argument("--lr", "--pt_lr", type=float, default=5e-4)
+    p.add_argument("--warmup_lr", type=float, default=1e-6)
+    p.add_argument("--min_lr", type=float, default=1e-5)
+    p.add_argument("--warmup_epochs", type=int, default=40)
+    p.add_argument("--warmup_steps", "--pt_warmup_steps", type=int, default=-1)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--weight_decay_end", type=float, default=None)
+    p.add_argument("--clip_grad", "--pt_grad_clip", type=float, default=None)
+    p.add_argument("--opt_eps", type=float, default=1e-8)
+    p.add_argument("--save_ckpt_freq", "--pt_save_ckpt_freq", type=int, default=25)
+    p.add_argument("--output_dir", type=str, default="./pt_out")
+    p.add_argument("--log_dir", type=str, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--auto_resume", type=int, default=1)
+    p.add_argument("--wandb", type=int, default=0)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    return p.parse_args(argv)
+
+
+def build_model(args):
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    patch = 2 ** args.num_layers
+    in_chans = 3 if args.voxel == 0 else args.voxel  # documented deviation
+    if args.MAE:
+        from mem_tpu.models.mae import MaskedAutoencoderViT
+
+        return MaskedAutoencoderViT(
+            img_size=args.input_H, patch_size=patch, in_chans=in_chans,
+            embed_dim=args.transformer_emb, depth=args.transformer_depth,
+            num_heads=args.transformer_heads,
+            decoder_embed_dim=args.mae_decoder_emb,
+            decoder_depth=args.mae_decoder_depth,
+            decoder_num_heads=args.mae_decoder_heads,
+            mlp_ratio=args.transformer_mlp_ratio,
+            norm_pix_loss=bool(args.mae_norm_pix_loss),
+            loss_only_masked=bool(args.mae_loss_only_masked),
+            dtype=dtype,
+        )
+    return create_model(
+        args.model,
+        drop_path_rate=args.drop_path,
+        use_shared_rel_pos_bias=bool(args.rel_pos_bias),
+        use_abs_pos_emb=bool(args.abs_pos_emb),
+        init_values=args.layer_scale_init_value,
+        in_chans=in_chans,
+        img_size=(args.input_H, args.input_W),
+        patch_size=(patch, patch),
+        embed_dim=args.transformer_emb,
+        depth=args.transformer_depth,
+        num_heads=args.transformer_heads,
+        mlp_ratio=args.transformer_mlp_ratio,
+        vocab_size=args.num_tokens,
+        dtype=dtype,
+    )
+
+
+def load_vae(args):
+    """Frozen tokenizer from the stage-1 checkpoint (utils.py:559-578)."""
+    payload = load_checkpoint(args.discrete_vae_weight_path)
+    h = payload["hparams"]
+    vae = DiscreteVAE(
+        input_hw=(int(h["input_H"]), int(h["input_W"])),
+        num_tokens=int(h["num_tokens"]),
+        codebook_dim=int(h["emb_dim"]),
+        num_layers=int(h["num_layers"]),
+        num_resnet_blocks=int(h["num_resnet_blocks"]),
+        hidden_dim=int(h["hidden_dim"]),
+        loss_type=str(h["loss"]),
+    )
+    return vae, payload["params"]
+
+
+def main(argv=None):
+    args = get_args(argv)
+    init_distributed()
+    os.makedirs(args.output_dir, exist_ok=True)
+    mesh = get_mesh()
+    nproc = jax.process_count()
+    local_bs = args.batch_size // nproc
+
+    patch = 2 ** args.num_layers
+    window = (args.input_H // patch, args.input_W // patch)
+
+    _, train_it = build_pipeline(
+        args, "train", True, local_bs,
+        masking=args.masking if not args.MAE else None, window_size=window,
+        seed=args.seed, num_workers=args.num_workers,
+        shard_id=jax.process_index(), num_shards=nproc,
+    )
+    _, val_it = build_pipeline(
+        args, "val", False, local_bs,
+        masking=args.masking if not args.MAE else None, window_size=window,
+        seed=args.seed, num_workers=args.num_workers,
+        shard_id=jax.process_index(), num_shards=nproc,
+    )
+    preproc_train = build_preproc(args, True, color_jitter=args.color_jitter)
+    preproc_val = build_preproc(args, False)
+
+    model = build_model(args)
+    steps_per_epoch = train_it.steps_per_epoch()
+    total_steps = args.epochs * steps_per_epoch
+
+    lr_sched = cosine_scheduler(
+        args.lr, args.min_lr, args.epochs, steps_per_epoch,
+        warmup_epochs=args.warmup_epochs, warmup_steps=args.warmup_steps,
+        start_warmup_value=args.warmup_lr,
+    )
+    wd_end = args.weight_decay_end if args.weight_decay_end is not None else args.weight_decay
+    wd_sched = cosine_scheduler(args.weight_decay, wd_end, args.epochs, steps_per_epoch)
+
+    # init
+    rng = jax.random.key(args.seed)
+    init_batch = jax.tree.map(jnp.asarray, next(iter(train_it.epoch(0))))
+    from mem_tpu.data.device_pipeline import preprocess_batch
+
+    dummy_img = jax.jit(lambda b: preprocess_batch(b, preproc_train, True))(init_batch)
+    if args.MAE:
+        params = jax.jit(model.init)(
+            {"params": rng, "mask": rng, "dropout": rng}, dummy_img
+        )
+    else:
+        dummy_mask = jnp.zeros((local_bs, window[0] * window[1]), bool)
+        params = jax.jit(model.init)(rng, dummy_img, dummy_mask)
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+    print(f"model params: {n_params/1e6:.1f}M; steps/epoch {steps_per_epoch}")
+
+    tx = create_optimizer(
+        params,
+        as_schedule_fn(lr_sched),
+        wd_schedule=as_schedule_fn(wd_sched),
+        weight_decay=args.weight_decay,
+        clip_grad=args.clip_grad,
+        opt_eps=args.opt_eps,
+    )
+    opt_state = tx.init(params)
+    params, opt_state = replicate(params, mesh), replicate(opt_state, mesh)
+
+    if args.MAE:
+        train_step = make_mae_train_step(model, tx, preproc_train)
+        eval_step = None
+        vae_params = None
+    else:
+        vae, vae_params = load_vae(args)
+        vae_params = replicate(vae_params, mesh)
+        train_step = make_pretrain_train_step(model, vae, tx, preproc_train)
+        eval_step = make_pretrain_eval_step(model, vae, preproc_val)
+
+    start_epoch = 0
+    if args.auto_resume:
+        payload, start_epoch = auto_resume(
+            args.output_dir, {"params": params, "opt_state": opt_state, "epoch": 0}
+        )
+        if payload is not None:
+            params = replicate(payload["params"], mesh)
+            opt_state = replicate(payload["opt_state"], mesh)
+
+    run = maybe_wandb(bool(args.wandb), project="mem_pretraining",
+                      group=f"{args.expweek}_{args.expname}")
+    tb = TensorboardLogger(args.log_dir) if args.log_dir else None
+    key = jax.random.key(args.seed + jax.process_index() + 1)
+
+    for epoch in range(start_epoch, args.epochs):
+        logger = MetricLogger()
+        t0 = time.time()
+        for step, batch in enumerate(
+            logger.log_every(train_it.epoch(epoch), 10, f"Epoch: [{epoch}]",
+                             total=steps_per_epoch)
+        ):
+            key, sk = jax.random.split(key)
+            b = shard_batch(batch, mesh)
+            if args.MAE:
+                params, opt_state, m = train_step(params, opt_state, b, sk)
+            else:
+                params, opt_state, m = train_step(params, opt_state, vae_params, b, sk)
+            it = epoch * steps_per_epoch + step
+            logger.update(loss=float(m["loss"]), lr=float(lr_sched[min(it, total_steps - 1)]))
+            if not args.MAE:
+                logger.update(mlm_acc=float(m["mlm_acc"]))
+            if not math.isfinite(float(m["loss"])):
+                raise RuntimeError(f"non-finite loss at step {it}")
+            if run and it % 100 == 0:
+                run.log({"train/loss": float(m["loss"]),
+                         "train/grad_norm": float(m["grad_norm"]), "step": it})
+            if tb and it % 100 == 0:
+                tb.update(head="train", step=it, loss=float(m["loss"]))
+        sps = steps_per_epoch * args.batch_size / (time.time() - t0)
+        print(f"epoch {epoch}: {sps:.1f} samples/sec "
+              f"({sps / jax.device_count():.1f}/chip)")
+
+        if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
+            if jax.process_index() == 0:
+                save_checkpoint(args.output_dir, epoch, {
+                    "params": jax.tree.map(np.asarray, params),
+                    "opt_state": jax.tree.map(np.asarray, opt_state),
+                    "epoch": epoch,
+                })
+            if eval_step is not None:
+                vlog = MetricLogger()
+                for batch in val_it.epoch(0):
+                    out = eval_step(params, vae_params, shard_batch(batch, mesh))
+                    vlog.update(loss=float(out["loss"]), mlm_acc=float(out["mlm_acc"]))
+                print(f"* eval: {vlog}")
+
+    if jax.process_index() == 0:
+        save_checkpoint(args.output_dir, "final", {
+            "params": jax.tree.map(np.asarray, params), "epoch": args.epochs - 1,
+        })
+
+
+if __name__ == "__main__":
+    main()

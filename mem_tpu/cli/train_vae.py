@@ -1,0 +1,204 @@
+"""Event discrete-VAE training CLI (stage 1).
+
+Same flag/config surface as eventvae/train_vae.py (configs/*.conf keys bind
+via aliases: ``vae_epochs`` -> ``--epochs`` etc.). TPU-native loop: one jitted
+step = on-chip preprocess + Gumbel-softmax VAE forward/backward + clipped
+Adam update; batches sharded over the data mesh; orbax checkpoints with the
+reference payload; eval every 25 epochs reports recon loss + codebook usage.
+"""
+from __future__ import annotations
+
+import math
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mem_tpu.cli.common import add_preprocessing_args, build_preproc, build_pipeline
+from mem_tpu.models.discrete_vae import DiscreteVAE
+from mem_tpu.parallel import get_mesh, init_distributed, replicate, shard_batch
+from mem_tpu.train.schedules import VaeAnnealState
+from mem_tpu.train.steps import make_vae_eval_step, make_vae_train_step
+from mem_tpu.utils.checkpoint import auto_resume, save_checkpoint
+from mem_tpu.utils.config import ConfigArgumentParser
+from mem_tpu.utils.metrics import MetricLogger, maybe_wandb
+
+
+def get_args(argv=None):
+    p = ConfigArgumentParser("event VAE training")
+    p.add_argument("--data_path", type=str, required=False, default="")
+    p.add_argument("--data_set", type=str, default="npy")
+    add_preprocessing_args(p)
+
+    p.add_argument("--epochs", "--vae_epochs", type=int, default=300)
+    p.add_argument("--batch_size", "--vae_batch_size", type=int, default=192)
+    p.add_argument("--learning_rate", "--vae_lr", type=float, default=2e-4)
+    p.add_argument("--lr_decay_rate", "--vae_lr_decay", type=float, default=0.99)
+    p.add_argument("--clip", "--vae_grad_clip", type=float, default=1e-3)
+    p.add_argument("--starting_temp", type=float, default=1.0)
+    p.add_argument("--temp_min", type=float, default=0.5)
+    p.add_argument("--anneal_rate", type=float, default=1e-6)
+    p.add_argument("--kl_loss_weight", "--vae_kl_loss_weight", type=float, default=1e-10)
+    p.add_argument("--num_tokens", type=int, default=8192)
+    p.add_argument("--emb_dim", type=int, default=32)
+    p.add_argument("--num_layers", type=int, default=4)
+    p.add_argument("--hidden_dim", "--vae_hidden_dim", type=int, default=384)
+    p.add_argument("--num_resnet_blocks", "--vae_num_resnet_blocks", type=int, default=3)
+    p.add_argument("--loss", "--vae_loss", type=str, default="mse")
+    p.add_argument("--straight_through", "--vae_straight_through", type=int, default=0)
+    p.add_argument("--save_ckpt_freq", "--vae_save_ckpt_freq", type=int, default=25)
+    p.add_argument("--output_dir", type=str, default="./vae_out")
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--auto_resume", type=int, default=1)
+    p.add_argument("--eval_freq", type=int, default=25)
+    p.add_argument("--wandb", type=int, default=0)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = get_args(argv)
+    init_distributed()
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    mesh = get_mesh()
+    nproc = jax.process_count()
+    local_bs = args.batch_size // nproc
+
+    _, train_it = build_pipeline(
+        args, "train", True, local_bs, seed=args.seed,
+        num_workers=args.num_workers, shard_id=jax.process_index(), num_shards=nproc,
+    )
+    _, val_it = build_pipeline(
+        args, "val", False, local_bs, seed=args.seed,
+        num_workers=args.num_workers, shard_id=jax.process_index(), num_shards=nproc,
+    )
+    preproc_train = build_preproc(args, True)
+    preproc_val = build_preproc(args, False)
+
+    vae = DiscreteVAE(
+        input_hw=(args.input_H, args.input_W),
+        num_tokens=args.num_tokens,
+        codebook_dim=args.emb_dim,
+        num_layers=args.num_layers,
+        num_resnet_blocks=args.num_resnet_blocks,
+        hidden_dim=args.hidden_dim,
+        loss_type=args.loss,
+        straight_through=bool(args.straight_through),
+        kl_div_loss_weight=args.kl_loss_weight,
+        dtype=jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32,
+    )
+
+    rng = jax.random.key(args.seed)
+    init_batch = next(iter(train_it.epoch(0)))
+    from mem_tpu.data.device_pipeline import preprocess_batch
+
+    dummy = jax.jit(lambda b: preprocess_batch(b, preproc_train, True))(
+        jax.tree.map(jnp.asarray, init_batch)
+    )
+    params = jax.jit(vae.init)({"params": rng, "gumbel": rng}, dummy, 1.0)
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+    print(f"VAE params: {n_params/1e6:.1f}M")
+
+    # torch Adam defaults (train_vae.py:220); lr injected per step
+    tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = tx.init(params)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+
+    train_step = make_vae_train_step(vae, tx, preproc_train)
+    eval_step = make_vae_eval_step(vae, preproc_val)
+
+    sched = VaeAnnealState(
+        args.learning_rate, args.lr_decay_rate,
+        args.starting_temp, args.anneal_rate, args.temp_min,
+    )
+    start_epoch = 0
+    if args.auto_resume:
+        payload, start_epoch = auto_resume(
+            args.output_dir,
+            {"params": params, "opt_state": opt_state, "epoch": 0,
+             "lr": 0.0, "temp": 0.0, "global_step": 0},
+        )
+        if payload is not None:
+            params = replicate(payload["params"], mesh)
+            opt_state = replicate(payload["opt_state"], mesh)
+            sched.lr = float(payload["lr"])
+            sched.temp = float(payload["temp"])
+            sched.global_step = int(payload["global_step"])
+
+    run = maybe_wandb(bool(args.wandb), project="dalle_train_vae")
+    key = jax.random.key(args.seed + jax.process_index())
+
+    for epoch in range(start_epoch, args.epochs):
+        logger = MetricLogger()
+        t0 = time.time()
+        for i, batch in enumerate(
+            logger.log_every(train_it.epoch(epoch), 10, f"Epoch: [{epoch}]",
+                             total=train_it.steps_per_epoch())
+        ):
+            key, sk = jax.random.split(key)
+            b = shard_batch(batch, mesh)
+            params, opt_state, metrics = train_step(
+                params, opt_state, b, sk,
+                jnp.float32(sched.lr), jnp.float32(sched.temp), jnp.float32(args.clip),
+            )
+            sched.after_step(i)
+            logger.update(loss=float(metrics["loss"]), lr=sched.lr)
+            if run and i % 1000 == 0:
+                run.log({"epoch": epoch, "iter": i, "loss": float(metrics["loss"]),
+                         "lr": sched.lr})
+        sps = train_it.steps_per_epoch() * args.batch_size / (time.time() - t0)
+        print(f"epoch {epoch}: {sps:.1f} samples/sec")
+
+        if (epoch + 1) % args.eval_freq == 0:
+            used = set()
+            vlog = MetricLogger()
+            for batch in val_it.epoch(0):
+                out = eval_step(params, shard_batch(batch, mesh))
+                used.update(np.unique(np.asarray(out["ids"])).tolist())
+                vlog.update(loss=float(out["loss"]))
+            print(f"* eval loss {vlog.meters['loss'].global_avg:.4f} "
+                  f"codebook usage {len(used)}/{args.num_tokens}")
+            if run:
+                run.log({"test_loss": vlog.meters["loss"].global_avg,
+                         "codebook_usage": len(used) / args.num_tokens, "epoch": epoch})
+
+        if jax.process_index() == 0 and (
+            (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
+        ):
+            save_checkpoint(args.output_dir, epoch, {
+                "params": jax.tree.map(np.asarray, params),
+                "opt_state": jax.tree.map(np.asarray, opt_state),
+                "epoch": epoch,
+                "lr": sched.lr, "temp": sched.temp, "global_step": sched.global_step,
+                "hparams": {
+                    "input_H": args.input_H, "input_W": args.input_W,
+                    "num_tokens": args.num_tokens, "emb_dim": args.emb_dim,
+                    "num_layers": args.num_layers,
+                    "num_resnet_blocks": args.num_resnet_blocks,
+                    "hidden_dim": args.hidden_dim, "loss": args.loss,
+                },
+            })
+
+    if jax.process_index() == 0:
+        save_checkpoint(args.output_dir, "final", {
+            "params": jax.tree.map(np.asarray, params),
+            "epoch": args.epochs - 1,
+            "hparams": {
+                "input_H": args.input_H, "input_W": args.input_W,
+                "num_tokens": args.num_tokens, "emb_dim": args.emb_dim,
+                "num_layers": args.num_layers,
+                "num_resnet_blocks": args.num_resnet_blocks,
+                "hidden_dim": args.hidden_dim, "loss": args.loss,
+            },
+        })
+
+
+if __name__ == "__main__":
+    main()

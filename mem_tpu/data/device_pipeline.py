@@ -1,0 +1,116 @@
+"""On-chip preprocessing front end: raw padded events -> model-ready images.
+
+Composes the fused voxelizer and the jittable image ops into the exact
+transform chain of the reference (build_transformNPY, mem/datasets.py:611-660
+— order reproduced below), entirely inside jit so it fuses with the model
+step and preprocessing never touches the host:
+
+  [scale (host)] -> slice (host memcpy) -> time-flip -> x-flip -> shift
+  -> rasterize                                   (voxelize_fused, MXU)
+  -> ToTensor (/255)
+  -> Resize(bilinear antialias) [fixed-res datasets]  (matmul resample, MXU)
+  -> RandomCrop [train, pre-scaled datasets]
+  -> RemoveTimesurface? -> RemoveHotPixels? -> Log/Gamma? -> NormalizeEvent?
+  -> ToUint8 -> RandAugment(mag 20) -> ToFloat32  [train]
+  -> ColorJitter(brightness, saturation)          [pretraining]
+
+The pretraining "two views" (patch view / tokenizer view) are identical
+tensors in the reference event path (CreateTwoPic after a shared transform,
+datasets.py:34-38) — so this returns ONE image used for both.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mem_tpu.ops import image_ops as I
+from mem_tpu.ops.rand_augment import rand_augment_batch
+from mem_tpu.ops.voxelize import voxelize_fused
+
+
+@dataclass(frozen=True)
+class PreprocConfig:
+    input_h: int = 224
+    input_w: int = 224
+    canvas_h: int = 256          # static raster canvas (>= max sensor extent)
+    canvas_w: int = 256
+    resize_to_input: bool = True  # caltech/ncars/dsec branch (datasets.py:640-642)
+    random_crop: bool = False     # imagenet train branch (datasets.py:644-645)
+    timesurface: bool = False
+    hotpixfilter: bool = True
+    hotpix_num_stds: float = 10.0
+    logtrafo: bool = False
+    gammatrafo: bool = False
+    gamma: float = 0.5
+    normalize_events: bool = True
+    rand_aug: bool = True
+    rand_aug_magnitude: int = 20
+    color_jitter: float = 0.0    # pretraining only (DataAugmentationForPT)
+    wrap_uint8: bool = True
+
+
+def preprocess_batch(batch: dict, cfg: PreprocConfig, is_train: bool) -> jnp.ndarray:
+    """batch: dict from mem_tpu.data.pipeline (events, n_valid, aug params).
+    Returns (B, input_h, input_w, 3) float32 in [0, 1]."""
+    B = batch["events"].shape[0]
+    img = voxelize_fused(
+        batch["events"],
+        batch["n_valid"],
+        cfg.canvas_h,
+        cfg.canvas_w,
+        time_flip=batch.get("time_flip") if is_train else None,
+        x_flip=batch.get("x_flip") if is_train else None,
+        shift_xy=batch.get("shift_xy") if is_train else None,
+        sample_W=batch.get("sample_w"),
+        sample_H=batch.get("sample_h"),
+        time_surface=cfg.timesurface,
+        wrap_uint8=cfg.wrap_uint8,
+    )
+    x = img.astype(jnp.float32) / 255.0                     # ToTensor
+
+    keys = jax.vmap(jax.random.key)(batch["aug_seed"].astype(jnp.uint32))
+
+    if cfg.resize_to_input:
+        x = I.resize_bilinear_batch(
+            x, cfg.input_h, cfg.input_w,
+            src_hs=batch.get("sample_h"), src_ws=batch.get("sample_w"),
+        )
+    elif is_train and cfg.random_crop:
+        ck = jax.vmap(lambda k: jax.random.split(k, 2)[0])(keys)
+        tops = jax.vmap(
+            lambda k: jax.random.randint(k, (), 0, cfg.canvas_h - cfg.input_h + 1)
+        )(ck)
+        lefts = jax.vmap(
+            lambda k: jax.random.randint(
+                jax.random.split(k)[1], (), 0, cfg.canvas_w - cfg.input_w + 1
+            )
+        )(ck)
+        x = I.random_crop_batch(x, tops, lefts, cfg.input_h, cfg.input_w)
+    else:
+        x = x[:, : cfg.input_h, : cfg.input_w]
+
+    if not cfg.timesurface:
+        x = I.remove_timesurface(x)
+    if cfg.hotpixfilter:
+        x = I.remove_hot_pixels(x, cfg.hotpix_num_stds)
+    if cfg.logtrafo:
+        x = I.log_transform(x)
+    if cfg.gammatrafo:
+        x = I.gamma_transform(x, cfg.gamma)
+    if cfg.normalize_events:
+        x = I.normalize_event(x)
+
+    if is_train and cfg.rand_aug:
+        u8 = (255.0 * x).astype(jnp.uint8)                  # ToUnit8 truncation
+        ra_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+        u8 = rand_augment_batch(u8, ra_keys, magnitude=cfg.rand_aug_magnitude)
+        x = u8.astype(jnp.float32) / 255.0                  # ToFloat32
+
+    if is_train and cfg.color_jitter > 0:
+        cj_keys = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)
+        x = jax.vmap(lambda im, k: I.color_jitter(im, k, cfg.color_jitter))(x, cj_keys)
+
+    return x

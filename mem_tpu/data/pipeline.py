@@ -1,0 +1,184 @@
+"""Host ingest pipeline: decode + pad raw event tensors, sample augmentation
+randomness — all compute happens on chip.
+
+The reference's CPU dataloader workers rasterize and augment every sample
+(the throughput bottleneck, SURVEY §3.3); here the host only:
+  1. loads the ``.npy`` event array (IO-bound, overlapped with a thread pool),
+  2. applies SliceRandomMaxEvs as a contiguous numpy slice (a memcpy —
+     shipping more than ``slice_max_evs`` events to the device would waste
+     PCIe/DMA bandwidth, so the slice stays host-side),
+  3. pads to the static event capacity and records ``n_valid``,
+  4. samples per-sample augmentation parameters (flip coins, shift offsets,
+     crop positions, RandAugment seeds) and the BEiT mask,
+and the fused on-chip front end (mem_tpu.ops.voxelize / pipeline_device)
+does everything else inside the same jit as the model step.
+
+Determinism: one ``np.random.Generator`` seeded per (seed, epoch, sample)
+drives all host randomness, so any batch is exactly reproducible.
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+from mem_tpu.data.folder import NpyFolder
+from mem_tpu.ops.masking import make_mask_generator
+
+
+@dataclass
+class PipelineConfig:
+    batch_size: int = 32
+    slice_max_evs: int = 30000
+    is_train: bool = True
+    # event-level augs (train only)
+    max_random_shift_evs: int = 0
+    flip_x_prob: float = 0.5
+    time_flip_prob: float = 0.5
+    # variable-resolution datasets (caltech): canvas the rasterizer uses
+    sample_hw_from_data: bool = True
+    canvas_h: int = 256
+    canvas_w: int = 256
+    fixed_hw: Optional[tuple] = None        # (H, W) for ncars=None, dsec=(440,640)
+    # imagenet path: pre-scale coords
+    scale_xy: Optional[tuple] = None        # (sx, sy) applied to x,y columns
+    # masking (pretraining only)
+    masking: Optional[str] = None           # block | random | None
+    window_size: tuple = (14, 14)
+    num_mask_patches: int = 98
+    min_mask_patches_per_block: int = 16
+    max_mask_patches_per_block: Optional[int] = None
+    seed: int = 0
+    shuffle: bool = True
+    drop_last: bool = True
+    num_workers: int = 4
+    # multi-host sharding
+    shard_id: int = 0
+    num_shards: int = 1
+
+
+class EventBatchIterator:
+    """Iterates dict batches of padded events + aug params over one dataset."""
+
+    def __init__(self, dataset: NpyFolder, config: PipelineConfig):
+        self.ds = dataset
+        self.cfg = config
+        self.mask_gen = None
+        if config.masking:
+            self.mask_gen = make_mask_generator(
+                config.masking,
+                config.window_size,
+                config.num_mask_patches,
+                min_num_patches=config.min_mask_patches_per_block,
+                max_num_patches=config.max_mask_patches_per_block,
+            )
+        self._pool = (
+            cf.ThreadPoolExecutor(config.num_workers)
+            if config.num_workers > 0
+            else None
+        )
+
+    def steps_per_epoch(self) -> int:
+        n = len(self._epoch_indices(0))
+        b = self.cfg.batch_size
+        return n // b if self.cfg.drop_last else -(-n // b)
+
+    def _epoch_indices(self, epoch: int) -> np.ndarray:
+        idx = np.arange(len(self.ds))
+        if self.cfg.shuffle:
+            np.random.default_rng(self.cfg.seed + epoch).shuffle(idx)
+        return idx[self.cfg.shard_id :: self.cfg.num_shards]
+
+    def _load_one(self, epoch: int, index: int):
+        cfg = self.cfg
+        rng = np.random.default_rng((cfg.seed, epoch, index))
+        events, label = self.ds[index]
+        events = np.asarray(events, dtype=np.float64)
+        if events.ndim != 2 or events.shape[1] != 4:
+            events = events.reshape(-1, 4)
+
+        if cfg.scale_xy is not None:
+            events = events.copy()
+            events[:, 0] *= cfg.scale_xy[0]
+            events[:, 1] *= cfg.scale_xy[1]
+
+        # SliceRandomMaxEvs (host memcpy; applied train AND eval like the
+        # reference, datasets.py:611-660)
+        n = events.shape[0]
+        cap = cfg.slice_max_evs
+        if n > cap:
+            start = int(rng.integers(0, n - cap + 1))
+            events = events[start : start + cap]
+            n = cap
+
+        # per-sample logical extents (the reference infers W=max_x+1 when the
+        # dataset has no fixed resolution, datasets.py:555-575)
+        if cfg.fixed_hw is not None:
+            sh, sw = cfg.fixed_hw
+        elif cfg.sample_hw_from_data and n > 0:
+            sw = int(events[:, 0].max()) + 1
+            sh = int(events[:, 1].max()) + 1
+        else:
+            sh, sw = cfg.canvas_h, cfg.canvas_w
+        sh = min(sh, cfg.canvas_h)
+        sw = min(sw, cfg.canvas_w)
+
+        out = {
+            "events": events.astype(np.float32),
+            "n_valid": np.int32(n),
+            "label": np.int64(label),
+            "sample_h": np.int32(sh),
+            "sample_w": np.int32(sw),
+        }
+        if cfg.is_train:
+            out["time_flip"] = np.bool_(rng.random() < cfg.time_flip_prob)
+            out["x_flip"] = np.bool_(rng.random() < cfg.flip_x_prob)
+            if cfg.max_random_shift_evs > 0:
+                out["shift_xy"] = rng.integers(
+                    -cfg.max_random_shift_evs,
+                    cfg.max_random_shift_evs + 1,
+                    size=(2,),
+                ).astype(np.int32)
+            else:
+                out["shift_xy"] = np.zeros((2,), np.int32)
+        else:
+            out["time_flip"] = np.bool_(False)
+            out["x_flip"] = np.bool_(False)
+            out["shift_xy"] = np.zeros((2,), np.int32)
+        # seed for all on-chip per-sample randomness (crop/RandAugment/jitter)
+        out["aug_seed"] = rng.integers(0, 2**31 - 1, dtype=np.int64).astype(np.uint32)
+        if self.mask_gen is not None:
+            out["mask"] = self.mask_gen(rng).reshape(-1).astype(bool)
+        return out
+
+    def _collate(self, items):
+        cap = self.cfg.slice_max_evs
+        B = len(items)
+        events = np.zeros((B, cap, 4), np.float32)
+        for i, it in enumerate(items):
+            e = it["events"]
+            events[i, : len(e)] = e
+        batch = {"events": events}
+        for k in items[0]:
+            if k == "events":
+                continue
+            batch[k] = np.stack([it[k] for it in items])
+        return batch
+
+    def epoch(self, epoch: int) -> Iterator[dict]:
+        idx = self._epoch_indices(epoch)
+        b = self.cfg.batch_size
+        n_batches = len(idx) // b if self.cfg.drop_last else -(-len(idx) // b)
+        for bi in range(n_batches):
+            chunk = idx[bi * b : (bi + 1) * b]
+            if self._pool is not None:
+                items = list(self._pool.map(lambda i: self._load_one(epoch, int(i)), chunk))
+            else:
+                items = [self._load_one(epoch, int(i)) for i in chunk]
+            # pad the final partial batch by wrapping (reference eval pads
+            # with duplicates, run_mem_pretraining.py:313-316)
+            while len(items) < b:
+                items.append(items[len(items) % max(len(chunk), 1)])
+            yield self._collate(items)

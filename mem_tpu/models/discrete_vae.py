@@ -1,0 +1,221 @@
+"""Discrete VAE event tokenizer (DALL-E style, Gumbel-softmax over a codebook).
+
+Reimplements the semantics of eventvae/vae/vae_model.py:45-213 as a flax
+module in NHWC layout: conv encoder (``num_layers`` stride-2 4x4 convs +
+ResBlocks + 1x1 -> ``num_tokens`` logits), Gumbel-softmax sampling against an
+(num_tokens, codebook_dim) codebook, mirrored deconv decoder, and
+reconstruction + KL-to-uniform loss.
+
+Parity notes:
+  - ``TorchConvTranspose`` reproduces torch's ConvTranspose2d(k=4, s=2, p=1)
+    exactly (input dilation + flipped kernel) so reference VAE checkpoints
+    import bit-compatibly (mem_tpu.utils.torch_import).
+  - The KL term replicates torch's
+    ``F.kl_div(log_uniform, log_qy, reduction='batchmean', log_target=True)``
+    — including the quirk that "batchmean" divides by the *input* tensor's
+    first dimension, which is the broadcast 1-element log-uniform, i.e. the
+    sum is NOT divided by batch size (vae_model.py:204-208). Weight defaults
+    to 1e-10 so this is mainly a parity detail.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class TorchConvTranspose(nn.Module):
+    """ConvTranspose2d with torch's exact semantics (kernel 4, stride 2,
+    padding 1 doubles the spatial size). Implemented as an input-dilated
+    convolution with spatially flipped kernel."""
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p = self.kernel_size, self.stride, self.padding
+        in_ch = x.shape[-1]
+        # torch layout (in, out, kh, kw) stored transposed; we keep HWIO
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1 / 3, "fan_in", "uniform", in_axis=-1, out_axis=-2),
+            (k, k, in_ch, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad = k - 1 - p
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            jnp.flip(kernel, (0, 1)).astype(self.dtype),
+            window_strides=(1, 1),
+            padding=[(pad, pad + (s - 1) * 0), (pad, pad)],
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return y + bias.astype(self.dtype)
+
+
+class ResBlock(nn.Module):
+    """conv3x3-ReLU-conv3x3-ReLU-conv1x1 + skip (vae_model.py:28-40)."""
+
+    chan: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.chan, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
+        h = nn.relu(h)
+        h = nn.Conv(self.chan, (3, 3), padding=1, dtype=self.dtype, name="conv2")(h)
+        h = nn.relu(h)
+        h = nn.Conv(self.chan, (1, 1), dtype=self.dtype, name="conv3")(h)
+        return h + x
+
+
+class DiscreteVAE(nn.Module):
+    input_hw: Tuple[int, int] = (224, 224)
+    num_tokens: int = 8192
+    codebook_dim: int = 32
+    num_layers: int = 4
+    num_resnet_blocks: int = 3
+    hidden_dim: int = 384
+    channels: int = 3
+    loss_type: str = "mse"            # mse | smooth_l1 | cosine
+    straight_through: bool = False
+    kl_div_loss_weight: float = 1e-10
+    normalization: Optional[Tuple[Sequence[float], Sequence[float]]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.input_hw[0] % (2**self.num_layers) == 0
+        assert self.input_hw[1] % (2**self.num_layers) == 0
+        self.codebook = nn.Embed(self.num_tokens, self.codebook_dim, name="codebook")
+
+        enc = []
+        in_next = self.hidden_dim
+        for i in range(self.num_layers):
+            enc.append(
+                nn.Conv(
+                    self.hidden_dim, (4, 4), strides=2, padding=1,
+                    dtype=self.dtype, name=f"enc_conv_{i}",
+                )
+            )
+        self.enc_convs = enc
+        self.enc_res = [
+            ResBlock(self.hidden_dim, self.dtype, name=f"enc_res_{i}")
+            for i in range(self.num_resnet_blocks)
+        ]
+        self.enc_head = nn.Conv(self.num_tokens, (1, 1), dtype=self.dtype, name="enc_head")
+
+        has_res = self.num_resnet_blocks > 0
+        if has_res:
+            self.dec_in = nn.Conv(self.hidden_dim, (1, 1), dtype=self.dtype, name="dec_in")
+        self.dec_res = [
+            ResBlock(self.hidden_dim, self.dtype, name=f"dec_res_{i}")
+            for i in range(self.num_resnet_blocks)
+        ]
+        self.dec_deconvs = [
+            TorchConvTranspose(self.hidden_dim, dtype=self.dtype, name=f"dec_deconv_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.dec_head = nn.Conv(self.channels, (1, 1), dtype=self.dtype, name="dec_head")
+
+    # -- pieces ------------------------------------------------------------
+
+    def _norm(self, images):
+        if self.normalization is None:
+            return images
+        means = jnp.asarray(self.normalization[0], images.dtype)
+        stds = jnp.asarray(self.normalization[1], images.dtype)
+        return (images - means) / stds
+
+    def encode_logits(self, img):
+        """(B, H, W, C) -> (B, h, w, num_tokens)."""
+        x = self._norm(img).astype(self.dtype)
+        for conv in self.enc_convs:
+            x = nn.relu(conv(x))
+        for res in self.enc_res:
+            x = res(x)
+        return self.enc_head(x)
+
+    def decode_from_soft(self, soft_one_hot):
+        """(B, h, w, num_tokens) soft codes -> (B, H, W, C) reconstruction."""
+        x = jnp.einsum(
+            "bhwn,nd->bhwd", soft_one_hot, self.codebook.embedding.astype(soft_one_hot.dtype)
+        )
+        if self.num_resnet_blocks > 0:
+            x = self.dec_in(x)
+        for res in self.dec_res:
+            x = res(x)
+        for deconv in self.dec_deconvs:
+            x = nn.relu(deconv(x))
+        return self.dec_head(x)
+
+    def get_codebook_indices(self, img):
+        """(B, H, W, C) -> (B, h*w) int32 argmax token ids
+        (vae_model.py:153-158)."""
+        logits = self.encode_logits(img)
+        b = logits.shape[0]
+        return jnp.argmax(logits, axis=-1).reshape(b, -1)
+
+    def decode_indices(self, ids):
+        """(B, n) token ids -> (B, H, W, C) (vae_model.py:160-171)."""
+        h = self.input_hw[0] // 2**self.num_layers
+        w = self.input_hw[1] // 2**self.num_layers
+        emb = self.codebook(ids).reshape(ids.shape[0], h, w, self.codebook_dim)
+        x = emb
+        if self.num_resnet_blocks > 0:
+            x = self.dec_in(x)
+        for res in self.dec_res:
+            x = res(x)
+        for deconv in self.dec_deconvs:
+            x = nn.relu(deconv(x))
+        return self.dec_head(x)
+
+    # -- losses ------------------------------------------------------------
+
+    def _recon_loss(self, target, rec):
+        target = target.astype(jnp.float32)
+        rec = rec.astype(jnp.float32)
+        if self.loss_type == "mse":
+            return jnp.mean((target - rec) ** 2)
+        if self.loss_type == "smooth_l1":
+            d = jnp.abs(target - rec)
+            return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
+        if self.loss_type == "cosine":
+            tn = target / (jnp.linalg.norm(target, axis=-1, keepdims=True) + 1e-9)
+            rn = rec / (jnp.linalg.norm(rec, axis=-1, keepdims=True) + 1e-9)
+            return jnp.mean(1.0 - jnp.sum(tn * rn, axis=-1))
+        raise ValueError(self.loss_type)
+
+    def __call__(self, img, temperature: float = 0.9, rng=None, return_recons: bool = False):
+        """Training forward: returns loss (and optionally the reconstruction).
+
+        ``rng`` is the Gumbel-noise key; defaults to the module's 'gumbel'
+        RNG collection.
+        """
+        logits = self.encode_logits(img)
+        if rng is None:
+            rng = self.make_rng("gumbel")
+        g = jax.random.gumbel(rng, logits.shape, dtype=jnp.float32)
+        soft = jax.nn.softmax((logits.astype(jnp.float32) + g) / temperature, axis=-1)
+        if self.straight_through:
+            hard = jax.nn.one_hot(jnp.argmax(soft, -1), self.num_tokens, dtype=soft.dtype)
+            soft = hard + soft - jax.lax.stop_gradient(soft)
+        out = self.decode_from_soft(soft.astype(self.dtype))
+
+        recon = self._recon_loss(self._norm(img), out)
+
+        # KL(q || uniform), summed (see class docstring for the batchmean quirk)
+        log_qy = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        log_uniform = jnp.log(1.0 / self.num_tokens)
+        kl = jnp.sum(jnp.exp(log_qy) * (log_qy - log_uniform))
+
+        loss = recon + self.kl_div_loss_weight * kl
+        if return_recons:
+            return loss, out
+        return loss

@@ -1,0 +1,342 @@
+"""Shared ViT primitives (flax.linen) — the single module set used by the
+BEiT-style pretraining model, the classifier, the MAE variant, and the
+segmentation backbone (mirroring the role of mem/modeling_finetune.py:42-247).
+
+TPU notes:
+  - compute dtype is configurable (bf16 default for training); parameters and
+    softmax/LayerNorm statistics stay f32.
+  - attention is a dense (q k^T + bias).softmax @ v over <=1025 tokens —
+    XLA:TPU fuses this well at these sizes; rel-pos bias is added pre-softmax.
+  - weight init matches the reference: truncated normal (bounds in units of
+    std are configurable because the reference's pretrain model truncates at
+    +-1 std while finetune uses timm's +-2 std), zero biases, and the BEiT
+    depth rescale 1/sqrt(2*layer_id) on attn.proj and mlp.fc2
+    (modeling_pretrain.py:69-75, modeling_finetune.py:304-310).
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def trunc_normal_init(std: float, trunc_sigmas: float = 2.0):
+    """Truncated-normal initializer. ``trunc_sigmas`` is the truncation bound
+    in units of std (timm default 2; the reference's pretrain init uses 1,
+    modeling_pretrain.py:19-20)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return std * jax.random.truncated_normal(
+            key, -trunc_sigmas, trunc_sigmas, shape, dtype
+        )
+
+    return init
+
+
+def drop_path(x: jnp.ndarray, rate: float, deterministic: bool, rng) -> jnp.ndarray:
+    """Stochastic depth per sample (timm drop_path semantics: keep-prob
+    rescaling, one Bernoulli per sample)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def relative_position_index(window_size: Tuple[int, int]) -> np.ndarray:
+    """BEiT relative-position index for a (Wh, Ww) patch grid plus cls token.
+
+    Returns (Wh*Ww+1, Wh*Ww+1) int32 indices into a bias table of size
+    (2Wh-1)(2Ww-1)+3: the last three entries are cls->token, token->cls and
+    cls->cls (reference: modeling_finetune.py:94-118 / 213-247).
+    """
+    wh, ww = window_size
+    num_rel = (2 * wh - 1) * (2 * ww - 1) + 3
+    coords = np.stack(np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij"))
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    idx = np.zeros((wh * ww + 1, wh * ww + 1), dtype=np.int32)
+    idx[1:, 1:] = rel.sum(-1)
+    idx[0, 0:] = num_rel - 3
+    idx[0:, 0] = num_rel - 2
+    idx[0, 0] = num_rel - 1
+    return idx
+
+
+class RelativePositionBias(nn.Module):
+    """Learned relative-position bias table shared across blocks
+    (modeling_finetune.py:213-247). Returns (num_heads, N+1, N+1)."""
+
+    window_size: Tuple[int, int]
+    num_heads: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        wh, ww = self.window_size
+        num_rel = (2 * wh - 1) * (2 * ww - 1) + 3
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.zeros,
+            (num_rel, self.num_heads),
+        )
+        idx = relative_position_index(self.window_size)
+        bias = table[idx.reshape(-1)].reshape(idx.shape[0], idx.shape[1], -1)
+        return bias.transpose(2, 0, 1)
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+    init_std: float = 0.02
+    trunc_sigmas: float = 2.0
+    fc2_scale: float = 1.0  # BEiT depth rescale on fc2
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(
+            self.hidden_dim,
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init(self.init_std, self.trunc_sigmas),
+            name="fc1",
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(
+            self.out_dim,
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init(
+                self.init_std * self.fc2_scale, self.trunc_sigmas
+            ),
+            name="fc2",
+        )(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head attention with BEiT's decomposed qkv bias (q and v get a
+    learned bias, k's is fixed zero — modeling_finetune.py:86-92,128-141) and
+    optional per-block relative-position bias."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    attn_dropout: float = 0.0
+    proj_dropout: float = 0.0
+    window_size: Optional[Tuple[int, int]] = None  # per-block rel-pos bias
+    attn_head_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    init_std: float = 0.02
+    trunc_sigmas: float = 2.0
+    proj_scale: float = 1.0  # BEiT depth rescale on proj
+
+    @nn.compact
+    def __call__(self, x, rel_pos_bias=None, deterministic: bool = True):
+        B, N, C = x.shape
+        head_dim = self.attn_head_dim or self.dim // self.num_heads
+        all_head_dim = head_dim * self.num_heads
+        scale = self.qk_scale or head_dim**-0.5
+
+        qkv_w = self.param(
+            "qkv_kernel",
+            trunc_normal_init(self.init_std, self.trunc_sigmas),
+            (C, 3 * all_head_dim),
+        )
+        qkv = jnp.dot(x, qkv_w.astype(self.dtype))
+        if self.qkv_bias:
+            q_bias = self.param("q_bias", nn.initializers.zeros, (all_head_dim,))
+            v_bias = self.param("v_bias", nn.initializers.zeros, (all_head_dim,))
+            bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+            qkv = qkv + bias.astype(self.dtype)
+
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
+
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=jnp.float32)
+
+        if self.window_size is not None:
+            attn = attn + RelativePositionBias(
+                self.window_size, self.num_heads, name="rel_pos"
+            )()[None]
+        if rel_pos_bias is not None:
+            attn = attn + rel_pos_bias[None].astype(attn.dtype)
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_dropout, deterministic=deterministic)(attn)
+
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v)
+        out = out.reshape(B, N, all_head_dim)
+        out = nn.Dense(
+            self.dim,
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init(
+                self.init_std * self.proj_scale, self.trunc_sigmas
+            ),
+            name="proj",
+        )(out)
+        out = nn.Dropout(self.proj_dropout, deterministic=deterministic)(out)
+        return out
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block with optional LayerScale and DropPath
+    (modeling_finetune.py:162-188)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    drop_path_rate: float = 0.0
+    init_values: Optional[float] = None  # LayerScale gamma init (None = off)
+    window_size: Optional[Tuple[int, int]] = None
+    attn_head_dim: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+    init_std: float = 0.02
+    trunc_sigmas: float = 2.0
+    depth_scale: float = 1.0  # 1/sqrt(2*layer_id) rescale
+
+    @nn.compact
+    def __call__(self, x, rel_pos_bias=None, deterministic: bool = True):
+        ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name=name)
+        attn_out = Attention(
+            self.dim,
+            self.num_heads,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            attn_dropout=self.attn_dropout,
+            proj_dropout=self.dropout,
+            window_size=self.window_size,
+            attn_head_dim=self.attn_head_dim,
+            dtype=self.dtype,
+            init_std=self.init_std,
+            trunc_sigmas=self.trunc_sigmas,
+            proj_scale=self.depth_scale,
+            name="attn",
+        )(ln("norm1")(x).astype(self.dtype), rel_pos_bias, deterministic)
+        mlp_out_fn = lambda y: Mlp(
+            int(self.dim * self.mlp_ratio),
+            self.dim,
+            dropout=self.dropout,
+            dtype=self.dtype,
+            init_std=self.init_std,
+            trunc_sigmas=self.trunc_sigmas,
+            fc2_scale=self.depth_scale,
+            name="mlp",
+        )(y, deterministic)
+
+        if self.init_values is not None and self.init_values > 0:
+            gamma_1 = self.param(
+                "gamma_1", nn.initializers.constant(self.init_values), (self.dim,)
+            )
+            gamma_2 = self.param(
+                "gamma_2", nn.initializers.constant(self.init_values), (self.dim,)
+            )
+        else:
+            gamma_1 = gamma_2 = None
+
+        def maybe_drop(y):
+            if self.drop_path_rate > 0 and not deterministic:
+                rng = self.make_rng("dropout")
+                return drop_path(y, self.drop_path_rate, deterministic, rng)
+            return y
+
+        a = attn_out if gamma_1 is None else gamma_1.astype(attn_out.dtype) * attn_out
+        x = x + maybe_drop(a)
+        m = mlp_out_fn(ln("norm2")(x).astype(self.dtype))
+        m = m if gamma_2 is None else gamma_2.astype(m.dtype) * m
+        x = x + maybe_drop(m)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Conv-stride patchify: (B, H, W, C) -> (B, N, D)
+    (modeling_finetune.py:192-210; NHWC layout for TPU)."""
+
+    patch_size: Tuple[int, int]
+    embed_dim: int
+    dtype: jnp.dtype = jnp.float32
+    init_std: float = 0.02
+    trunc_sigmas: float = 2.0
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=self.patch_size,
+            strides=self.patch_size,
+            padding="VALID",
+            dtype=self.dtype,
+            kernel_init=trunc_normal_init(self.init_std, self.trunc_sigmas),
+            name="proj",
+        )(x)
+        B, Hp, Wp, D = x.shape
+        return x.reshape(B, Hp * Wp, D)
+
+
+class VitEncoder(nn.Module):
+    """The 12-block trunk shared by all four model heads. Consumes embedded
+    tokens (cls already prepended, pos emb added), runs blocks with an
+    optional shared rel-pos bias, returns the full token sequence."""
+
+    embed_dim: int
+    depth: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+    dropout: float = 0.0
+    attn_dropout: float = 0.0
+    drop_path_rate: float = 0.0
+    init_values: Optional[float] = None
+    use_rel_pos_bias: bool = False       # per-block tables
+    use_shared_rel_pos_bias: bool = False
+    window_size: Optional[Tuple[int, int]] = None
+    dtype: jnp.dtype = jnp.float32
+    init_std: float = 0.02
+    trunc_sigmas: float = 2.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True, return_all: bool = False):
+        rel_pos_bias = None
+        if self.use_shared_rel_pos_bias:
+            rel_pos_bias = RelativePositionBias(
+                self.window_size, self.num_heads, name="rel_pos_bias"
+            )()
+        feats = []
+        for i in range(self.depth):
+            dpr = self.drop_path_rate * i / max(self.depth - 1, 1)
+            x = Block(
+                self.embed_dim,
+                self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
+                dropout=self.dropout,
+                attn_dropout=self.attn_dropout,
+                drop_path_rate=dpr,
+                init_values=self.init_values,
+                window_size=self.window_size if self.use_rel_pos_bias else None,
+                dtype=self.dtype,
+                init_std=self.init_std,
+                trunc_sigmas=self.trunc_sigmas,
+                depth_scale=1.0 / math.sqrt(2.0 * (i + 1)),
+                name=f"blocks_{i}",
+            )(x, rel_pos_bias, deterministic)
+            if return_all:
+                feats.append(x)
+        return feats if return_all else x

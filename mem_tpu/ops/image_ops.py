@@ -1,0 +1,199 @@
+"""Post-rasterization image transforms (L2), jittable, batched NHWC.
+
+Channel convention (matches reference, mem/transforms.py:200-275): channel 0 =
+positive-event counts, channel 1 = time surface, channel 2 = negative counts.
+The reference operates on torch (C, H, W); here everything is (B, H, W, C) —
+the layout XLA:TPU prefers — and runs under jit on device.
+
+Resize design note: torchvision's antialiased bilinear resize is a separable
+triangle-filter resampling. On TPU we express it as two dense matmuls
+``out = Wy @ img @ Wx^T`` with filter-weight matrices built on the fly — this
+(a) rides the MXU, and (b) supports *per-sample dynamic source extents*
+(needed for N-Caltech101's variable sensor crops) with fully static shapes,
+something a gather-based resize cannot do efficiently under XLA.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Resize (torchvision Resize(bilinear, antialias=True) semantics)
+# ---------------------------------------------------------------------------
+
+def _triangle_resize_matrix(out_size: int, src_size: int, src_extent, dtype=jnp.float32):
+    """(out_size, src_size) resampling matrix with triangle (linear) filter.
+
+    ``src_extent`` may be a traced scalar <= src_size: the logical source
+    length occupying ``[0, src_extent)`` of the padded static canvas.
+    Antialiasing follows the torch/PIL convention: the filter is stretched by
+    ``max(scale, 1)`` so downscaling low-passes and upscaling is plain
+    bilinear. Rows are normalized to sum 1 (edge handling identical to
+    torch's `antialias=True`).
+    """
+    src_extent = jnp.asarray(src_extent, dtype=jnp.float32)
+    scale = src_extent / out_size                        # src pixels per out pixel
+    fscale = jnp.maximum(scale, 1.0)
+    out_centers = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale  # in src coords
+    src_centers = jnp.arange(src_size, dtype=jnp.float32) + 0.5
+    dist = jnp.abs(out_centers[:, None] - src_centers[None, :]) / fscale
+    w = jnp.maximum(0.0, 1.0 - dist)
+    # zero out taps beyond the logical extent (padded canvas region)
+    w = w * (src_centers[None, :] < src_extent)
+    w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
+    return w.astype(dtype)
+
+
+def resize_bilinear(
+    img: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    src_h=None,
+    src_w=None,
+) -> jnp.ndarray:
+    """Antialiased bilinear resize of (..., H, W, C) to (..., out_h, out_w, C).
+
+    ``src_h``/``src_w`` are optional per-call (possibly traced) logical source
+    extents within the padded static canvas; default = full canvas.
+    """
+    H, W = img.shape[-3], img.shape[-2]
+    wy = _triangle_resize_matrix(out_h, H, H if src_h is None else src_h)
+    wx = _triangle_resize_matrix(out_w, W, W if src_w is None else src_w)
+    # HIGHEST precision: the default TPU matmul precision is bf16-ish, which
+    # visibly quantizes resampled images; full-f32 passes are still MXU-tiled.
+    out = jnp.einsum(
+        "oh,...hwc->...owc", wy, img.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out = jnp.einsum(
+        "pw,...owc->...opc", wx, out, precision=jax.lax.Precision.HIGHEST
+    )
+    return out
+
+
+def resize_bilinear_batch(imgs, out_h, out_w, src_hs=None, src_ws=None):
+    """vmapped resize with per-sample dynamic extents. imgs: (B, H, W, C)."""
+    if src_hs is None and src_ws is None:
+        return resize_bilinear(imgs, out_h, out_w)
+    B, H, W, _ = imgs.shape
+    src_hs = jnp.full((B,), H) if src_hs is None else src_hs
+    src_ws = jnp.full((B,), W) if src_ws is None else src_ws
+    return jax.vmap(lambda im, sh, sw: resize_bilinear(im, out_h, out_w, sh, sw))(
+        imgs, src_hs, src_ws
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random crop (torchvision RandomCrop(pad_if_needed=True) semantics)
+# ---------------------------------------------------------------------------
+
+def random_crop(img: jnp.ndarray, top, left, out_h: int, out_w: int) -> jnp.ndarray:
+    """Crop (H, W, C) at dynamic (top, left). The caller samples offsets in
+    ``[0, H - out_h]`` x ``[0, W - out_w]`` (after padding if needed);
+    lax.dynamic_slice clamps at the edge."""
+    return jax.lax.dynamic_slice(
+        img,
+        (jnp.asarray(top, jnp.int32), jnp.asarray(left, jnp.int32), 0),
+        (out_h, out_w, img.shape[-1]),
+    )
+
+
+def random_crop_batch(imgs, tops, lefts, out_h, out_w):
+    return jax.vmap(lambda im, t, l: random_crop(im, t, l, out_h, out_w))(
+        imgs, tops, lefts
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-image channel ops (reference mem/transforms.py)
+# ---------------------------------------------------------------------------
+
+_EVENT_CH = jnp.array([1.0, 0.0, 1.0])  # mask selecting pos/neg channels
+
+
+def remove_timesurface(img: jnp.ndarray) -> jnp.ndarray:
+    """Zero channel 1 (RemoveTimesurface, transforms.py:239-247)."""
+    return img * _EVENT_CH.astype(img.dtype)
+
+
+def log_transform(img: jnp.ndarray) -> jnp.ndarray:
+    """log1p on channels 0&2 (LogTransform, transforms.py:200-210)."""
+    ch = _EVENT_CH.astype(img.dtype)
+    return jnp.log1p(img) * ch + img * (1 - ch)
+
+
+def gamma_transform(img: jnp.ndarray, gamma: float) -> jnp.ndarray:
+    """pow-gamma on channels 0&2 (GammaTransform, transforms.py:212-222)."""
+    ch = _EVENT_CH.astype(img.dtype)
+    return jnp.power(jnp.maximum(img, 0.0), gamma) * ch + img * (1 - ch)
+
+
+def normalize_event(img: jnp.ndarray) -> jnp.ndarray:
+    """Divide channels 0&2 by their joint max, if nonzero
+    (NormalizeEvent, transforms.py:225-237). Per-sample over (H, W, C)."""
+    ch = _EVENT_CH.astype(img.dtype)
+    m = jnp.max(img * ch, axis=(-3, -2, -1), keepdims=True)
+    factor = jnp.where(m > 0, 1.0 / jnp.maximum(m, 1e-30), 1.0)
+    return img * (ch * factor + (1 - ch))
+
+
+def remove_hot_pixels(img: jnp.ndarray, num_stds: float = 10.0) -> jnp.ndarray:
+    """Zero pos&neg at pixels where either count plane exceeds
+    mean + num_stds * std (RemoveHotPixels, transforms.py:249-275).
+
+    Mean/std are joint over both planes; std uses Bessel's correction like
+    torch.std. The reference zeroes both planes at any flagged (h, w)
+    regardless of which plane triggered — preserved here. Per-sample over
+    (H, W, C).
+    """
+    pos = img[..., 0]
+    neg = img[..., 2]
+    both = jnp.stack([pos, neg], axis=-1)
+    n = both.shape[-3] * both.shape[-2] * 2
+    mean = jnp.mean(both, axis=(-3, -2, -1), keepdims=True)
+    var = jnp.sum((both - mean) ** 2, axis=(-3, -2, -1), keepdims=True) / (n - 1)
+    thr = (mean + num_stds * jnp.sqrt(var))[..., 0]
+    hot = (pos > thr) | (neg > thr)                       # (..., H, W)
+    keep = (~hot)[..., None].astype(img.dtype)
+    ch = _EVENT_CH.astype(img.dtype)
+    return img * (keep * ch + (1 - ch))
+
+
+# ---------------------------------------------------------------------------
+# ColorJitter (brightness + saturation only, matching
+# transforms.ColorJitter(cj, 0, cj) at mem/datasets.py:36)
+# ---------------------------------------------------------------------------
+
+_LUMA = jnp.array([0.2989, 0.587, 0.114])
+
+
+def _adjust_brightness(img, factor):
+    return jnp.clip(img * factor, 0.0, 1.0)
+
+
+def _adjust_saturation(img, factor):
+    gray = jnp.sum(img * _LUMA.astype(img.dtype), axis=-1, keepdims=True)
+    return jnp.clip(factor * img + (1.0 - factor) * gray, 0.0, 1.0)
+
+
+def color_jitter(img: jnp.ndarray, key: jax.Array, strength: float) -> jnp.ndarray:
+    """torchvision ColorJitter(brightness=s, contrast=0, saturation=s):
+    factors ~ U[max(0, 1-s), 1+s], applied in random order. Per-sample."""
+    if strength <= 0:
+        return img
+    k1, k2, k3 = jax.random.split(key, 3)
+    lo = max(0.0, 1.0 - strength)
+    bf = jax.random.uniform(k1, (), minval=lo, maxval=1.0 + strength)
+    sf = jax.random.uniform(k2, (), minval=lo, maxval=1.0 + strength)
+    order = jax.random.bernoulli(k3)
+
+    def b_then_s(x):
+        return _adjust_saturation(_adjust_brightness(x, bf), sf)
+
+    def s_then_b(x):
+        return _adjust_brightness(_adjust_saturation(x, sf), bf)
+
+    return jax.lax.cond(order, b_then_s, s_then_b, img)

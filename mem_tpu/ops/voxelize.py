@@ -1,0 +1,256 @@
+"""Event -> histogram-image rasterization ("voxelization").
+
+The semantic contract (reference: EventArrToImg, mem/datasets.py:552-595):
+given events ``(N, 4)`` with columns ``[x, y, t, p]`` (downstream convention —
+column 0 indexes width), produce an ``(H, W, 3)`` uint8 image where
+
+  channel 0 = per-pixel count of events with ``p == +1`` (uint8, wrapping
+              overflow at 256 — preserved bit-exactly),
+  channel 1 = optional time surface: ``(t - t_min) / (t_max - t_min) * 255``
+              of the *last event in array order* at each pixel (0 if off),
+  channel 2 = per-pixel count of events with ``p == -1``.
+
+TPU-native formulation
+----------------------
+A scatter-add is hostile to the TPU's SIMD/MXU model. Instead we factorize the
+histogram through one-hot matrices and ride the MXU:
+
+    hist[h, w] = sum_n  onehot_y[n, h] * onehot_x[n, w] * weight[n]
+              = (onehot_y * weight).T @ onehot_x        # (H, N) @ (N, W)
+
+One (N, H) x (N, W) contraction per polarity plane — large, static-shape
+bf16/f32 matmuls that XLA tiles perfectly onto the systolic array. For 30k
+events into 224x224 this is ~3 GFLOP-equivalent but runs at MXU rate, orders
+of magnitude faster than a CPU ``np.add.at``. The Pallas kernel
+(mem_tpu.ops.voxelize_pallas) streams event chunks HBM->VMEM and builds the
+one-hots on the fly so they are never materialized in HBM.
+
+The time surface uses the identity "last write at a pixel == event with max
+timestamp there" (event streams are time-sorted; RandomTimeFlip preserves
+ascending order), computed with a segment-max over the same flat indices.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# numpy reference (bit-exact vs mem/datasets.py:552-595)
+# ---------------------------------------------------------------------------
+
+def voxelize_numpy(
+    events: np.ndarray,
+    H: int | None = None,
+    W: int | None = None,
+    time_surface: bool = False,
+) -> np.ndarray:
+    """Bit-exact CPU reference rasterizer. Returns (H, W, 3) uint8."""
+    xs, ys, ts, ps = events.T
+    xs = xs.astype(np.int64)
+    ys = ys.astype(np.int64)
+    if W is None:
+        W = int(xs.max()) + 1
+    if H is None:
+        H = int(ys.max()) + 1
+
+    img_pos = np.zeros((H * W,), dtype=np.uint8)
+    img_tss = np.zeros((H * W,), dtype=np.uint8)
+    img_neg = np.zeros((H * W,), dtype=np.uint8)
+
+    np.add.at(img_pos, xs[ps == 1] + W * ys[ps == 1], 1)
+    np.add.at(img_neg, xs[ps == -1] + W * ys[ps == -1], 1)
+
+    if time_surface:
+        idxs = xs + ys * W
+        ts_norm = ts - ts.min()
+        img_tss[idxs] = ts_norm / ts_norm.max() * 255
+
+    return np.stack([img_pos, img_tss, img_neg]).reshape((3, H, W)).transpose(1, 2, 0)
+
+
+# ---------------------------------------------------------------------------
+# XLA formulation (jit-compiled, static shapes, MXU matmuls)
+# ---------------------------------------------------------------------------
+
+def _onehot_hist_planes(xs, ys, wpos, wneg, H: int, W: int, dtype=jnp.bfloat16):
+    """Two (H, W) count planes via factorized one-hot contraction on the MXU.
+
+    xs, ys: (N,) int32 clamped to range; wpos/wneg: (N,) per-event weights
+    (0 for invalid/padded events). One-hots are bf16 (0/1 values are exact)
+    with f32 accumulation, so integer counts are exact up to 2**24 while the
+    MXU runs at bf16 rate.
+    """
+    oh_y = jax.nn.one_hot(ys, H, dtype=dtype)            # (N, H)
+    oh_x = jax.nn.one_hot(xs, W, dtype=dtype)            # (N, W)
+    # (H, N) @ (N, 2W): one MXU pass for both polarities.
+    w2 = jnp.concatenate(
+        [oh_x * wpos[:, None].astype(dtype), oh_x * wneg[:, None].astype(dtype)],
+        axis=1,
+    )
+    planes = jnp.dot(oh_y.T, w2, preferred_element_type=jnp.float32)
+    return planes[:, :W], planes[:, W:]
+
+
+def voxelize_jax(
+    events: jnp.ndarray,
+    H: int,
+    W: int,
+    valid: jnp.ndarray | None = None,
+    time_surface: bool = False,
+    wrap_uint8: bool = True,
+) -> jnp.ndarray:
+    """Jittable rasterizer for one sample. ``events`` is (N, 4) float
+    ``[x, y, t, p]``; ``valid`` an optional (N,) bool mask for padded rows.
+
+    Returns (H, W, 3) uint8 matching :func:`voxelize_numpy` bit-exactly when
+    ``wrap_uint8`` (counts accumulate exactly in f32 and wrap mod 256, the
+    uint8-overflow semantics of the reference). With ``wrap_uint8=False``
+    counts saturate at 255 instead (documented deviation; better for training,
+    off the parity path).
+    """
+    xs = events[:, 0].astype(jnp.int32)
+    ys = events[:, 1].astype(jnp.int32)
+    ts = events[:, 2]
+    ps = events[:, 3]
+
+    ok = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
+    if valid is not None:
+        ok = ok & valid
+    wpos = jnp.where(ok & (ps == 1), 1.0, 0.0)
+    wneg = jnp.where(ok & (ps == -1), 1.0, 0.0)
+    xs_c = jnp.clip(xs, 0, W - 1)
+    ys_c = jnp.clip(ys, 0, H - 1)
+
+    pos, neg = _onehot_hist_planes(xs_c, ys_c, wpos, wneg, H, W)
+    # f32 holds exact integer counts up to 2**24 (N <= 180k), so the mod-256
+    # wrap reproduces uint8 overflow exactly.
+    if wrap_uint8:
+        pos = jnp.mod(pos, 256.0)
+        neg = jnp.mod(neg, 256.0)
+    else:
+        pos = jnp.minimum(pos, 255.0)
+        neg = jnp.minimum(neg, 255.0)
+
+    if time_surface:
+        tss = _time_surface_plane(xs_c, ys_c, ts, valid, ok, H, W)
+    else:
+        tss = jnp.zeros((H, W), dtype=jnp.float32)
+
+    img = jnp.stack([pos, tss, neg], axis=-1)
+    return img.astype(jnp.uint8)
+
+
+def _time_surface_plane(xs, ys, ts, valid, in_bounds, H: int, W: int):
+    """Last-write-wins normalized timestamp per pixel.
+
+    The reference writes ``img[idx] = ts_norm_scaled`` with fancy indexing, so
+    the last event *in array order* wins. Event arrays are time-sorted (and
+    remain ascending after RandomTimeFlip), so last-in-order == max timestamp;
+    we therefore take a segment-max over flat pixel indices, which XLA lowers
+    to a scatter-max. The reference normalizes over ALL events in the sample
+    (mem/datasets.py:588-590) — matched by normalizing over ``valid`` (real,
+    non-padded) rows while scattering only ``in_bounds`` ones.
+    """
+    if valid is None:
+        t_min = jnp.min(ts)
+        t_max = jnp.max(ts)
+    else:
+        t_min = jnp.min(jnp.where(valid, ts, jnp.inf))
+        t_max = jnp.max(jnp.where(valid, ts, -jnp.inf))
+    denom = jnp.maximum(t_max - t_min, 1e-30)
+    ts_val = (ts - t_min) / denom * 255.0
+    # truncate like numpy's float->uint8 cast, then scatter-max
+    ts_val = jnp.floor(ts_val)
+    ts_val = jnp.where(in_bounds, ts_val, -1.0)
+    flat_idx = ys * W + xs
+    plane = jnp.zeros((H * W,), dtype=ts_val.dtype)
+    plane = plane.at[flat_idx].max(ts_val, mode="drop")
+    plane = jnp.maximum(plane, 0.0)
+    return plane.reshape(H, W)
+
+
+# ---------------------------------------------------------------------------
+# Fused augment + rasterize (the on-chip preprocessing front end)
+# ---------------------------------------------------------------------------
+
+def voxelize_fused(
+    events: jnp.ndarray,
+    n_valid: jnp.ndarray,
+    H: int,
+    W: int,
+    *,
+    slice_start: jnp.ndarray | None = None,
+    slice_len: int | None = None,
+    time_flip: jnp.ndarray | None = None,
+    x_flip: jnp.ndarray | None = None,
+    shift_xy: jnp.ndarray | None = None,
+    sample_W: jnp.ndarray | None = None,
+    sample_H: jnp.ndarray | None = None,
+    time_surface: bool = False,
+    wrap_uint8: bool = True,
+) -> jnp.ndarray:
+    """Batched fused augmentation + rasterization, fully on chip.
+
+    Replaces the host-side chain SliceRandomMaxEvs -> RandomTimeFlip ->
+    Aug_FlipEvsAlongX -> Aug_RandomShiftEvs -> EventArrToImg
+    (mem/datasets.py:611-660) with pure index arithmetic ahead of the MXU
+    histogram contraction — no event array is ever re-materialized.
+
+    Args:
+      events: (B, N, 4) float ``[x, y, t, p]``, zero-padded to N rows.
+      n_valid: (B,) int32 — count of real rows per sample.
+      slice_start: (B,) int32 random window starts (host-sampled);
+        with ``slice_len`` implements SliceRandomMaxEvs as an index-window
+        mask (callers precompute ``start <= min(n_valid - len, ...)``).
+      time_flip / x_flip: (B,) bool coin flips.
+      shift_xy: (B, 2) int32 pixel shifts; out-of-bounds events are dropped
+        (weight 0), matching Aug_RandomShiftEvs.
+      sample_W / sample_H: (B,) int32 per-sample logical extents for datasets
+        with variable sensor crops (used by x-flip ``x <- W-1-x`` and the
+        shift bounds); defaults to the static W/H.
+
+    Returns (B, H, W, 3) uint8.
+    """
+    B, N, _ = events.shape
+    if sample_W is None:
+        sample_W = jnp.full((B,), W, dtype=jnp.int32)
+    if sample_H is None:
+        sample_H = jnp.full((B,), H, dtype=jnp.int32)
+
+    idx = jnp.arange(N, dtype=jnp.int32)[None, :]                  # (1, N)
+    valid = idx < n_valid[:, None]                                  # (B, N)
+    if slice_start is not None and slice_len is not None:
+        valid &= (idx >= slice_start[:, None]) & (idx < slice_start[:, None] + slice_len)
+
+    xs = events[..., 0].astype(jnp.int32)
+    ys = events[..., 1].astype(jnp.int32)
+    ts = events[..., 2]
+    ps = events[..., 3]
+
+    if time_flip is not None:
+        # t <- t_last - t (t_last = timestamp of last valid event) and p <- -p.
+        # Event *order* is irrelevant for counts; for the time surface the
+        # flipped stream is ascending in the remapped time, and last-write-wins
+        # becomes max over remapped t — handled uniformly by segment-max.
+        t_last = jnp.max(jnp.where(valid, ts, -jnp.inf), axis=1, keepdims=True)
+        tf = time_flip[:, None]
+        ts = jnp.where(tf, t_last - ts, ts)
+        ps = jnp.where(tf, -ps, ps)
+
+    if x_flip is not None:
+        xs = jnp.where(x_flip[:, None], sample_W[:, None] - 1 - xs, xs)
+
+    if shift_xy is not None:
+        xs = xs + shift_xy[:, 0:1]
+        ys = ys + shift_xy[:, 1:2]
+        valid &= (xs >= 0) & (xs < sample_W[:, None]) & (ys >= 0) & (ys < sample_H[:, None])
+
+    ev = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32), ts, ps], axis=-1)
+    return jax.vmap(
+        lambda e, v: voxelize_jax(
+            e, H, W, valid=v, time_surface=time_surface, wrap_uint8=wrap_uint8
+        )
+    )(ev, valid)

@@ -1,0 +1,235 @@
+"""Jit-compiled training/eval steps for all three stages.
+
+Each step is a pure function (params, opt_state, batch, rng) -> (new state,
+metrics) compiled once per shape. Data parallelism comes from calling these
+under jit with batches sharded over the mesh's ``data`` axis (see
+mem_tpu.parallel) — XLA inserts the gradient all-reduce over ICI; there is no
+DDP-style wrapper. The on-chip preprocessing (mem_tpu.data.device_pipeline)
+is called INSIDE the step so voxelization/augmentation fuse into the same
+program as the model.
+
+Mixed precision: models run bf16 compute / f32 params; losses and optimizer
+math are f32. No loss scaling (bf16 has f32's exponent range) — replacing
+the reference's GradScaler machinery (utils.py:351-377) with nothing, by
+design. Grad-norm is still reported for parity with the reference's metrics.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mem_tpu.data.device_pipeline import PreprocConfig, preprocess_batch
+from mem_tpu.models.pretrain import masked_cross_entropy
+from mem_tpu.train.optim import grad_global_norm
+
+
+# ---------------------------------------------------------------------------
+# VAE stage (train_vae.py:304-399)
+# ---------------------------------------------------------------------------
+
+def make_vae_train_step(vae, tx_factory, preproc: PreprocConfig):
+    """tx_factory: lr -> optax tx is inlined via passing lr as an argument;
+    we use a fixed Adam and scale updates by lr/base_lr trick-free: the
+    optimizer here is plain Adam whose lr is injected per call (the VAE's
+    ExponentialLR decays once per epoch — see VaeAnnealState)."""
+
+    def step(params, opt_state, batch, rng, lr, temp, clip):
+        images = preprocess_batch(batch, preproc, is_train=True)
+
+        def loss_fn(p):
+            return vae.apply(p, images, temp, rngs={"gumbel": rng})
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        gnorm = grad_global_norm(grads)
+        # clip (train_vae.py:328-336) then raw Adam step with injected lr
+        factor = jnp.where(clip > 0, jnp.minimum(1.0, clip / (gnorm + 1e-6)), 1.0)
+        grads = jax.tree.map(lambda g: g * factor, grads)
+        updates, opt_state = tx_factory.update(grads, opt_state, params)
+        # tx_factory is scale_by_adam: updates are the +preconditioned grads;
+        # descend with the injected (per-epoch-decayed) lr
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "grad_norm": gnorm}
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_vae_eval_step(vae, preproc: PreprocConfig):
+    def step(params, batch):
+        images = preprocess_batch(batch, preproc, is_train=False)
+        ids = vae.apply(params, images, method="get_codebook_indices")
+        recon = vae.apply(params, ids, method="decode_indices")
+        # eval recon loss vs normalized input (vae_model.py:216-266)
+        mse = jnp.mean((images - recon) ** 2)
+        return {"loss": mse, "ids": ids}
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# MEM pretraining (engine_for_pretraining.py:108-287)
+# ---------------------------------------------------------------------------
+
+def make_pretrain_train_step(model, d_vae, tx, preproc: PreprocConfig):
+    """One fused step: on-chip preprocess -> frozen-VAE codebook indices ->
+    masked ViT forward -> CE at masked positions -> AdamW update."""
+
+    def step(params, opt_state, vae_params, batch, rng):
+        images = preprocess_batch(batch, preproc, is_train=True)
+        mask = batch["mask"]
+
+        labels = d_vae.apply(
+            vae_params, images, method="get_codebook_indices"
+        )  # (B, N) frozen tokenizer, no grad
+
+        def loss_fn(p):
+            logits = model.apply(
+                p, images, mask, deterministic=False, rngs={"dropout": rng}
+            )
+            loss, acc = masked_cross_entropy(logits, labels, mask)
+            return loss, acc
+
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        gnorm = grad_global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "mlm_acc": acc, "grad_norm": gnorm}
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_pretrain_eval_step(model, d_vae, preproc: PreprocConfig):
+    def step(params, vae_params, batch):
+        images = preprocess_batch(batch, preproc, is_train=False)
+        mask = batch["mask"]
+        labels = d_vae.apply(vae_params, images, method="get_codebook_indices")
+        logits = model.apply(params, images, mask)
+        loss, acc = masked_cross_entropy(logits, labels, mask)
+        return {"loss": loss, "mlm_acc": acc}
+
+    return jax.jit(step)
+
+
+def make_mae_train_step(model, tx, preproc: PreprocConfig):
+    """MAE variant (--MAE 1): pixel regression, no tokenizer."""
+
+    def step(params, opt_state, batch, rng):
+        images = preprocess_batch(batch, preproc, is_train=True)
+        mask_rng, drop_rng = jax.random.split(rng)
+
+        def loss_fn(p):
+            loss, _, _ = model.apply(
+                p, images, deterministic=False,
+                rngs={"mask": mask_rng, "dropout": drop_rng},
+            )
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        gnorm = grad_global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "grad_norm": gnorm}
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+# ---------------------------------------------------------------------------
+# Classification finetune (engine_for_finetuning.py:41-244)
+# ---------------------------------------------------------------------------
+
+def make_finetune_train_step(
+    model,
+    tx,
+    preproc: PreprocConfig,
+    num_classes: int,
+    mixup_fn: Optional[Callable] = None,
+    smoothing: float = 0.0,
+    update_freq: int = 1,
+    ema_decay: Optional[float] = None,
+):
+    """Supports grad accumulation (``update_freq`` micro-batches folded into
+    one call via an extra leading axis on the batch) and post-step EMA."""
+
+    def ce(logits, targets):
+        logits = logits.astype(jnp.float32)
+        if targets.ndim == logits.ndim:       # soft targets (mixup)
+            return -jnp.mean(jnp.sum(targets * jax.nn.log_softmax(logits, -1), -1))
+        if smoothing > 0:
+            on = 1.0 - smoothing
+            off = smoothing / num_classes
+            t = jax.nn.one_hot(targets, num_classes) * (on - off) + off
+            return -jnp.mean(jnp.sum(t * jax.nn.log_softmax(logits, -1), -1))
+        lp = jnp.take_along_axis(
+            jax.nn.log_softmax(logits, -1), targets[..., None], -1
+        )[..., 0]
+        return -jnp.mean(lp)
+
+    def one_micro(p, batch, rng):
+        images = preprocess_batch(batch, preproc, is_train=True)
+        targets = batch["label"]
+        if mixup_fn is not None:
+            mk, rng = jax.random.split(rng)
+            images, targets = mixup_fn(mk, images, targets)
+
+        def loss_fn(pp):
+            logits = model.apply(
+                pp, images, deterministic=False, rngs={"dropout": rng}
+            )
+            return ce(logits, targets)
+
+        return jax.value_and_grad(loss_fn)(p)
+
+    def step(params, opt_state, ema_params, batch, rng):
+        # batch leaves have shape (update_freq, B, ...); average grads like
+        # loss /= update_freq + accumulation (engine_for_finetuning.py:76-134)
+        rngs = jax.random.split(rng, update_freq)
+
+        def micro(i, acc):
+            loss_sum, grads = acc
+            b = jax.tree.map(lambda x: x[i], batch)
+            l, g = one_micro(params, b, rngs[i])
+            grads = jax.tree.map(jnp.add, grads, g)
+            return loss_sum + l, grads
+
+        zero_grads = jax.tree.map(jnp.zeros_like, params)
+        if update_freq == 1:
+            loss, grads = one_micro(params, jax.tree.map(lambda x: x[0], batch), rngs[0])
+        else:
+            loss, grads = jax.lax.fori_loop(
+                0, update_freq, micro, (jnp.zeros(()), zero_grads)
+            )
+            loss = loss / update_freq
+            grads = jax.tree.map(lambda g: g / update_freq, grads)
+
+        gnorm = grad_global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if ema_decay is not None:
+            ema_params = jax.tree.map(
+                lambda e, q: ema_decay * e + (1 - ema_decay) * q, ema_params, params
+            )
+        return params, opt_state, ema_params, {"loss": loss, "grad_norm": gnorm}
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def make_finetune_eval_step(model, preproc: PreprocConfig):
+    def step(params, batch):
+        images = preprocess_batch(batch, preproc, is_train=False)
+        logits = model.apply(params, images).astype(jnp.float32)
+        targets = batch["label"]
+        lp = jnp.take_along_axis(jax.nn.log_softmax(logits, -1), targets[:, None], -1)[:, 0]
+        top1 = (jnp.argmax(logits, -1) == targets).astype(jnp.float32)
+        top5_ids = jax.lax.top_k(logits, min(5, logits.shape[-1]))[1]
+        top5 = jnp.any(top5_ids == targets[:, None], axis=-1).astype(jnp.float32)
+        return {
+            "loss": -jnp.mean(lp),
+            "acc1": jnp.mean(top1) * 100.0,
+            "acc5": jnp.mean(top5) * 100.0,
+        }
+
+    return jax.jit(step)

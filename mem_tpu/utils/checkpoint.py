@@ -1,0 +1,120 @@
+"""Checkpoint save/resume (orbax) with the reference's payload & lifecycle.
+
+Reference behaviors replicated (mem/utils.py:425-557, train_vae.py:271-290):
+  - payloads carry {params, opt_state, epoch, (ema), hparams/args};
+  - files named ``checkpoint-{epoch}`` under output_dir; ``checkpoint-final``
+    and ``checkpoint-best`` tags;
+  - ``auto_resume``: scan output_dir for the highest epoch and restore
+    model+optimizer+epoch;
+  - rank-0-only writes (orbax handles multi-host coordination natively).
+"""
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _path(output_dir: str, tag) -> str:
+    return os.path.join(os.path.abspath(output_dir), f"checkpoint-{tag}")
+
+
+def _split_meta(payload):
+    """Orbax stores arrays; strings/None go to a JSON sidecar."""
+    import json
+
+    arrays, meta = {}, {}
+    for k, v in payload.items():
+        if isinstance(v, (str, type(None))):
+            meta[k] = v
+        elif isinstance(v, dict) and any(
+            isinstance(x, (str, type(None))) for x in jax.tree.leaves(
+                v, is_leaf=lambda y: isinstance(y, (str, type(None)))
+            )
+        ):
+            meta[k] = v
+        else:
+            arrays[k] = v
+    return arrays, meta
+
+
+def save_checkpoint(
+    output_dir: str,
+    tag,
+    payload: Dict[str, Any],
+) -> str:
+    """payload: pytree dict, e.g. {params, opt_state, epoch, hparams}.
+    Array leaves go through orbax; string-bearing subtrees (hparams) are
+    written to a meta.json sidecar."""
+    import json
+
+    path = _path(output_dir, tag)
+    arrays, meta = _split_meta(payload)
+    ckptr = ocp.StandardCheckpointer()
+    arrays = jax.tree.map(np.asarray, arrays)
+    ckptr.save(path, arrays, force=True)
+    ckptr.wait_until_finished()
+    if meta:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+    return path
+
+
+def load_checkpoint(path: str, template: Optional[Dict[str, Any]] = None):
+    import json
+
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        arrays_t, _ = _split_meta(template)
+        arrays_t = jax.tree.map(np.asarray, arrays_t)
+        out = dict(ckptr.restore(path, arrays_t))
+    else:
+        out = dict(ckptr.restore(path))
+    if os.path.exists(path + ".meta.json"):
+        with open(path + ".meta.json") as f:
+            out.update(json.load(f))
+    return out
+
+
+def latest_checkpoint(output_dir: str) -> Optional[str]:
+    """Find checkpoint-{N} with the highest N (utils.py:539-557)."""
+    if not os.path.isdir(output_dir):
+        return None
+    best = -1
+    for name in os.listdir(output_dir):
+        m = re.fullmatch(r"checkpoint-(\d+)", name)
+        if m:
+            best = max(best, int(m.group(1)))
+    return _path(output_dir, best) if best >= 0 else None
+
+
+def auto_resume(output_dir: str, template: Dict[str, Any]):
+    """Returns (payload, start_epoch) or (None, 0)."""
+    path = latest_checkpoint(output_dir)
+    if path is None:
+        return None, 0
+    payload = load_checkpoint(path, template)
+    start_epoch = int(np.asarray(payload.get("epoch", -1))) + 1
+    print(f"Auto-resumed from {path} (epoch {start_epoch})")
+    return payload, start_epoch
+
+
+def prune_checkpoints(output_dir: str, keep_tags=("final", "best")) -> None:
+    """Stage-boundary pruning: keep only final/best/latest
+    (train-pipeline.sbatch:87-101)."""
+    latest = latest_checkpoint(output_dir)
+    for name in list(os.listdir(output_dir) if os.path.isdir(output_dir) else []):
+        m = re.fullmatch(r"checkpoint-(.+)", name)
+        if not m:
+            continue
+        tag = m.group(1)
+        full = os.path.join(output_dir, name)
+        if tag in keep_tags or full == latest:
+            continue
+        import shutil
+
+        shutil.rmtree(full, ignore_errors=True)

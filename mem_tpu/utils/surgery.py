@@ -1,0 +1,153 @@
+"""Cross-stage checkpoint surgery (pretrain -> finetune -> segmentation).
+
+Port of mem/utils.py:613-732 operating on flax param trees:
+  - drop the classifier head when shapes mismatch;
+  - expand a shared relative-position-bias table into per-block tables
+    (pretrain uses one shared table, finetune uses per-block);
+  - geometric-progression interpolation of rel-pos tables across patch-grid
+    sizes (the BEiT trick: source coordinates laid out on a geometric grid so
+    long-range offsets compress, then bicubic resampling);
+  - bicubic interpolation of absolute position embeddings.
+"""
+from __future__ import annotations
+
+import copy
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _interp_cubic_grid(x, y, z, dx, dy):
+    """cubic spline on a rectilinear (possibly non-uniform) grid — the
+    replacement for removed scipy.interpolate.interp2d (utils.py:700-704)."""
+    from scipy.interpolate import RectBivariateSpline
+
+    spl = RectBivariateSpline(np.asarray(x), np.asarray(y), np.asarray(z), kx=3, ky=3)
+    return spl(np.asarray(dx), np.asarray(dy))
+
+
+def interpolate_rel_pos_bias(table: np.ndarray, src_size: int, dst_size: int,
+                             num_extra_tokens: int = 3) -> np.ndarray:
+    """(src_num_pos, heads) -> (dst_num_pos, heads) with the geometric
+    progression resampling of utils.py:655-707."""
+    table = np.asarray(table, dtype=np.float64)
+    num_heads = table.shape[1]
+    extra = table[-num_extra_tokens:]
+    body = table[:-num_extra_tokens]
+
+    def geometric_progression(a, r, n):
+        return a * (1.0 - r**n) / (1.0 - r)
+
+    left, right = 1.01, 1.5
+    while right - left > 1e-6:
+        q = (left + right) / 2.0
+        gp = geometric_progression(1, q, src_size // 2)
+        if gp > dst_size // 2:
+            right = q
+        else:
+            left = q
+
+    dis = []
+    cur = 1.0
+    for i in range(src_size // 2):
+        dis.append(cur)
+        cur += q ** (i + 1)
+    r_ids = [-v for v in reversed(dis)]
+    x = r_ids + [0] + dis
+    y = r_ids + [0] + dis
+    t = dst_size // 2.0
+    dx = np.arange(-t, t + 0.1, 1.0)
+    dy = np.arange(-t, t + 0.1, 1.0)
+
+    out = []
+    for h in range(num_heads):
+        z = body[:, h].reshape(src_size, src_size)
+        out.append(_interp_cubic_grid(x, y, z, dx, dy).reshape(-1, 1))
+    new_body = np.concatenate(out, axis=-1)
+    return np.concatenate([new_body, extra], axis=0).astype(np.float32)
+
+
+def interpolate_abs_pos_embed(pos: np.ndarray, new_grid: int) -> np.ndarray:
+    """(1, 1+N, D) -> (1, 1+new_grid^2, D) bicubic (utils.py:710-731)."""
+    import torch
+
+    pos = np.asarray(pos)
+    d = pos.shape[-1]
+    n = pos.shape[1] - 1
+    orig = int(round(n**0.5))
+    if orig == new_grid:
+        return pos
+    extra = pos[:, :1]
+    body = pos[:, 1:].reshape(1, orig, orig, d).transpose(0, 3, 1, 2)
+    body = torch.nn.functional.interpolate(
+        torch.from_numpy(body.copy()).float(), size=(new_grid, new_grid),
+        mode="bicubic", align_corners=False,
+    ).numpy()
+    body = body.transpose(0, 2, 3, 1).reshape(1, new_grid * new_grid, d)
+    return np.concatenate([extra, body], axis=1)
+
+
+def surgery_for_finetune(
+    pretrain_params: Dict,
+    finetune_template: Dict,
+    dst_window: Tuple[int, int],
+) -> Dict:
+    """Adapt pretrain params onto a finetune template tree (utils.py:613-732).
+
+    Copies every matching leaf, drops lm_head / mask_token / mismatched head,
+    expands a shared rel-pos table to per-block copies (with geometric
+    interpolation when the grid differs), and interpolates abs pos embeds.
+    """
+    src = copy.deepcopy(pretrain_params["params"])
+    dst = copy.deepcopy(finetune_template["params"])
+
+    # 1. shared -> per-block rel pos expansion
+    shared = None
+    if "rel_pos_bias" in src.get("encoder", {}):
+        shared = np.asarray(src["encoder"].pop("rel_pos_bias")["relative_position_bias_table"])
+
+    def num_pos_for(win):
+        return (2 * win[0] - 1) * (2 * win[1] - 1) + 3
+
+    def adapt_table(table):
+        dst_num = num_pos_for(dst_window)
+        src_num = table.shape[0]
+        if src_num == dst_num:
+            return table
+        src_size = int(round((src_num - 3) ** 0.5))
+        dst_size = int(round((dst_num - 3) ** 0.5))
+        return interpolate_rel_pos_bias(table, src_size, dst_size)
+
+    def walk(src_node, dst_node, path=()):
+        for k, v in list(src_node.items()):
+            if k in ("mask_token", "lm_head"):
+                continue
+            if k not in dst_node:
+                if isinstance(v, dict):
+                    continue
+                continue
+            if isinstance(v, dict):
+                walk(v, dst_node[k], path + (k,))
+            else:
+                v = np.asarray(v)
+                tgt = np.asarray(dst_node[k])
+                if k == "relative_position_bias_table":
+                    v = adapt_table(v)
+                elif k == "pos_embed" and v.shape != tgt.shape:
+                    v = interpolate_abs_pos_embed(v, int(round((tgt.shape[1] - 1) ** 0.5)))
+                if v.shape != tgt.shape:
+                    print(f"surgery: dropping {'/'.join(path + (k,))} "
+                          f"{v.shape} vs {tgt.shape}")
+                    continue
+                dst_node[k] = v.astype(tgt.dtype)
+
+    walk(src, dst)
+
+    if shared is not None:
+        shared = adapt_table(shared)
+        enc = dst.get("encoder", {})
+        for name, sub in enc.items():
+            if name.startswith("blocks_") and "rel_pos" in sub.get("attn", {}):
+                sub["attn"]["rel_pos"]["relative_position_bias_table"] = shared.copy()
+
+    return {"params": dst}

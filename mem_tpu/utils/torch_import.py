@@ -1,0 +1,216 @@
+"""PyTorch-checkpoint importer: reference state_dicts -> mem_tpu param trees.
+
+Lets reference-trained weights (VAE .pt, pretrain/finetune .pth —
+mem/utils.py:425-557 formats) load into the flax models for parity
+validation, and conversely serves as the key map for exporting.
+
+Layout conversions: torch Conv2d (O, I, kh, kw) -> flax HWIO (kh, kw, I, O);
+torch ConvTranspose2d (I, O, kh, kw) -> (kh, kw, I, O); Linear (O, I) ->
+kernel (I, O). Attention's fused qkv.weight maps onto ``qkv_kernel``
+transposed; q_bias/v_bias map 1:1 (decomposed-bias scheme,
+modeling_finetune.py:86-92).
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+
+def _t(w):  # torch tensor/ndarray -> numpy
+    try:
+        return w.detach().cpu().numpy()
+    except AttributeError:
+        return np.asarray(w)
+
+
+def _conv(w):
+    return _t(w).transpose(2, 3, 1, 0)
+
+
+def _convT(w):
+    return _t(w).transpose(2, 3, 0, 1)
+
+
+def _lin(w):
+    return _t(w).T
+
+
+def _set(tree: Dict, path, value):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = np.asarray(value)
+
+
+def import_vit_state_dict(sd: Dict[str, "object"], is_pretrain: bool) -> Dict:
+    """Map a reference pt_vit/ft_vit state_dict into our param tree
+    ({"params": ...}). Handles both the pretrain model
+    (modeling_pretrain.py) and the finetune model (modeling_finetune.py)."""
+    p: Dict = {}
+    for key, w in sd.items():
+        if key.endswith("relative_position_index"):
+            continue  # recomputed buffer
+        m = re.match(r"blocks\.(\d+)\.(.*)", key)
+        if key == "patch_embed.proj.weight":
+            _set(p, ("patch_embed", "proj", "kernel"), _conv(w))
+        elif key == "patch_embed.proj.bias":
+            _set(p, ("patch_embed", "proj", "bias"), _t(w))
+        elif key in ("cls_token", "mask_token", "pos_embed"):
+            _set(p, (key,), _t(w))
+        elif key == "rel_pos_bias.relative_position_bias_table":
+            _set(p, ("encoder", "rel_pos_bias", "relative_position_bias_table"), _t(w))
+        elif key == "norm.weight":
+            _set(p, ("norm", "scale"), _t(w))
+        elif key == "norm.bias":
+            _set(p, ("norm", "bias"), _t(w))
+        elif key == "fc_norm.weight":
+            _set(p, ("fc_norm", "scale"), _t(w))
+        elif key == "fc_norm.bias":
+            _set(p, ("fc_norm", "bias"), _t(w))
+        elif key == "lm_head.weight":
+            _set(p, ("lm_head", "kernel"), _lin(w))
+        elif key == "lm_head.bias":
+            _set(p, ("lm_head", "bias"), _t(w))
+        elif key == "head.weight":
+            _set(p, ("head", "kernel"), _lin(w))
+        elif key == "head.bias":
+            _set(p, ("head", "bias"), _t(w))
+        elif m:
+            i, rest = int(m.group(1)), m.group(2)
+            blk = ("encoder", f"blocks_{i}")
+            if rest == "norm1.weight":
+                _set(p, blk + ("norm1", "scale"), _t(w))
+            elif rest == "norm1.bias":
+                _set(p, blk + ("norm1", "bias"), _t(w))
+            elif rest == "norm2.weight":
+                _set(p, blk + ("norm2", "scale"), _t(w))
+            elif rest == "norm2.bias":
+                _set(p, blk + ("norm2", "bias"), _t(w))
+            elif rest == "attn.qkv.weight":
+                _set(p, blk + ("attn", "qkv_kernel"), _lin(w))
+            elif rest == "attn.q_bias":
+                _set(p, blk + ("attn", "q_bias"), _t(w))
+            elif rest == "attn.v_bias":
+                _set(p, blk + ("attn", "v_bias"), _t(w))
+            elif rest == "attn.proj.weight":
+                _set(p, blk + ("attn", "proj", "kernel"), _lin(w))
+            elif rest == "attn.proj.bias":
+                _set(p, blk + ("attn", "proj", "bias"), _t(w))
+            elif rest == "attn.relative_position_bias_table":
+                _set(p, blk + ("attn", "rel_pos", "relative_position_bias_table"), _t(w))
+            elif rest == "mlp.fc1.weight":
+                _set(p, blk + ("mlp", "fc1", "kernel"), _lin(w))
+            elif rest == "mlp.fc1.bias":
+                _set(p, blk + ("mlp", "fc1", "bias"), _t(w))
+            elif rest == "mlp.fc2.weight":
+                _set(p, blk + ("mlp", "fc2", "kernel"), _lin(w))
+            elif rest == "mlp.fc2.bias":
+                _set(p, blk + ("mlp", "fc2", "bias"), _t(w))
+            elif rest == "gamma_1":
+                _set(p, blk + ("gamma_1",), _t(w))
+            elif rest == "gamma_2":
+                _set(p, blk + ("gamma_2",), _t(w))
+            else:
+                print(f"torch_import: unmapped block key {key}")
+        else:
+            print(f"torch_import: unmapped key {key}")
+    return {"params": p}
+
+
+def export_vit_params(params: Dict) -> Dict[str, np.ndarray]:
+    """Inverse map (our tree -> reference state_dict names) for parity checks."""
+    p = params["params"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def put(name, v):
+        sd[name] = np.asarray(v)
+
+    if "patch_embed" in p:
+        put("patch_embed.proj.weight", np.transpose(p["patch_embed"]["proj"]["kernel"], (3, 2, 0, 1)))
+        put("patch_embed.proj.bias", p["patch_embed"]["proj"]["bias"])
+    for key in ("cls_token", "mask_token", "pos_embed"):
+        if key in p:
+            put(key, p[key])
+    enc = p.get("encoder", {})
+    if "rel_pos_bias" in enc:
+        put("rel_pos_bias.relative_position_bias_table",
+            enc["rel_pos_bias"]["relative_position_bias_table"])
+    for name, sub in enc.items():
+        m = re.fullmatch(r"blocks_(\d+)", name)
+        if not m:
+            continue
+        i = m.group(1)
+        put(f"blocks.{i}.norm1.weight", sub["norm1"]["scale"])
+        put(f"blocks.{i}.norm1.bias", sub["norm1"]["bias"])
+        put(f"blocks.{i}.norm2.weight", sub["norm2"]["scale"])
+        put(f"blocks.{i}.norm2.bias", sub["norm2"]["bias"])
+        put(f"blocks.{i}.attn.qkv.weight", np.asarray(sub["attn"]["qkv_kernel"]).T)
+        if "q_bias" in sub["attn"]:
+            put(f"blocks.{i}.attn.q_bias", sub["attn"]["q_bias"])
+            put(f"blocks.{i}.attn.v_bias", sub["attn"]["v_bias"])
+        put(f"blocks.{i}.attn.proj.weight", np.asarray(sub["attn"]["proj"]["kernel"]).T)
+        put(f"blocks.{i}.attn.proj.bias", sub["attn"]["proj"]["bias"])
+        if "rel_pos" in sub["attn"]:
+            put(f"blocks.{i}.attn.relative_position_bias_table",
+                sub["attn"]["rel_pos"]["relative_position_bias_table"])
+        put(f"blocks.{i}.mlp.fc1.weight", np.asarray(sub["mlp"]["fc1"]["kernel"]).T)
+        put(f"blocks.{i}.mlp.fc1.bias", sub["mlp"]["fc1"]["bias"])
+        put(f"blocks.{i}.mlp.fc2.weight", np.asarray(sub["mlp"]["fc2"]["kernel"]).T)
+        put(f"blocks.{i}.mlp.fc2.bias", sub["mlp"]["fc2"]["bias"])
+        if "gamma_1" in sub:
+            put(f"blocks.{i}.gamma_1", sub["gamma_1"])
+            put(f"blocks.{i}.gamma_2", sub["gamma_2"])
+    for nm in ("norm", "fc_norm"):
+        if nm in p:
+            put(f"{nm}.weight", p[nm]["scale"])
+            put(f"{nm}.bias", p[nm]["bias"])
+    for nm in ("lm_head", "head"):
+        if nm in p:
+            put(f"{nm}.weight", np.asarray(p[nm]["kernel"]).T)
+            put(f"{nm}.bias", p[nm]["bias"])
+    return sd
+
+
+def import_vae_state_dict(sd: Dict, num_layers: int, num_resnet_blocks: int) -> Dict:
+    """Map the reference DiscreteVAE state_dict (eventvae/vae/vae_model.py
+    Sequential indices) to our named modules."""
+    p: Dict = {}
+    L, R = num_layers, num_resnet_blocks
+
+    def res_map(prefix_t, prefix_o):
+        # torch ResBlock.net = [Conv3, ReLU, Conv3, ReLU, Conv1]
+        for ti, oi in ((0, "conv1"), (2, "conv2"), (4, "conv3")):
+            _set(p, prefix_o + (oi, "kernel"), _conv(sd[f"{prefix_t}.net.{ti}.weight"]))
+            _set(p, prefix_o + (oi, "bias"), _t(sd[f"{prefix_t}.net.{ti}.bias"]))
+
+    _set(p, ("codebook", "embedding"), _t(sd["codebook.weight"]))
+    # encoder: [Seq(Conv,ReLU)]*L + [ResBlock]*R + [Conv1x1]
+    for i in range(L):
+        _set(p, (f"enc_conv_{i}", "kernel"), _conv(sd[f"encoder.{i}.0.weight"]))
+        _set(p, (f"enc_conv_{i}", "bias"), _t(sd[f"encoder.{i}.0.bias"]))
+    for j in range(R):
+        res_map(f"encoder.{L + j}", (f"enc_res_{j}",))
+    _set(p, ("enc_head", "kernel"), _conv(sd[f"encoder.{L + R}.weight"]))
+    _set(p, ("enc_head", "bias"), _t(sd[f"encoder.{L + R}.bias"]))
+    # decoder: [Conv1x1]? + [ResBlock]*R + [Seq(ConvT,ReLU)]*L + [Conv1x1]
+    off = 0
+    if R > 0:
+        _set(p, ("dec_in", "kernel"), _conv(sd["decoder.0.weight"]))
+        _set(p, ("dec_in", "bias"), _t(sd["decoder.0.bias"]))
+        off = 1
+    for j in range(R):
+        res_map(f"decoder.{off + j}", (f"dec_res_{j}",))
+    for i in range(L):
+        _set(p, (f"dec_deconv_{i}", "kernel"), _convT(sd[f"decoder.{off + R + i}.0.weight"]))
+        _set(p, (f"dec_deconv_{i}", "bias"), _t(sd[f"decoder.{off + R + i}.0.bias"]))
+    _set(p, ("dec_head", "kernel"), _conv(sd[f"decoder.{off + R + L}.weight"]))
+    _set(p, ("dec_head", "bias"), _t(sd[f"decoder.{off + R + L}.bias"]))
+    return {"params": p}
+
+
+def load_torch_checkpoint(path: str) -> Dict:
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)

