@@ -48,6 +48,7 @@ class PreprocConfig:
     normalize_events: bool = True
     rand_aug: bool = True
     rand_aug_magnitude: int = 20
+    rand_aug_batch_ops: bool = False  # batch-level op choice (speed mode)
     color_jitter: float = 0.0    # pretraining only (DataAugmentationForPT)
     wrap_uint8: bool = True
 
@@ -106,7 +107,10 @@ def preprocess_batch(batch: dict, cfg: PreprocConfig, is_train: bool) -> jnp.nda
     if is_train and cfg.rand_aug:
         u8 = (255.0 * x).astype(jnp.uint8)                  # ToUnit8 truncation
         ra_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
-        u8 = rand_augment_batch(u8, ra_keys, magnitude=cfg.rand_aug_magnitude)
+        u8 = rand_augment_batch(
+            u8, ra_keys, magnitude=cfg.rand_aug_magnitude,
+            batch_ops=cfg.rand_aug_batch_ops,
+        )
         x = u8.astype(jnp.float32) / 255.0                  # ToFloat32
 
     if is_train and cfg.color_jitter > 0:

@@ -60,68 +60,89 @@ _SIGNED = jnp.array(
 
 
 # ---------------------------------------------------------------------------
-# geometric: inverse affine warp with bilinear sampling, zero fill
+# geometric ops as 1-D shear passes (TPU-native)
+#
+# Elementwise gathers are the slowest thing a TPU does; a 2-D bilinear warp
+# via 4-tap gather was measured at ~25 ms/op/batch. Instead every geometric
+# op here decomposes into per-row 1-D resamples with a *constant fractional
+# shift per row*: a batched contiguous dynamic_slice (fast vector loads) +
+# one lerp. Rotation uses the exact Paeth 3-shear decomposition
+#   R(th) = ShearX(tan(th/2)) . ShearY(-sin th) . ShearX(tan(th/2))
+# which reproduces the inverse-rotation sampling matrix exactly (and is the
+# classic high-quality rotation scheme). Zero fill outside the frame matches
+# torchvision's fill=None.
 # ---------------------------------------------------------------------------
 
-def _affine_warp(img_f, mat):
-    """img_f (H, W, C) float; mat 2x3 maps OUTPUT pixel coords -> INPUT
-    coords (inverse transform), about the image center."""
+_PAD = 128  # static bound: max |offset| (translate <= 150/331*224 ~ 102)
+
+
+def _shift_rows(img_f, offsets):
+    """out[i, j] = img[i, j + offsets[i]] with 1-D bilinear interp and zero
+    fill; offsets: (H,) float, |offsets| < _PAD.
+
+    The per-row integer shift is applied by binary decomposition: 9 static
+    rolls (1, 2, 4, ... 256) each taken per-row where the corresponding bit
+    of the shift is set. Rolls and selects are pure VPU elementwise traffic —
+    no gathers, no dynamic slices — which is the fastest way to express a
+    data-dependent permutation this structured on a TPU.
+    """
     H, W, C = img_f.shape
-    ys = jnp.arange(H, dtype=jnp.float32) - (H - 1) / 2.0
-    xs = jnp.arange(W, dtype=jnp.float32) - (W - 1) / 2.0
-    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
-    sx = mat[0, 0] * gx + mat[0, 1] * gy + mat[0, 2] + (W - 1) / 2.0
-    sy = mat[1, 0] * gx + mat[1, 1] * gy + mat[1, 2] + (H - 1) / 2.0
+    padded = jnp.pad(img_f, ((0, 0), (_PAD, _PAD), (0, 0)))
+    n = jnp.floor(offsets).astype(jnp.int32)
+    f = (offsets - n)[:, None, None]
+    m = jnp.clip(n + _PAD, 0, 2 * _PAD)       # left-shift amount in [0, 256]
 
-    x0 = jnp.floor(sx)
-    y0 = jnp.floor(sy)
-    wx = sx - x0
-    wy = sy - y0
+    cur = padded
+    for b in range(9):                         # 2^9 - 1 >= 256
+        amt = 1 << b
+        rolled = jnp.roll(cur, -amt, axis=1)
+        bit = ((m >> b) & 1).astype(bool)[:, None, None]
+        cur = jnp.where(bit, rolled, cur)
+    # rows shifted so that cur[i, j] = padded[i, j + m_i]; wraparound cannot
+    # contaminate [0, W): j + m_i <= W - 1 + 2*_PAD < W + 2*_PAD.
+    a = cur[:, :W]
+    b2 = jnp.roll(cur, -1, axis=1)[:, :W]
+    return a * (1 - f) + b2 * f
 
-    def gather(yy, xx):
-        inb = (yy >= 0) & (yy < H) & (xx >= 0) & (xx < W)
-        yy = jnp.clip(yy.astype(jnp.int32), 0, H - 1)
-        xx = jnp.clip(xx.astype(jnp.int32), 0, W - 1)
-        vals = img_f[yy, xx]                              # (H, W, C)
-        return vals * inb[..., None]
 
-    out = (
-        gather(y0, x0) * ((1 - wx) * (1 - wy))[..., None]
-        + gather(y0, x0 + 1) * (wx * (1 - wy))[..., None]
-        + gather(y0 + 1, x0) * ((1 - wx) * wy)[..., None]
-        + gather(y0 + 1, x0 + 1) * (wx * wy)[..., None]
-    )
-    return out
+def _shift_cols(img_f, offsets):
+    return _shift_rows(img_f.transpose(1, 0, 2), offsets).transpose(1, 0, 2)
+
+
+def _centered(n):
+    return jnp.arange(n, dtype=jnp.float32) - (n - 1) / 2.0
 
 
 def _shear_x(img_f, mag):
-    # torchvision ShearX passes shear angle = degrees(mag) then tans it back:
-    # net effect x_src = x + tan(atan(mag))*y = x + mag*y
-    m = jnp.array([[1.0, mag, 0.0], [0.0, 1.0, 0.0]])
-    return _affine_warp(img_f, m)
+    # net effect x_src = x + mag * y_centered (torchvision ShearX semantics)
+    H = img_f.shape[0]
+    return _shift_rows(img_f, mag * _centered(H))
 
 
 def _shear_y(img_f, mag):
-    m = jnp.array([[1.0, 0.0, 0.0], [mag, 1.0, 0.0]])
-    return _affine_warp(img_f, m)
+    W = img_f.shape[1]
+    return _shift_cols(img_f, mag * _centered(W))
 
 
 def _translate_x(img_f, mag):
-    m = jnp.array([[1.0, 0.0, -jnp.trunc(mag)], [0.0, 1.0, 0.0]])
-    return _affine_warp(img_f, m)
+    H = img_f.shape[0]
+    return _shift_rows(img_f, jnp.broadcast_to(-jnp.trunc(mag), (H,)))
 
 
 def _translate_y(img_f, mag):
-    m = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, -jnp.trunc(mag)]])
-    return _affine_warp(img_f, m)
+    W = img_f.shape[1]
+    return _shift_cols(img_f, jnp.broadcast_to(-jnp.trunc(mag), (W,)))
 
 
 def _rotate(img_f, deg):
     th = jnp.deg2rad(deg)
-    c, s = jnp.cos(th), jnp.sin(th)
-    # inverse rotation (sample grid rotated by -theta)
-    m = jnp.array([[c, s, 0.0], [-s, c, 0.0]])
-    return _affine_warp(img_f, m)
+    t = jnp.tan(th / 2.0)
+    s = -jnp.sin(th)
+    H, W, _ = img_f.shape
+    out = _shift_rows(img_f, t * _centered(H))
+    out = _shift_cols(out, s * _centered(W))
+    out = _shift_rows(out, t * _centered(H))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -188,24 +209,36 @@ def _autocontrast(img_f, _):
     return jnp.where(eq, img_f, out)
 
 
-def _equalize_channel(ch_u8):
-    hist = jnp.bincount(ch_u8.reshape(-1), length=256).astype(jnp.int32)
-    nz = hist > 0
-    last_idx = 255 - jnp.argmax(nz[::-1])
-    last_val = hist[last_idx]
-    step = (jnp.sum(hist) - last_val) // 255
-    lut = (jnp.cumsum(hist) + step // 2) // jnp.maximum(step, 1)
-    lut = jnp.clip(jnp.concatenate([jnp.zeros(1, lut.dtype), lut])[:-1], 0, 255)
-    out = lut[ch_u8].astype(jnp.uint8)
-    return jnp.where(step == 0, ch_u8, out)
-
-
 def _equalize(img_f, _):
-    u8 = img_f.astype(jnp.uint8)
-    out = jnp.stack(
-        [_equalize_channel(u8[..., c]) for c in range(u8.shape[-1])], axis=-1
-    )
-    return out.astype(jnp.float32)
+    """Per-channel histogram equalization (torchvision LUT semantics).
+
+    TPU-native: the histogram is a broadcast-compare reduction (no scatter),
+    and the LUT application is a one-hot matmul ridden on the MXU (bf16 0/1
+    one-hots, f32 accumulation; LUT values <= 255 are exact in bf16) — a
+    vmapped ``bincount``+gather was measured 30x slower.
+    """
+    u8 = img_f.astype(jnp.int32)                         # (H, W, C)
+    H, W, C = u8.shape
+    pix = u8.reshape(H * W, C)
+    levels = jnp.arange(256, dtype=jnp.int32)
+    # hist[k, c] = #pixels of channel c with value k
+    onehot = (pix[:, None, :] == levels[None, :, None])   # (HW, 256, C)
+    hist = jnp.sum(onehot, axis=0, dtype=jnp.int32)       # (256, C)
+
+    nz = hist > 0
+    last_idx = 255 - jnp.argmax(nz[::-1], axis=0)         # (C,)
+    last_val = jnp.take_along_axis(hist, last_idx[None], axis=0)[0]
+    step = (jnp.sum(hist, axis=0) - last_val) // 255      # (C,)
+    lut = (jnp.cumsum(hist, axis=0) + step // 2) // jnp.maximum(step, 1)
+    lut = jnp.clip(
+        jnp.concatenate([jnp.zeros((1, C), lut.dtype), lut])[:-1], 0, 255
+    )                                                     # (256, C)
+    # apply LUT: out[p, c] = sum_k onehot[p, k, c] * lut[k, c]
+    out = jnp.einsum(
+        "pkc,kc->pc", onehot.astype(jnp.bfloat16), lut.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    ).reshape(H, W, C)
+    return jnp.where(step[None, None] == 0, img_f, out)
 
 
 _OPS = [
@@ -252,7 +285,40 @@ def rand_augment(
     return jnp.clip(img, 0, 255).astype(jnp.uint8)
 
 
-def rand_augment_batch(imgs_u8, keys, num_ops: int = 2, magnitude: int = 20):
-    return jax.vmap(partial(rand_augment, num_ops=num_ops, magnitude=magnitude))(
-        imgs_u8, keys
-    )
+def rand_augment_batch(
+    imgs_u8, keys, num_ops: int = 2, magnitude: int = 20, batch_ops: bool = False
+):
+    """Batched RandAugment.
+
+    ``batch_ops=False`` (default): per-sample op choice, exactly the
+    reference semantics — but under vmap every lax.switch branch executes on
+    the full batch, costing ~14x the selected work.
+
+    ``batch_ops=True``: ONE op choice per round shared by the whole batch
+    (magnitudes/signs still per sample). A documented deviation for speed:
+    over thousands of steps the marginal distribution of applied ops is
+    identical; only within-batch correlation changes.
+    """
+    if not batch_ops:
+        return jax.vmap(partial(rand_augment, num_ops=num_ops, magnitude=magnitude))(
+            imgs_u8, keys
+        )
+
+    B, H, W, _ = imgs_u8.shape
+    table = _magnitude_table(H, W)
+    imgs = imgs_u8.astype(jnp.float32)
+    batch_key = jax.random.fold_in(keys[0], 0x5EED)
+    for r in range(num_ops):
+        batch_key, k_op = jax.random.split(batch_key)
+        op_idx = jax.random.randint(k_op, (), 0, len(_OPS))
+
+        def per_sample(img, key):
+            k_mag, k_sign = jax.random.split(jax.random.fold_in(key, r))
+            bin_idx = jax.random.randint(k_mag, (), 0, magnitude + 1)
+            sign = jax.random.randint(k_sign, (), 0, 2)
+            mag = table[op_idx, bin_idx]
+            mag = jnp.where(_SIGNED[op_idx] & (sign == 1), -mag, mag)
+            return _apply_op(img, op_idx, mag)
+
+        imgs = jax.vmap(per_sample)(imgs, keys)
+    return jnp.clip(imgs, 0, 255).astype(jnp.uint8)
