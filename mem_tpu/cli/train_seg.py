@@ -1,0 +1,253 @@
+"""DSEC semantic-segmentation training CLI (downstream stage).
+
+Replaces the mmseg tools/train.py + mmcv_custom/train_api.py stack: iter-based
+training (default 160k iters), AdamW with layer-decay 0.65 over the backbone,
+poly LR (power 1.0) with 1500-iter linear warmup, SyncBN-equivalent global
+BatchNorm under the DP mesh, periodic mIoU eval and checkpointing. Backbone
+initializes from a MEM pretraining checkpoint via the same surgery importer.
+"""
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from mem_tpu.data.seg_pipeline import (
+    IGNORE_INDEX,
+    SegBatchIterator,
+    SegPipelineConfig,
+    scan_seg_pairs,
+    seg_preprocess_batch,
+)
+from mem_tpu.models.segmentation import (
+    EncoderDecoder,
+    confusion_matrix,
+    seg_loss,
+    seg_metrics,
+)
+from mem_tpu.parallel import get_mesh, init_distributed, replicate, shard_batch
+from mem_tpu.train.optim import build_lr_scale_tree, build_wd_mask_tree, scheduled_adamw
+from mem_tpu.utils.checkpoint import auto_resume, load_checkpoint, save_checkpoint
+from mem_tpu.utils.config import ConfigArgumentParser
+from mem_tpu.utils.metrics import MetricLogger
+
+
+def poly_lr_schedule(base_lr: float, max_iters: int, power: float = 1.0,
+                     warmup_iters: int = 1500, warmup_ratio: float = 1e-6,
+                     min_lr: float = 0.0):
+    """mmseg poly policy (mem_224_160k.py:88-92) as a jittable step->lr fn."""
+
+    def fn(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * (warmup_ratio + (1 - warmup_ratio) * step / max(warmup_iters, 1))
+        frac = jnp.clip(1.0 - step / max_iters, 0.0, 1.0)
+        main = (base_lr - min_lr) * frac**power + min_lr
+        return jnp.where(step < warmup_iters, warm, main)
+
+    return fn
+
+
+def get_args(argv=None):
+    p = ConfigArgumentParser("DSEC segmentation training")
+    p.add_argument("--data_root", type=str, default="")
+    p.add_argument("--img_dir", type=str, default="imgs/train")
+    p.add_argument("--ann_dir", type=str, default="anns/train")
+    p.add_argument("--val_img_dir", type=str, default="imgs/val")
+    p.add_argument("--val_ann_dir", type=str, default="anns/val")
+    p.add_argument("--num_classes", type=int, default=11)
+    p.add_argument("--pretrained", type=str, default="",
+                   help="MEM pretrain/finetune checkpoint for the backbone")
+    p.add_argument("--seg_input_size", type=int, default=512)
+    p.add_argument("--embed_dim", type=int, default=768)
+    p.add_argument("--depth", type=int, default=12)
+    p.add_argument("--num_heads", type=int, default=12)
+    p.add_argument("--drop_path", type=float, default=0.1)
+    p.add_argument("--max_iters", type=int, default=160000)
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=5e-4)
+    p.add_argument("--weight_decay", type=float, default=0.05)
+    p.add_argument("--layer_decay", type=float, default=0.65)
+    p.add_argument("--warmup_iters", type=int, default=1500)
+    p.add_argument("--eval_interval", type=int, default=4000)
+    p.add_argument("--save_interval", type=int, default=4000)
+    p.add_argument("--rand_aug", type=int, default=1)
+    p.add_argument("--slice_max_evs", type=int, default=180000)
+    p.add_argument("--output_dir", type=str, default="./seg_out")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--auto_resume", type=int, default=1)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    return p.parse_args(argv)
+
+
+def make_seg_steps(model, tx, num_classes: int, rand_aug: bool):
+    def train_step(params, batch_stats, opt_state, batch, rng):
+        images, labels = seg_preprocess_batch(batch, True, rand_aug)
+
+        def loss_fn(p):
+            (logits, aux), new_state = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                images, train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+            return seg_loss(logits, aux, labels, num_classes), new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state["batch_stats"], opt_state, {
+            "loss": loss, "grad_norm": optax.global_norm(grads),
+        }
+
+    def eval_step(params, batch_stats, batch):
+        images, labels = seg_preprocess_batch(batch, False)
+        logits, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images, train=False
+        )
+        pred = jnp.argmax(logits, axis=-1)
+        return confusion_matrix(pred, labels, num_classes, IGNORE_INDEX)
+
+    return (
+        jax.jit(train_step, donate_argnums=(0, 1, 2)),
+        jax.jit(eval_step),
+    )
+
+
+def main(argv=None):
+    args = get_args(argv)
+    init_distributed()
+    os.makedirs(args.output_dir, exist_ok=True)
+    mesh = get_mesh()
+    nproc = jax.process_count()
+    local_bs = args.batch_size // nproc
+
+    train_pairs = scan_seg_pairs(args.data_root, args.img_dir, args.ann_dir)
+    val_pairs = scan_seg_pairs(args.data_root, args.val_img_dir, args.val_ann_dir)
+    train_it = SegBatchIterator(train_pairs, SegPipelineConfig(
+        batch_size=local_bs, is_train=True, max_evs=args.slice_max_evs,
+        seed=args.seed, shard_id=jax.process_index(), num_shards=nproc,
+    ))
+    val_it = SegBatchIterator(val_pairs, SegPipelineConfig(
+        batch_size=local_bs, is_train=False, max_evs=args.slice_max_evs,
+        seed=args.seed, shard_id=jax.process_index(), num_shards=nproc,
+    ))
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = EncoderDecoder(
+        num_classes=args.num_classes,
+        backbone_cfg=dict(
+            img_size=args.seg_input_size, embed_dim=args.embed_dim,
+            depth=args.depth, num_heads=args.num_heads,
+            drop_path_rate=args.drop_path,
+            out_indices=tuple(max(0, args.depth - 4 + k) for k in range(4)),
+        ),
+        dtype=dtype,
+    )
+
+    init_batch = next(iter(train_it.batches()))
+    imgs, _ = jax.jit(lambda b: seg_preprocess_batch(b, False))(
+        jax.tree.map(jnp.asarray, init_batch)
+    )
+    variables = jax.jit(model.init)(jax.random.key(args.seed), imgs)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    if args.pretrained:
+        payload = load_checkpoint(args.pretrained)
+        from mem_tpu.utils.surgery import surgery_for_finetune
+
+        grid = args.seg_input_size // 16
+        merged = surgery_for_finetune(
+            {"params": payload["params"]["params"]},
+            {"params": params["backbone"]},
+            dst_window=(grid, grid),
+        )
+        params = dict(params)
+        params["backbone"] = merged["params"]
+        print(f"backbone initialized from {args.pretrained}")
+
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+    print(f"segmentor params: {n_params/1e6:.1f}M")
+
+    lr_fn = poly_lr_schedule(args.lr, args.max_iters, warmup_iters=args.warmup_iters)
+    wrapped = {"params": params}
+    tx = scheduled_adamw(
+        lr_fn, (lambda s: args.weight_decay),
+        build_lr_scale_tree(wrapped, args.layer_decay, args.depth)["params"],
+        build_wd_mask_tree(wrapped)["params"],
+        b1=0.9, b2=0.999, eps=1e-8,
+    )
+    opt_state = tx.init(params)
+
+    params = replicate(params, mesh)
+    batch_stats = replicate(batch_stats, mesh)
+    opt_state = replicate(opt_state, mesh)
+
+    train_step, eval_step = make_seg_steps(model, tx, args.num_classes, bool(args.rand_aug))
+
+    start_iter = 0
+    if args.auto_resume:
+        payload, start_epoch = auto_resume(
+            args.output_dir,
+            {"params": params, "batch_stats": batch_stats,
+             "opt_state": opt_state, "epoch": 0},
+        )
+        if payload is not None:
+            params = replicate(payload["params"], mesh)
+            batch_stats = replicate(payload["batch_stats"], mesh)
+            opt_state = replicate(payload["opt_state"], mesh)
+            start_iter = int(payload["epoch"])
+
+    def evaluate():
+        cm = np.zeros((args.num_classes, args.num_classes))
+        for b in val_it.eval_batches():
+            n_real = int(b.pop("n_real"))
+            out = eval_step(params, batch_stats, shard_batch(b, mesh))
+            # drop padded duplicates' contribution approximately by scaling
+            cm += np.asarray(out) * (n_real / b["label"].shape[0])
+        return seg_metrics(cm)
+
+    logger = MetricLogger()
+    key = jax.random.key(args.seed + 7)
+    t0 = time.time()
+    for it, batch in enumerate(train_it.batches(start_iter), start=start_iter):
+        if it >= args.max_iters:
+            break
+        key, sk = jax.random.split(key)
+        params, batch_stats, opt_state, m = train_step(
+            params, batch_stats, opt_state, shard_batch(batch, mesh), sk
+        )
+        logger.update(loss=float(m["loss"]))
+        if it % 50 == 0:
+            ips = args.batch_size * 50 / max(time.time() - t0, 1e-9)
+            print(f"iter {it}/{args.max_iters} loss {logger.meters['loss'].avg:.4f} "
+                  f"{ips:.1f} img/s", flush=True)
+            t0 = time.time()
+        if (it + 1) % args.eval_interval == 0:
+            stats = evaluate()
+            print(f"* iter {it}: mIoU {stats['mIoU']:.4f} aAcc {stats['aAcc']:.4f} "
+                  f"mDice {stats['mDice']:.4f}")
+        if (it + 1) % args.save_interval == 0 and jax.process_index() == 0:
+            save_checkpoint(args.output_dir, it, {
+                "params": jax.tree.map(np.asarray, params),
+                "batch_stats": jax.tree.map(np.asarray, batch_stats),
+                "opt_state": jax.tree.map(np.asarray, opt_state),
+                "epoch": it + 1,
+            })
+
+    stats = evaluate()
+    print(f"final mIoU {stats['mIoU']:.4f}")
+    if jax.process_index() == 0:
+        save_checkpoint(args.output_dir, "final", {
+            "params": jax.tree.map(np.asarray, params),
+            "batch_stats": jax.tree.map(np.asarray, batch_stats),
+            "epoch": args.max_iters,
+        })
+
+
+if __name__ == "__main__":
+    main()

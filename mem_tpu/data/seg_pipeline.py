@@ -1,0 +1,177 @@
+"""DSEC semantic-segmentation data pipeline.
+
+Host side mirrors the reference EventDataset/LoadNpy flow
+(EventDataset.py:711-763 + dsec.py pipeline): scan (events .npy, label .png)
+pairs, load + crop events to y < 440 with p -> ±1 (dsec loader semantics),
+SliceRandomMaxEvs(180000) as a host memcpy, pad, and sample per-item
+randomness. All raster/augment compute happens on chip
+(``seg_preprocess_batch``):
+
+  voxelize 440x640 (uint8 counts) -> RemoveHotPixelsEvs (count scale) ->
+  NormalizeEvs (/max * 255) -> ToUint8 -> RandAugment(mag 10, photometric
+  only) -> random horizontal flip (image + label) -> float32 0..255
+  (the mmseg Normalize step is mean 0 / std 1, i.e. identity — the network
+  consumes 0..255 inputs; dsec.py:1-24).
+
+Design deviation (documented): the reference's Resize with ratio_range
+(1.0, 1.01) — a <=1% random rescale immediately followed by RandomCrop back
+to (440, 640) — is omitted (identity at the default setting's scale).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mem_tpu.ops import image_ops as I
+from mem_tpu.ops.rand_augment import rand_augment_batch
+from mem_tpu.ops.voxelize import voxelize_fused
+
+SEG_H, SEG_W = 440, 640
+SEG_MAX_EVS = 180000  # EventDataset.py:726
+IGNORE_INDEX = 255
+
+
+def scan_seg_pairs(data_root: str, img_dir: str, ann_dir: str,
+                   img_suffix: str = ".npy", seg_suffix: str = ".png"):
+    pairs: List[Tuple[str, str]] = []
+    base = os.path.join(data_root, img_dir)
+    for dirpath, _, files in sorted(os.walk(base)):
+        for f in sorted(files):
+            if not f.endswith(img_suffix):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, f), base)
+            ann = os.path.join(data_root, ann_dir, rel[: -len(img_suffix)] + seg_suffix)
+            if os.path.exists(ann):
+                pairs.append((os.path.join(dirpath, f), ann))
+    if not pairs:
+        raise FileNotFoundError(f"no (img, ann) pairs under {base}")
+    return pairs
+
+
+def load_seg_label(path: str) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(path), dtype=np.uint8)
+
+
+@dataclass
+class SegPipelineConfig:
+    batch_size: int = 16
+    is_train: bool = True
+    max_evs: int = SEG_MAX_EVS
+    seed: int = 0
+    num_workers: int = 4
+    shard_id: int = 0
+    num_shards: int = 1
+    flip_prob: float = 0.5
+
+
+class SegBatchIterator:
+    """Infinite iter-based sampling (the reference trains by iteration count,
+    schedule_160k.py) over (events, label) pairs."""
+
+    def __init__(self, pairs, config: SegPipelineConfig):
+        self.pairs = pairs
+        self.cfg = config
+
+    def __len__(self):
+        return len(self.pairs)
+
+    def _load_one(self, rng: np.random.Generator, index: int) -> dict:
+        img_path, ann_path = self.pairs[index]
+        ev = np.load(img_path).astype(np.float32)
+        ev[:, 3] = 2 * ev[:, 3] - 1
+        ev = ev[ev[:, 1] < SEG_H]
+        n = ev.shape[0]
+        cap = self.cfg.max_evs
+        if n > cap:
+            start = int(rng.integers(0, n - cap + 1))
+            ev = ev[start : start + cap]
+            n = cap
+        label = load_seg_label(ann_path)
+        return {
+            "events": ev,
+            "n_valid": np.int32(n),
+            "label": label,
+            "flip": np.bool_(self.cfg.is_train and rng.random() < self.cfg.flip_prob),
+            "aug_seed": rng.integers(0, 2**31 - 1, dtype=np.int64).astype(np.uint32),
+        }
+
+    def batches(self, start_iter: int = 0) -> Iterator[dict]:
+        cfg = self.cfg
+        order_rng = np.random.default_rng(cfg.seed)
+        order = []
+        it = start_iter
+        while True:
+            while len(order) < cfg.batch_size:
+                idx = np.arange(len(self.pairs))
+                order_rng.shuffle(idx)
+                order.extend(idx[cfg.shard_id :: cfg.num_shards].tolist())
+            take, order = order[: cfg.batch_size], order[cfg.batch_size :]
+            items = [
+                self._load_one(np.random.default_rng((cfg.seed, it, j)), int(i))
+                for j, i in enumerate(take)
+            ]
+            yield self._collate(items)
+            it += 1
+
+    def eval_batches(self) -> Iterator[dict]:
+        cfg = self.cfg
+        idx = np.arange(len(self.pairs))[cfg.shard_id :: cfg.num_shards]
+        rng = np.random.default_rng(cfg.seed)
+        for i in range(0, len(idx), cfg.batch_size):
+            chunk = idx[i : i + cfg.batch_size].tolist()
+            items = [self._load_one(rng, int(j)) for j in chunk]
+            n_real = len(items)
+            while len(items) < cfg.batch_size:
+                items.append(items[-1])
+            b = self._collate(items)
+            b["n_real"] = np.int32(n_real)
+            yield b
+
+    def _collate(self, items) -> dict:
+        B = len(items)
+        events = np.zeros((B, self.cfg.max_evs, 4), np.float32)
+        for i, it in enumerate(items):
+            events[i, : len(it["events"])] = it["events"]
+        return {
+            "events": events,
+            "n_valid": np.stack([it["n_valid"] for it in items]),
+            "label": np.stack([it["label"] for it in items]).astype(np.int32),
+            "flip": np.stack([it["flip"] for it in items]),
+            "aug_seed": np.stack([it["aug_seed"] for it in items]),
+        }
+
+
+def seg_preprocess_batch(batch: dict, is_train: bool, rand_aug: bool = True):
+    """On-chip: events -> network-ready (B, 440, 640, 3) float32 in 0..255,
+    plus flipped labels. Returns (images, labels)."""
+    img = voxelize_fused(
+        batch["events"], batch["n_valid"], SEG_H, SEG_W,
+        time_surface=False, wrap_uint8=True,
+    ).astype(jnp.float32)                                # counts 0..255
+
+    img = I.remove_hot_pixels(img, 10.0)                 # RemoveHotPixelsEvs
+
+    # NormalizeEvs: joint max over all channels -> scale to 0..255
+    m = jnp.max(img, axis=(1, 2, 3), keepdims=True)
+    img = img / jnp.where(m > 0, m, 1.0) * 255.0
+
+    labels = batch["label"]
+    if is_train:
+        u8 = img.astype(jnp.uint8)                       # ToUnit8Evs
+        keys = jax.vmap(jax.random.key)(batch["aug_seed"].astype(jnp.uint32))
+        if rand_aug:
+            u8 = rand_augment_batch(u8, keys, num_ops=2, magnitude=10,
+                                    geometric=False)
+        img = u8.astype(jnp.float32)
+        flip = batch["flip"][:, None, None]
+        img = jnp.where(flip[..., None], img[:, :, ::-1], img)
+        labels = jnp.where(flip, labels[:, :, ::-1], labels)
+    return img, labels

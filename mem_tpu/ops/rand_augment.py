@@ -263,11 +263,17 @@ def _apply_op(img_f, op_idx, mag):
     return jax.lax.switch(op_idx, _OPS, img_f, mag)
 
 
+# photometric-only subset for the segmentation pipeline
+# (EventRandAugmentEvs(no_geometric_trafos=True), dsec.py pipeline)
+_PHOTOMETRIC_IDS = jnp.array([0, 6, 7, 8, 9, 10, 11, 12, 13])
+
+
 def rand_augment(
     img_u8: jnp.ndarray,
     key: jax.Array,
     num_ops: int = 2,
     magnitude: int = 20,
+    geometric: bool = True,
 ) -> jnp.ndarray:
     """Apply RandAugment to one (H, W, 3) uint8 image. Returns uint8."""
     H, W, _ = img_u8.shape
@@ -275,7 +281,12 @@ def rand_augment(
     img = img_u8.astype(jnp.float32)
     for _ in range(num_ops):
         key, k_op, k_mag, k_sign = jax.random.split(key, 4)
-        op_idx = jax.random.randint(k_op, (), 0, len(_OPS))
+        if geometric:
+            op_idx = jax.random.randint(k_op, (), 0, len(_OPS))
+        else:
+            op_idx = _PHOTOMETRIC_IDS[
+                jax.random.randint(k_op, (), 0, _PHOTOMETRIC_IDS.shape[0])
+            ]
         bin_idx = jax.random.randint(k_mag, (), 0, magnitude + 1)
         sign = jax.random.randint(k_sign, (), 0, 2)
         mag = table[op_idx, bin_idx]
@@ -286,7 +297,8 @@ def rand_augment(
 
 
 def rand_augment_batch(
-    imgs_u8, keys, num_ops: int = 2, magnitude: int = 20, batch_ops: bool = False
+    imgs_u8, keys, num_ops: int = 2, magnitude: int = 20, batch_ops: bool = False,
+    geometric: bool = True,
 ):
     """Batched RandAugment.
 
@@ -300,9 +312,10 @@ def rand_augment_batch(
     identical; only within-batch correlation changes.
     """
     if not batch_ops:
-        return jax.vmap(partial(rand_augment, num_ops=num_ops, magnitude=magnitude))(
-            imgs_u8, keys
-        )
+        return jax.vmap(
+            partial(rand_augment, num_ops=num_ops, magnitude=magnitude,
+                    geometric=geometric)
+        )(imgs_u8, keys)
 
     B, H, W, _ = imgs_u8.shape
     table = _magnitude_table(H, W)
@@ -310,7 +323,12 @@ def rand_augment_batch(
     batch_key = jax.random.fold_in(keys[0], 0x5EED)
     for r in range(num_ops):
         batch_key, k_op = jax.random.split(batch_key)
-        op_idx = jax.random.randint(k_op, (), 0, len(_OPS))
+        if geometric:
+            op_idx = jax.random.randint(k_op, (), 0, len(_OPS))
+        else:
+            op_idx = _PHOTOMETRIC_IDS[
+                jax.random.randint(k_op, (), 0, _PHOTOMETRIC_IDS.shape[0])
+            ]
 
         def per_sample(img, key):
             k_mag, k_sign = jax.random.split(jax.random.fold_in(key, r))

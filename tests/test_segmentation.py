@@ -1,0 +1,111 @@
+"""Segmentation model + pipeline tests, incl. a tiny end-to-end train run."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_adaptive_pool_matrix_matches_torch():
+    torch = pytest.importorskip("torch")
+    from mem_tpu.models.segmentation import adaptive_pool_matrix
+
+    rng = np.random.default_rng(0)
+    x = rng.random((1, 3, 32, 32)).astype(np.float32)
+    for s in (1, 2, 3, 6):
+        want = torch.nn.functional.adaptive_avg_pool2d(torch.from_numpy(x), s).numpy()
+        py = adaptive_pool_matrix(s, 32)
+        got = np.einsum("oh,bchw->bcow", py, x)
+        got = np.einsum("pw,bcow->bcop", py, got)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_seg_loss_ignore_index(rng):
+    from mem_tpu.models.segmentation import seg_loss
+
+    logits = jnp.asarray(rng.standard_normal((1, 4, 4, 3)), jnp.float32)
+    aux = jnp.zeros_like(logits)
+    labels = jnp.full((1, 4, 4), 255)
+    labels = labels.at[0, 0, 0].set(1)
+    loss = seg_loss(logits, aux, labels, 3)
+    lp = jax.nn.log_softmax(logits[0, 0, 0])[1]
+    lpa = jax.nn.log_softmax(aux[0, 0, 0])[1]
+    np.testing.assert_allclose(float(loss), -float(lp) - 0.4 * float(lpa), rtol=1e-5)
+
+
+def test_confusion_and_metrics(rng):
+    from mem_tpu.models.segmentation import confusion_matrix, seg_metrics
+
+    labels = jnp.asarray([[0, 1, 2, 255]])
+    pred = jnp.asarray([[0, 2, 2, 0]])
+    cm = np.asarray(confusion_matrix(pred, labels, 3))
+    assert cm[0, 0] == 1 and cm[1, 2] == 1 and cm[2, 2] == 1
+    assert cm.sum() == 3  # ignore dropped
+    m = seg_metrics(cm)
+    np.testing.assert_allclose(m["aAcc"], 2 / 3)
+    # predictions at ignored pixels are excluded entirely (mmseg semantics):
+    # class 0 has tp=1, fp=0 (the pred-0 at the ignored pixel doesn't count)
+    np.testing.assert_allclose(m["IoU"][0], 1.0)
+    np.testing.assert_allclose(m["IoU"][1], 0.0)   # the one gt-1 pixel missed
+    np.testing.assert_allclose(m["IoU"][2], 1 / 2)  # tp=1, fp=1
+
+
+def test_encoder_decoder_shapes(rng):
+    from mem_tpu.models.segmentation import EncoderDecoder
+
+    model = EncoderDecoder(
+        num_classes=5,
+        backbone_cfg=dict(img_size=64, patch_size=16, embed_dim=32, depth=2,
+                          num_heads=2, out_indices=(0, 1, 0, 1)),
+    )
+    x = jnp.asarray(rng.random((2, 56, 72, 3)), jnp.float32) * 255
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+    (logits, aux), new_state = model.apply(
+        variables, x, train=True, rngs={"dropout": jax.random.key(1)},
+        mutable=["batch_stats"],
+    )
+    assert logits.shape == (2, 56, 72, 5)
+    assert aux.shape == (2, 56, 72, 5)
+    assert "batch_stats" in new_state
+
+
+@pytest.fixture(scope="module")
+def synth_seg_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("dsec")
+    rng = np.random.default_rng(5)
+    from PIL import Image
+
+    for split, n in (("train", 6), ("val", 2)):
+        (root / "imgs" / split / "seq0").mkdir(parents=True)
+        (root / "anns" / split / "seq0").mkdir(parents=True)
+        for i in range(n):
+            ne = int(rng.integers(2000, 5000))
+            ev = np.zeros((ne, 4), np.float32)
+            ev[:, 0] = rng.integers(0, 640, ne)
+            ev[:, 1] = rng.integers(0, 480, ne)  # includes y>=440 to be cropped
+            ev[:, 3] = rng.integers(0, 2, ne)
+            np.save(root / "imgs" / split / "seq0" / f"{i:06d}.npy", ev)
+            lab = rng.integers(0, 3, (440, 640)).astype(np.uint8)
+            lab[:10] = 255  # ignore band
+            Image.fromarray(lab).save(root / "anns" / split / "seq0" / f"{i:06d}.png")
+    return str(root)
+
+
+def test_seg_train_smoke(synth_seg_dataset, tmp_path):
+    from mem_tpu.cli.train_seg import main
+
+    out = str(tmp_path / "seg")
+    main([
+        "--data_root", synth_seg_dataset, "--output_dir", out,
+        "--num_classes", "3",
+        "--seg_input_size", "64", "--embed_dim", "32", "--depth", "2",
+        "--num_heads", "2",
+        "--max_iters", "3", "--batch_size", "8", "--lr", "1e-3",
+        "--warmup_iters", "1", "--eval_interval", "1000",
+        "--save_interval", "1000", "--rand_aug", "1",
+        "--slice_max_evs", "5000",
+        "--auto_resume", "0", "--dtype", "float32",
+    ])
+    assert os.path.isdir(os.path.join(out, "checkpoint-final"))
