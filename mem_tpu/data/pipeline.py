@@ -54,6 +54,7 @@ class PipelineConfig:
     shuffle: bool = True
     drop_last: bool = True
     num_workers: int = 4
+    use_native: bool = True   # libmemev threaded batch loader when eligible
     # multi-host sharding
     shard_id: int = 0
     num_shards: int = 1
@@ -167,18 +168,96 @@ class EventBatchIterator:
             batch[k] = np.stack([it[k] for it in items])
         return batch
 
+    def _native_eligible(self) -> bool:
+        """The libmemev fast path handles raw-(N,4)-npy datasets without
+        coordinate rescaling (caltech/ncars); structured/remapped loaders
+        (imagenet/dsec) stay on the python path."""
+        if not self.cfg.use_native:
+            return False
+        from mem_tpu.data.folder import caltech_npy_loader, ncars_npy_loader
+
+        if self.ds.loader not in (caltech_npy_loader, ncars_npy_loader):
+            return False
+        if self.cfg.scale_xy is not None:
+            return False
+        from mem_tpu import native
+
+        return native.available()
+
+    def _load_batch_native(self, epoch: int, chunk) -> dict:
+        """Threaded C++ load+slice+pad+extent pass (mem_tpu.native), with the
+        per-sample augmentation randomness still drawn host-side. The random
+        stream differs from the python path (both deterministic)."""
+        from mem_tpu import native
+
+        cfg = self.cfg
+        paths = [self.ds.samples[int(i)][0] for i in chunk]
+        labels = [self.ds.samples[int(i)][1] for i in chunk]
+        rngs = [np.random.default_rng((cfg.seed, epoch, int(i))) for i in chunk]
+        fracs = [r.random() for r in rngs]
+        events, n_valid, maxxy = native.load_batch(
+            paths, fracs, cfg.slice_max_evs, num_threads=max(cfg.num_workers, 1)
+        )
+        B = len(paths)
+        if cfg.fixed_hw is not None:
+            sh = np.full((B,), cfg.fixed_hw[0], np.int32)
+            sw = np.full((B,), cfg.fixed_hw[1], np.int32)
+        elif cfg.sample_hw_from_data:
+            sw = np.minimum(maxxy[:, 0], cfg.canvas_w).astype(np.int32)
+            sh = np.minimum(maxxy[:, 1], cfg.canvas_h).astype(np.int32)
+        else:
+            sh = np.full((B,), cfg.canvas_h, np.int32)
+            sw = np.full((B,), cfg.canvas_w, np.int32)
+
+        batch = {
+            "events": events,
+            "n_valid": n_valid,
+            "label": np.asarray(labels, np.int64),
+            "sample_h": sh,
+            "sample_w": sw,
+            "time_flip": np.array(
+                [cfg.is_train and r.random() < cfg.time_flip_prob for r in rngs]
+            ),
+            "x_flip": np.array(
+                [cfg.is_train and r.random() < cfg.flip_x_prob for r in rngs]
+            ),
+            "shift_xy": np.stack([
+                r.integers(-cfg.max_random_shift_evs, cfg.max_random_shift_evs + 1,
+                           size=(2,)).astype(np.int32)
+                if (cfg.is_train and cfg.max_random_shift_evs > 0)
+                else np.zeros((2,), np.int32)
+                for r in rngs
+            ]),
+            "aug_seed": np.stack([
+                r.integers(0, 2**31 - 1, dtype=np.int64).astype(np.uint32)
+                for r in rngs
+            ]),
+        }
+        if self.mask_gen is not None:
+            batch["mask"] = np.stack(
+                [self.mask_gen(r).reshape(-1).astype(bool) for r in rngs]
+            )
+        return batch
+
     def epoch(self, epoch: int) -> Iterator[dict]:
         idx = self._epoch_indices(epoch)
         b = self.cfg.batch_size
         n_batches = len(idx) // b if self.cfg.drop_last else -(-len(idx) // b)
+        native_ok = self._native_eligible()
         for bi in range(n_batches):
-            chunk = idx[bi * b : (bi + 1) * b]
+            chunk = list(idx[bi * b : (bi + 1) * b])
+            # pad the final partial batch by wrapping (reference eval pads
+            # with duplicates, run_mem_pretraining.py:313-316)
+            while len(chunk) < b:
+                chunk.append(chunk[len(chunk) % max(len(chunk), 1)])
+            if native_ok:
+                try:
+                    yield self._load_batch_native(epoch, chunk)
+                    continue
+                except IOError:
+                    pass  # corrupt file: fall through to the retrying path
             if self._pool is not None:
                 items = list(self._pool.map(lambda i: self._load_one(epoch, int(i)), chunk))
             else:
                 items = [self._load_one(epoch, int(i)) for i in chunk]
-            # pad the final partial batch by wrapping (reference eval pads
-            # with duplicates, run_mem_pretraining.py:313-316)
-            while len(items) < b:
-                items.append(items[len(items) % max(len(chunk), 1)])
             yield self._collate(items)

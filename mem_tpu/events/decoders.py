@@ -100,12 +100,20 @@ def decode_ncars_bytes(buf: bytes | np.ndarray) -> np.ndarray:
 
 def decode_ncaltech101_file(path: str) -> np.ndarray:
     with open(path, "rb") as f:
-        return decode_atis_bytes(f.read())
+        buf = f.read()
+    from mem_tpu import native
+
+    out = native.decode_atis(buf) if native.available() else None
+    return out if out is not None else decode_atis_bytes(buf)
 
 
 def decode_ncars_file(path: str) -> np.ndarray:
     with open(path, "rb") as f:
-        return decode_ncars_bytes(f.read())
+        buf = f.read()
+    from mem_tpu import native
+
+    out = native.decode_ncars(buf) if native.available() else None
+    return out if out is not None else decode_ncars_bytes(buf)
 
 
 def decode_nimagenet_file(path: str) -> np.ndarray:

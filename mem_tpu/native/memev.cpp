@@ -1,0 +1,209 @@
+// libmemev: native event-camera IO runtime.
+//
+// The framework's host-side hot path is (1) decoding raw AER recordings and
+// (2) assembling padded event batches from .npy files for device transfer.
+// Both are implemented here in C++ with a thread pool, exposed through a
+// plain C ABI consumed via ctypes (mem_tpu/native/__init__.py). The numpy
+// implementations remain as the semantic reference; tests assert bit
+// equality.
+//
+// Formats (reference: process_data/process_dataset.py:24-105):
+//   ATIS (N-Caltech101): 5 bytes/event — y, x, [p:1|t:7], t, t (t big-endian
+//     23-bit); output rows [y, x, t, 2p-1] float64.
+//   N-Cars .dat: '%'-prefixed ASCII header lines + 2 bytes, then 8-byte
+//     records: u32le t, u32le packed (y:0-13, x:14-27, p:28); output rows
+//     [y, x, t, p] float64 with p in {0,1}.
+//   .npy: little-endian '<f8'/'<f4' C-order (N, 4) arrays (the files this
+//     framework's own decoder writes).
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// decoders
+// ---------------------------------------------------------------------------
+
+// Returns number of events decoded; out must hold (len/5)*4 doubles.
+int64_t memev_decode_atis(const uint8_t* buf, int64_t len, double* out) {
+  const int64_t n = len / 5;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* e = buf + i * 5;
+    const uint32_t t = (uint32_t(e[2] & 0x7F) << 16) | (uint32_t(e[3]) << 8) |
+                       uint32_t(e[4]);
+    const int p = (e[2] >> 7) & 1;
+    out[i * 4 + 0] = double(e[0]);            // y
+    out[i * 4 + 1] = double(e[1]);            // x
+    out[i * 4 + 2] = double(t);
+    out[i * 4 + 3] = 2.0 * p - 1.0;
+  }
+  return n;
+}
+
+// Returns number of events (or -1 on malformed header); out sized (len/8)*4.
+int64_t memev_decode_ncars(const uint8_t* buf, int64_t len, double* out) {
+  int64_t off = 0;
+  while (off < len && buf[off] == '%') {       // header lines (readline <=256)
+    int64_t j = off;
+    const int64_t cap = off + 256 < len ? off + 256 : len;
+    while (j < cap && buf[j] != '\n') ++j;
+    off = (j < cap) ? j + 1 : cap;
+  }
+  off += 2;                                    // 2 skip bytes
+  if (off > len) return -1;
+  const int64_t n = (len - off) / 8;
+  for (int64_t i = 0; i < n; ++i) {
+    const uint8_t* e = buf + off + i * 8;
+    uint32_t t, d;
+    std::memcpy(&t, e, 4);
+    std::memcpy(&d, e + 4, 4);
+    out[i * 4 + 0] = double(d & 0x3FFF);             // y
+    out[i * 4 + 1] = double((d >> 14) & 0x3FFF);     // x
+    out[i * 4 + 2] = double(t);
+    out[i * 4 + 3] = double((d >> 28) & 1);          // p in {0,1}
+  }
+  return n;
+}
+
+// ---------------------------------------------------------------------------
+// minimal .npy reader for little-endian C-order (N, 4) float32/float64
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct NpyInfo {
+  int64_t rows = -1;
+  int itemsize = 0;     // 4 or 8
+  int64_t data_off = 0;
+};
+
+bool parse_npy_header(const uint8_t* buf, int64_t len, NpyInfo* info) {
+  if (len < 10 || std::memcmp(buf, "\x93NUMPY", 6) != 0) return false;
+  const int major = buf[6];
+  int64_t hlen, hoff;
+  if (major == 1) {
+    uint16_t h;
+    std::memcpy(&h, buf + 8, 2);
+    hlen = h;
+    hoff = 10;
+  } else {
+    uint32_t h;
+    std::memcpy(&h, buf + 8, 4);
+    hlen = h;
+    hoff = 12;
+  }
+  if (hoff + hlen > len) return false;
+  std::string hdr(reinterpret_cast<const char*>(buf + hoff), size_t(hlen));
+  if (hdr.find("'fortran_order': True") != std::string::npos) return false;
+  if (hdr.find("<f8") != std::string::npos) info->itemsize = 8;
+  else if (hdr.find("<f4") != std::string::npos) info->itemsize = 4;
+  else return false;
+  auto sp = hdr.find("'shape':");
+  if (sp == std::string::npos) return false;
+  auto lp = hdr.find('(', sp);
+  if (lp == std::string::npos) return false;
+  long long rows = -1, cols = -1;
+  if (std::sscanf(hdr.c_str() + lp, "(%lld, %lld)", &rows, &cols) != 2)
+    return false;
+  if (cols != 4) return false;
+  info->rows = rows;
+  info->data_off = hoff + hlen;
+  return true;
+}
+
+bool read_file(const char* path, std::vector<uint8_t>* out) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  std::fseek(f, 0, SEEK_END);
+  const long sz = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  out->resize(size_t(sz));
+  const bool ok = std::fread(out->data(), 1, size_t(sz), f) == size_t(sz);
+  std::fclose(f);
+  return ok;
+}
+
+}  // namespace
+
+// Load one .npy event file into float32 (cap, 4) at out, applying
+// SliceRandomMaxEvs with the pre-sampled uniform fraction `slice_frac`
+// (start = floor(frac * (rows - cap + 1)) when rows > cap — identical
+// distribution to the reference's random window start). Also reports
+// (max_x + 1, max_y + 1) over the kept rows for per-sample logical extents.
+// Returns the number of valid rows written, or -1 on error.
+int64_t memev_load_npy_sliced(const char* path, double slice_frac,
+                              int64_t cap, float* out, int32_t* out_maxxy) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, &buf)) return -1;
+  NpyInfo info;
+  if (!parse_npy_header(buf.data(), int64_t(buf.size()), &info)) return -1;
+  const int64_t rows = info.rows;
+  int64_t start = 0, take = rows;
+  if (rows > cap) {
+    start = int64_t(slice_frac * double(rows - cap + 1));
+    if (start < 0) start = 0;
+    if (start > rows - cap) start = rows - cap;
+    take = cap;
+  }
+  const uint8_t* data = buf.data() + info.data_off;
+  if (info.itemsize == 8) {
+    const double* d = reinterpret_cast<const double*>(data) + start * 4;
+    for (int64_t i = 0; i < take * 4; ++i) out[i] = float(d[i]);
+  } else {
+    std::memcpy(out, reinterpret_cast<const float*>(data) + start * 4,
+                size_t(take) * 4 * sizeof(float));
+  }
+  for (int64_t i = take * 4; i < cap * 4; ++i) out[i] = 0.0f;
+  float mx = -1.0f, my = -1.0f;
+  for (int64_t i = 0; i < take; ++i) {
+    if (out[i * 4 + 0] > mx) mx = out[i * 4 + 0];
+    if (out[i * 4 + 1] > my) my = out[i * 4 + 1];
+  }
+  out_maxxy[0] = int32_t(mx) + 1;
+  out_maxxy[1] = int32_t(my) + 1;
+  return take;
+}
+
+// Threaded batch assembly: B paths -> (B, cap, 4) float32 + n_valid[B] +
+// per-sample (max_x+1, max_y+1) extents. slice_fracs holds host-sampled
+// U[0,1) fractions for the SliceRandomMaxEvs windows.
+// Returns 0 on success, else the 1-based index of the first failing item.
+int64_t memev_load_batch(const char** paths, const double* slice_fracs,
+                         int64_t batch, int64_t cap, int64_t num_threads,
+                         float* out_events, int32_t* out_nvalid,
+                         int32_t* out_maxxy) {
+  std::atomic<int64_t> next(0), failed(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t i = next.fetch_add(1);
+      if (i >= batch) return;
+      const int64_t n = memev_load_npy_sliced(
+          paths[i], slice_fracs[i], cap, out_events + i * cap * 4,
+          out_maxxy + i * 2);
+      if (n < 0) {
+        int64_t expect = 0;
+        failed.compare_exchange_strong(expect, i + 1);
+        out_nvalid[i] = 0;
+      } else {
+        out_nvalid[i] = int32_t(n);
+      }
+    }
+  };
+  if (num_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < num_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failed.load();
+}
+
+}  // extern "C"
