@@ -55,6 +55,7 @@ def build_preproc(args, is_train: bool, color_jitter: float = 0.0) -> PreprocCon
         gamma=float(args.gamma),
         normalize_events=bool(args.normalize_events),
         rand_aug=bool(args.rand_aug) and is_train,
+        rand_aug_batch_ops=bool(getattr(args, "rand_aug_batch_ops", 0)),
         color_jitter=color_jitter if is_train else 0.0,
     )
 

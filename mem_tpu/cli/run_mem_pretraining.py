@@ -96,6 +96,10 @@ def get_args(argv=None):
     p.add_argument("--auto_resume", type=int, default=1)
     p.add_argument("--wandb", type=int, default=0)
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of a few steps here")
+    p.add_argument("--rand_aug_batch_ops", type=int, default=0,
+                   help="batch-level RandAugment op choice (speed mode)")
     return p.parse_args(argv)
 
 
@@ -241,8 +245,12 @@ def main(argv=None):
     tb = TensorboardLogger(args.log_dir) if args.log_dir else None
     key = jax.random.key(args.seed + jax.process_index() + 1)
 
+    from mem_tpu.utils.profiling import StepTimer, trace
+
+    profiled = False
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger()
+        timer = StepTimer(args.batch_size)
         t0 = time.time()
         for step, batch in enumerate(
             logger.log_every(train_it.epoch(epoch), 10, f"Epoch: [{epoch}]",
@@ -250,10 +258,18 @@ def main(argv=None):
         ):
             key, sk = jax.random.split(key)
             b = shard_batch(batch, mesh)
-            if args.MAE:
-                params, opt_state, m = train_step(params, opt_state, b, sk)
-            else:
-                params, opt_state, m = train_step(params, opt_state, vae_params, b, sk)
+            do_trace = args.profile_dir and not profiled and step == 2
+            with trace(args.profile_dir if do_trace else None):
+                if args.MAE:
+                    params, opt_state, m = train_step(params, opt_state, b, sk)
+                else:
+                    params, opt_state, m = train_step(params, opt_state, vae_params, b, sk)
+                if do_trace:
+                    jax.block_until_ready(m)
+                    profiled = True
+            rate = timer.step()
+            if rate is not None and step % 50 == 0:
+                logger.update(samples_per_sec=rate)
             it = epoch * steps_per_epoch + step
             logger.update(loss=float(m["loss"]), lr=float(lr_sched[min(it, total_steps - 1)]))
             if not args.MAE:

@@ -67,6 +67,7 @@ def save_checkpoint(
 def load_checkpoint(path: str, template: Optional[Dict[str, Any]] = None):
     import json
 
+    path = os.path.abspath(path)  # orbax requires absolute paths
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
         arrays_t, _ = _split_meta(template)
