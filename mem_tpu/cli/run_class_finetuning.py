@@ -171,6 +171,25 @@ def main(argv=None):
         num_layers=args.transformer_depth, clip_grad=args.clip_grad,
         opt_eps=args.opt_eps,
     )
+    if args.freeze_backbone:
+        # linear probe (run_class_finetuning.py:464-471): only the head (and
+        # the probe BatchNorm, which has no trainable params here) updates —
+        # realized as a zero LR scale on every non-head leaf
+        from mem_tpu.train.optim import build_wd_mask_tree, scheduled_adamw
+
+        import jax.tree_util as jtu
+
+        scales = jtu.tree_map_with_path(
+            lambda p, _: 1.0 if any(
+                getattr(k, "key", None) == "head" for k in p
+            ) else 0.0,
+            params,
+        )
+        tx = scheduled_adamw(
+            as_schedule_fn(lr_sched), as_schedule_fn(wd_sched),
+            scales, build_wd_mask_tree(params),
+            clip_grad=args.clip_grad, eps=args.opt_eps,
+        )
     opt_state = tx.init(params)
     ema_params = jax.tree.map(lambda x: x.copy(), params) if args.model_ema else params
     params, opt_state = replicate(params, mesh), replicate(opt_state, mesh)
