@@ -1,0 +1,102 @@
+"""Config surface: flat .conf files bind onto multi-alias args like
+configargparse in the reference (SURVEY §5.6)."""
+import os
+
+from mem_tpu.utils.config import ConfigArgumentParser, get_config_value, parse_conf_file
+
+
+CONF = """
+# comment line
+expname = testexp
+vae_epochs = 7
+pt_lr = 1e-3
+class_batch_size = 64
+unknown_key = whatever
+masking = block
+rand_aug = 1
+"""
+
+
+def _write(tmp_path):
+    p = tmp_path / "t.conf"
+    p.write_text(CONF)
+    return str(p)
+
+
+def test_parse_conf_file(tmp_path):
+    conf = parse_conf_file(_write(tmp_path))
+    assert conf["expname"] == "testexp"
+    assert conf["vae_epochs"] == "7"
+    assert "# comment line" not in conf
+
+
+def test_alias_binding(tmp_path):
+    p = ConfigArgumentParser()
+    p.add_argument("--expname", type=str, default="")
+    p.add_argument("--epochs", "--vae_epochs", type=int, default=300)
+    p.add_argument("--lr", "--pt_lr", type=float, default=5e-4)
+    p.add_argument("--batch_size", "--class_batch_size", type=int, default=8)
+    p.add_argument("--masking", type=str, default="block")
+    args = p.parse_args(["--config", _write(tmp_path)])
+    # stage-prefixed conf keys bind onto the generic names
+    assert args.epochs == 7
+    assert args.lr == 1e-3
+    assert args.batch_size == 64
+    assert args.expname == "testexp"
+    # unknown keys tolerated (configargparse parse_known_args behavior)
+
+
+def test_cli_overrides_config(tmp_path):
+    p = ConfigArgumentParser()
+    p.add_argument("--epochs", "--vae_epochs", type=int, default=300)
+    args = p.parse_args(["--config", _write(tmp_path), "--epochs", "99"])
+    assert args.epochs == 99
+
+
+def test_shell_helper(tmp_path):
+    path = _write(tmp_path)
+    assert get_config_value(path, "pt_lr") == "1e-3"
+    assert get_config_value(path, "missing") is None
+
+
+def test_reference_conf_parses():
+    """The reference's shipped config keys all parse through our reader."""
+    conf = parse_conf_file("/root/repo/configs/ncaltech.conf")
+    assert conf["num_tokens"] == "8192"
+    assert conf["masking"] == "block"
+    assert conf["pt_batch_size"] == "512"
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    import numpy as np
+
+    from mem_tpu.utils.checkpoint import (
+        auto_resume,
+        latest_checkpoint,
+        load_checkpoint,
+        prune_checkpoints,
+        save_checkpoint,
+    )
+
+    payload = {
+        "params": {"w": rng.random((3, 3)).astype(np.float32)},
+        "epoch": 4,
+        "hparams": {"loss": "mse", "num_tokens": 32},
+    }
+    out = str(tmp_path)
+    save_checkpoint(out, 4, payload)
+    save_checkpoint(out, 9, payload | {"epoch": 9})
+    save_checkpoint(out, "final", payload)
+
+    assert latest_checkpoint(out).endswith("checkpoint-9")
+    got = load_checkpoint(os.path.join(out, "checkpoint-9"))
+    np.testing.assert_array_equal(got["params"]["w"], payload["params"]["w"])
+    assert got["hparams"]["loss"] == "mse"
+
+    restored, start = auto_resume(out, {"params": payload["params"], "epoch": 0})
+    assert start == 10
+
+    prune_checkpoints(out)
+    names = sorted(os.listdir(out))
+    assert "checkpoint-4" not in names
+    assert "checkpoint-9" in names and "checkpoint-final" in names
