@@ -76,6 +76,8 @@ def get_args(argv=None):
     p.add_argument("--mae_norm_pix_loss", type=int, default=0)
     p.add_argument("--mae_loss_only_masked", type=int, default=0)
     p.add_argument("--pretrained", type=int, default=0)
+    p.add_argument("--init_ckpt", type=str, default=None,
+                   help="local timm ViT checkpoint for --pretrained warm-start")
 
     p.add_argument("--epochs", "--pt_epochs", type=int, default=3000)
     p.add_argument("--batch_size", "--pt_batch_size", type=int, default=512)
@@ -207,6 +209,14 @@ def main(argv=None):
     else:
         dummy_mask = jnp.zeros((local_bs, window[0] * window[1]), bool)
         params = jax.jit(model.init)(rng, dummy_img, dummy_mask)
+    if args.pretrained and args.init_ckpt:
+        # timm ViT warm-start (run_mem_pretraining.py:194-222); local file
+        # because this environment is zero-egress
+        from mem_tpu.utils.timm_init import load_timm_state_dict, warm_start_from_timm
+
+        params = warm_start_from_timm(params, load_timm_state_dict(args.init_ckpt))
+        print(f"warm-started encoder from {args.init_ckpt}")
+
     n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
     print(f"model params: {n_params/1e6:.1f}M; steps/epoch {steps_per_epoch}")
 
