@@ -267,6 +267,42 @@ def _apply_op(img_f, op_idx, mag):
 # (EventRandAugmentEvs(no_geometric_trafos=True), dsec.py pipeline)
 _PHOTOMETRIC_IDS = jnp.array([0, 6, 7, 8, 9, 10, 11, 12, 13])
 
+# op indices (must match OP_NAMES/_OPS ordering)
+_ID, _SHX, _SHY, _TRX, _TRY, _ROT = 0, 1, 2, 3, 4, 5
+
+_PHOTO_OPS = _OPS[6:]  # Brightness..Equalize
+
+
+def _geometric_round(img, op_idx, mag, H, W):
+    """Apply whichever geometric op ``op_idx`` selects (identity for
+    photometric indices) as a SHARED x-pass -> y-pass -> x-pass pipeline.
+
+    Under vmap, a lax.switch runs every branch on the whole batch; five
+    separate warp branches cost 5x. But ShearX/Y, TranslateX/Y and the Paeth
+    3-shear Rotate are all compositions of at most three 1-D shift passes —
+    so one pipeline with op-dependent offset vectors covers them all at the
+    cost of a single rotate.
+    """
+    th = jnp.deg2rad(mag)
+    t_rot = jnp.tan(th / 2.0)
+    s_rot = -jnp.sin(th)
+    ic = _centered(H)
+    jc = _centered(W)
+
+    is_rot = op_idx == _ROT
+    x1 = jnp.where(op_idx == _SHX, mag, 0.0) * ic \
+        + jnp.where(is_rot, t_rot, 0.0) * ic \
+        + jnp.where(op_idx == _TRX, -jnp.trunc(mag), 0.0)
+    y1 = jnp.where(op_idx == _SHY, mag, 0.0) * jc \
+        + jnp.where(is_rot, s_rot, 0.0) * jc \
+        + jnp.where(op_idx == _TRY, -jnp.trunc(mag), 0.0)
+    x2 = jnp.where(is_rot, t_rot, 0.0) * ic
+
+    img = _shift_rows(img, x1)
+    img = _shift_cols(img, y1)
+    img = _shift_rows(img, x2)
+    return img
+
 
 def rand_augment(
     img_u8: jnp.ndarray,
@@ -291,7 +327,15 @@ def rand_augment(
         sign = jax.random.randint(k_sign, (), 0, 2)
         mag = table[op_idx, bin_idx]
         mag = jnp.where(_SIGNED[op_idx] & (sign == 1), -mag, mag)
-        img = _apply_op(img, op_idx, mag)
+        if geometric:
+            img = _geometric_round(img, op_idx, mag, H, W)
+            # photometric switch: geometric/identity indices map to identity
+            photo_idx = jnp.where(op_idx >= 6, op_idx - 6, len(_PHOTO_OPS))
+            img = jax.lax.switch(
+                photo_idx, list(_PHOTO_OPS) + [lambda im, m: im], img, mag
+            )
+        else:
+            img = _apply_op(img, op_idx, mag)
     # back to uint8 with truncation (torchvision .to(uint8))
     return jnp.clip(img, 0, 255).astype(jnp.uint8)
 
