@@ -71,6 +71,8 @@ def get_args(argv=None):
     p.add_argument("--weight_decay", "--class_weight_decay", type=float, default=5e-2)
     p.add_argument("--weight_decay_end", type=float, default=None)
     p.add_argument("--clip_grad", type=float, default=None)
+    p.add_argument("--opt", type=str, default="adamw")
+    p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--opt_eps", type=float, default=1e-8)
     p.add_argument("--smoothing", type=float, default=0.1)
     p.add_argument("--mixup", type=float, default=0.8)
@@ -169,7 +171,7 @@ def main(argv=None):
         params, as_schedule_fn(lr_sched), wd_schedule=as_schedule_fn(wd_sched),
         weight_decay=args.weight_decay, layer_decay=args.layer_decay,
         num_layers=args.transformer_depth, clip_grad=args.clip_grad,
-        opt_eps=args.opt_eps,
+        opt=args.opt, momentum=args.momentum, opt_eps=args.opt_eps,
     )
     if args.freeze_backbone:
         # linear probe (run_class_finetuning.py:464-471): only the head (and
@@ -250,9 +252,12 @@ def main(argv=None):
             # leading axis = update_freq micro-batches; shard the batch dim
             b = shard_batch(batch, mesh, axis_pos=1)
             params, opt_state, ema_params, m = train_step(params, opt_state, ema_params, b, sk)
-            if not math.isfinite(float(m["loss"])):
-                raise RuntimeError(f"non-finite loss at epoch {epoch} step {step}")
-            logger.update(loss=float(m["loss"]))
+            # sync metrics only periodically (device->host fetch = tunnel RTT)
+            if step % 10 == 0 or step == steps_per_epoch - 1:
+                lv = float(m["loss"])
+                if not math.isfinite(lv):
+                    raise RuntimeError(f"non-finite loss at epoch {epoch} step {step}")
+                logger.update(loss=lv)
             if run and step % 100 == 0:
                 run.log({"train/loss": float(m["loss"]),
                          "epoch": epoch, "step": epoch * steps_per_epoch + step})

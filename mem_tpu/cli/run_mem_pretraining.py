@@ -281,16 +281,21 @@ def main(argv=None):
             if rate is not None and step % 50 == 0:
                 logger.update(samples_per_sec=rate)
             it = epoch * steps_per_epoch + step
-            logger.update(loss=float(m["loss"]), lr=float(lr_sched[min(it, total_steps - 1)]))
-            if not args.MAE:
-                logger.update(mlm_acc=float(m["mlm_acc"]))
-            if not math.isfinite(float(m["loss"])):
-                raise RuntimeError(f"non-finite loss at step {it}")
-            if run and it % 100 == 0:
-                run.log({"train/loss": float(m["loss"]),
-                         "train/grad_norm": float(m["grad_norm"]), "step": it})
-            if tb and it % 100 == 0:
-                tb.update(head="train", step=it, loss=float(m["loss"]))
+            # fetch metrics only every print interval: a synchronous
+            # device->host read costs a full tunnel round trip (~30 ms) and
+            # would otherwise serialize every step
+            if it % 10 == 0 or step == steps_per_epoch - 1:
+                loss_v = float(m["loss"])
+                logger.update(loss=loss_v, lr=float(lr_sched[min(it, total_steps - 1)]))
+                if not args.MAE:
+                    logger.update(mlm_acc=float(m["mlm_acc"]))
+                if not math.isfinite(loss_v):
+                    raise RuntimeError(f"non-finite loss at step {it}")
+                if run and it % 100 == 0:
+                    run.log({"train/loss": loss_v,
+                             "train/grad_norm": float(m["grad_norm"]), "step": it})
+                if tb and it % 100 == 0:
+                    tb.update(head="train", step=it, loss=loss_v)
         sps = steps_per_epoch * args.batch_size / (time.time() - t0)
         print(f"epoch {epoch}: {sps:.1f} samples/sec "
               f"({sps / jax.device_count():.1f}/chip)")

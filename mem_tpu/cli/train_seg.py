@@ -221,7 +221,9 @@ def main(argv=None):
         params, batch_stats, opt_state, m = train_step(
             params, batch_stats, opt_state, shard_batch(batch, mesh), sk
         )
-        logger.update(loss=float(m["loss"]))
+        # sync metrics only periodically (device->host fetch = tunnel RTT)
+        if it % 10 == 0:
+            logger.update(loss=float(m["loss"]))
         if it % 50 == 0:
             ips = args.batch_size * 50 / max(time.time() - t0, 1e-9)
             print(f"iter {it}/{args.max_iters} loss {logger.meters['loss'].avg:.4f} "

@@ -149,7 +149,9 @@ def main(argv=None):
                 jnp.float32(sched.lr), jnp.float32(sched.temp), jnp.float32(args.clip),
             )
             sched.after_step(i)
-            logger.update(loss=float(metrics["loss"]), lr=sched.lr)
+            # sync metrics only periodically (device->host fetch = tunnel RTT)
+            if i % 10 == 0:
+                logger.update(loss=float(metrics["loss"]), lr=sched.lr)
             if run and i % 1000 == 0:
                 run.log({"epoch": epoch, "iter": i, "loss": float(metrics["loss"]),
                          "lr": sched.lr})

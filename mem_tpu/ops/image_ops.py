@@ -140,23 +140,36 @@ def normalize_event(img: jnp.ndarray) -> jnp.ndarray:
     return img * (ch * factor + (1 - ch))
 
 
-def remove_hot_pixels(img: jnp.ndarray, num_stds: float = 10.0) -> jnp.ndarray:
-    """Zero pos&neg at pixels where either count plane exceeds
-    mean + num_stds * std (RemoveHotPixels, transforms.py:249-275).
+def remove_hot_pixels(
+    img: jnp.ndarray,
+    num_stds: float = 10.0,
+    num_hot_pixels: int | None = None,
+) -> jnp.ndarray:
+    """Zero pos&neg at "hot" pixels (RemoveHotPixels, transforms.py:249-275).
 
-    Mean/std are joint over both planes; std uses Bessel's correction like
-    torch.std. The reference zeroes both planes at any flagged (h, w)
-    regardless of which plane triggered — preserved here. Per-sample over
-    (H, W, C).
+    Default mode: pixels where either count plane exceeds
+    mean + num_stds * std (mean/std joint over both planes, Bessel-corrected
+    like torch.std). Alternative top-k mode (``num_hot_pixels``): zero the k
+    largest values across the two flattened planes (the reference's argsort
+    branch) — expressed as a threshold at the k-th order statistic via
+    top_k. The reference zeroes both planes at any flagged (h, w) regardless
+    of which plane triggered — preserved here. Per-sample over (H, W, C).
     """
     pos = img[..., 0]
     neg = img[..., 2]
     both = jnp.stack([pos, neg], axis=-1)
-    n = both.shape[-3] * both.shape[-2] * 2
-    mean = jnp.mean(both, axis=(-3, -2, -1), keepdims=True)
-    var = jnp.sum((both - mean) ** 2, axis=(-3, -2, -1), keepdims=True) / (n - 1)
-    thr = (mean + num_stds * jnp.sqrt(var))[..., 0]
-    hot = (pos > thr) | (neg > thr)                       # (..., H, W)
+    if num_hot_pixels is not None:
+        flat = both.reshape(*both.shape[:-3], -1)
+        k = min(int(num_hot_pixels), flat.shape[-1])
+        kth = jax.lax.top_k(flat, k)[0][..., -1]
+        thr = kth[..., None, None] - 1e-30  # >= kth value counts as hot
+        hot = (pos >= thr) | (neg >= thr)
+    else:
+        n = both.shape[-3] * both.shape[-2] * 2
+        mean = jnp.mean(both, axis=(-3, -2, -1), keepdims=True)
+        var = jnp.sum((both - mean) ** 2, axis=(-3, -2, -1), keepdims=True) / (n - 1)
+        thr = (mean + num_stds * jnp.sqrt(var))[..., 0]
+        hot = (pos > thr) | (neg > thr)                   # (..., H, W)
     keep = (~hot)[..., None].astype(img.dtype)
     ch = _EVENT_CH.astype(img.dtype)
     return img * (keep * ch + (1 - ch))

@@ -163,6 +163,50 @@ def scheduled_adamw(
     return optax.GradientTransformation(init, update)
 
 
+class ScheduledSGDState(NamedTuple):
+    count: jnp.ndarray
+    momentum: optax.Updates
+
+
+def scheduled_sgd(
+    lr_schedule: Callable,
+    wd_schedule: Optional[Callable],
+    lr_scale_tree,
+    wd_mask_tree,
+    momentum: float = 0.9,
+    nesterov: bool = True,
+    clip_grad: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """torch.optim.SGD semantics: L2 folded into the gradient before the
+    momentum buffer; optional Nesterov (optim_factory.py sgd/nesterov/
+    momentum branches)."""
+
+    def init(params):
+        return ScheduledSGDState(
+            count=jnp.zeros([], jnp.int32),
+            momentum=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update(updates, state, params):
+        g = updates
+        if clip_grad is not None and clip_grad > 0:
+            gnorm = optax.global_norm(g)
+            factor = jnp.minimum(1.0, clip_grad / (gnorm + 1e-6))
+            g = jax.tree.map(lambda u: u * factor, g)
+        wd = wd_schedule(state.count) if wd_schedule is not None else 0.0
+        lr = lr_schedule(state.count)
+        g = jax.tree.map(lambda u, p, m: u + wd * m * p, g, params, wd_mask_tree)
+        buf = jax.tree.map(lambda b, u: momentum * b + u, state.momentum, g)
+        if nesterov:
+            d = jax.tree.map(lambda u, b: u + momentum * b, g, buf)
+        else:
+            d = buf
+        new = jax.tree.map(lambda dd, s: -lr * s * dd, d, lr_scale_tree)
+        return new, ScheduledSGDState(state.count + 1, buf)
+
+    return optax.GradientTransformation(init, update)
+
+
 def create_optimizer(
     params,
     lr_schedule,
@@ -170,30 +214,54 @@ def create_optimizer(
     weight_decay: float = 0.0,
     layer_decay: Optional[float] = None,
     num_layers: int = 12,
+    opt: str = "adamw",
     opt_betas=(0.9, 0.95),
     opt_eps: float = 1e-8,
+    momentum: float = 0.9,
     clip_grad: Optional[float] = None,
 ):
-    """create_optimizer surface (optim_factory.py:98-181, adamw path).
+    """create_optimizer surface (optim_factory.py:98-181).
 
-    ``wd_schedule`` overrides the constant ``weight_decay`` when given
-    (matching the reference's wd cosine array). Note the reference multiplies
-    no lr_scale into wd — wd is applied uniformly to decayed groups.
+    ``opt`` selects adamw (default; decoupled wd) | adam (L2-in-grad wd, the
+    torch Adam convention) | sgd/nesterov | momentum. ``wd_schedule``
+    overrides the constant ``weight_decay`` when given (the reference's wd
+    cosine array). The reference multiplies no lr_scale into wd — wd applies
+    uniformly to decayed groups.
     """
     lr_scales = build_lr_scale_tree(params, layer_decay, num_layers)
     wd_masks = build_wd_mask_tree(params)
     if wd_schedule is None:
         wd_schedule = (lambda step: weight_decay) if weight_decay else None
-    return scheduled_adamw(
-        lr_schedule,
-        wd_schedule,
-        lr_scales,
-        wd_masks,
-        b1=opt_betas[0],
-        b2=opt_betas[1],
-        eps=opt_eps,
-        clip_grad=clip_grad,
-    )
+    opt = opt.lower().split("_")[-1]
+    if opt in ("sgd", "nesterov", "momentum"):
+        return scheduled_sgd(
+            lr_schedule, wd_schedule, lr_scales, wd_masks,
+            momentum=momentum, nesterov=opt != "momentum", clip_grad=clip_grad,
+        )
+    if opt == "adam":
+        # torch Adam: wd as L2 in the gradient, not decoupled
+        base = scheduled_adamw(
+            lr_schedule, None, lr_scales, wd_masks,
+            b1=opt_betas[0], b2=opt_betas[1], eps=opt_eps, clip_grad=clip_grad,
+        )
+        if wd_schedule is None:
+            return base
+
+        def init(params):
+            return base.init(params)
+
+        def update(updates, state, params):
+            wd = wd_schedule(state.count)
+            g = jax.tree.map(lambda u, p, m: u + wd * m * p, updates, params, wd_masks)
+            return base.update(g, state, params)
+
+        return optax.GradientTransformation(init, update)
+    if opt == "adamw":
+        return scheduled_adamw(
+            lr_schedule, wd_schedule, lr_scales, wd_masks,
+            b1=opt_betas[0], b2=opt_betas[1], eps=opt_eps, clip_grad=clip_grad,
+        )
+    raise ValueError(f"unsupported optimizer {opt!r}")
 
 
 def grad_global_norm(grads):

@@ -121,3 +121,60 @@ def test_cosine_scheduler_matches_reference_shape():
     assert sched[13] <= 5e-4
     # cosine tail approaches final value
     assert abs(sched[-1] - 1e-5) < 5e-5
+
+
+def test_sgd_matches_torch(rng):
+    from mem_tpu.train.optim import create_optimizer
+
+    w = rng.standard_normal((4, 3)).astype(np.float32)
+    params = {"w": jnp.asarray(w)}
+    tx = create_optimizer(params, lambda s: 0.01, weight_decay=0.001, opt="nesterov")
+    state = tx.init(params)
+
+    tw = torch.nn.Parameter(torch.from_numpy(w.copy()))
+    topt = torch.optim.SGD([tw], lr=0.01, momentum=0.9, nesterov=True,
+                           weight_decay=0.001)
+    for _ in range(5):
+        gw = rng.standard_normal((4, 3)).astype(np.float32)
+        up, state = tx.update({"w": jnp.asarray(gw)}, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, up)
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(gw.copy())
+        topt.step()
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), atol=1e-6)
+
+
+def test_adam_l2_matches_torch(rng):
+    from mem_tpu.train.optim import create_optimizer
+
+    w = rng.standard_normal((4, 3)).astype(np.float32)
+    params = {"w": jnp.asarray(w)}
+    tx = create_optimizer(params, lambda s: 0.01, weight_decay=0.01, opt="adam",
+                          opt_betas=(0.9, 0.999))
+    state = tx.init(params)
+    tw = torch.nn.Parameter(torch.from_numpy(w.copy()))
+    topt = torch.optim.Adam([tw], lr=0.01, betas=(0.9, 0.999), eps=1e-8,
+                            weight_decay=0.01)
+    for _ in range(5):
+        gw = rng.standard_normal((4, 3)).astype(np.float32)
+        up, state = tx.update({"w": jnp.asarray(gw)}, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, up)
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(gw.copy())
+        topt.step()
+    np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), atol=2e-6)
+
+
+def test_hotpix_topk_mode(rng):
+    import jax.numpy as jnp2
+
+    from mem_tpu.ops.image_ops import remove_hot_pixels
+
+    img = np.zeros((8, 8, 3), np.float32)
+    img[..., 0] = rng.random((8, 8)) * 0.1
+    img[0, 0, 0] = 5.0
+    img[1, 1, 2] = 7.0
+    out = np.asarray(remove_hot_pixels(jnp2.asarray(img), num_hot_pixels=2))
+    assert out[0, 0, 0] == 0 and out[1, 1, 2] == 0
+    assert out[0, 0, 2] == 0 and out[1, 1, 0] == 0  # both planes zeroed
+    assert (out[..., 0] >= 0).sum() > 0
