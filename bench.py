@@ -37,21 +37,28 @@ def main():
     sample_h = np.full((B,), 180, np.int32)
     sample_w = np.full((B,), 240, np.int32)
 
-    f = jax.jit(
-        lambda e, nv, tf, xf, sh, shh, sww: voxelize_fused(
+    # NOTE: iterations are chained through a data dependency — repeated
+    # identical dispatches get deduped/cached somewhere in this stack and
+    # measure fantasy numbers (docs/PERF.md "methodology gotchas").
+    def step(e, nv, tf, xf, sh, shh, sww):
+        out = voxelize_fused(
             e, nv, H, W, time_flip=tf, x_flip=xf, shift_xy=sh,
             sample_H=shh, sample_W=sww,
         )
-    )
-    args = tuple(
+        e_next = e.at[0, 0, 2].add(out[0, 0, 0, 0].astype(jnp.float32) * 0.0)
+        return e_next, out
+
+    f = jax.jit(step, donate_argnums=(0,))
+    args = [
         jnp.asarray(a) for a in (events, n_valid, time_flip, x_flip, shift, sample_h, sample_w)
-    )
-    f(*args).block_until_ready()  # compile
+    ]
+    e, out = f(*args)
+    out.block_until_ready()  # compile
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = f(*args)
+        e, out = f(e, *args[1:])
     out.block_until_ready()
     dt = (time.perf_counter() - t0) / iters
     tpu_rate = B * N / dt
