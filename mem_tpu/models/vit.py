@@ -141,6 +141,7 @@ class Attention(nn.Module):
     init_std: float = 0.02
     trunc_sigmas: float = 2.0
     proj_scale: float = 1.0  # BEiT depth rescale on proj
+    fused: bool = True  # Pallas VMEM-resident attention (when dropout-free)
 
     @nn.compact
     def __call__(self, x, rel_pos_bias=None, deterministic: bool = True):
@@ -164,20 +165,46 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
 
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=jnp.float32)
-
+        bias = None
         if self.window_size is not None:
-            attn = attn + RelativePositionBias(
+            bias = RelativePositionBias(
                 self.window_size, self.num_heads, name="rel_pos"
-            )()[None]
+            )()
         if rel_pos_bias is not None:
-            attn = attn + rel_pos_bias[None].astype(attn.dtype)
+            bias = rel_pos_bias if bias is None else bias + rel_pos_bias
 
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_dropout, deterministic=deterministic)(attn)
+        from mem_tpu.ops import attention as _fa
 
-        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v)
-        out = out.reshape(B, N, all_head_dim)
+        use_fused = (
+            self.fused
+            and _fa.ENABLED
+            and self.attn_dropout == 0.0
+            and head_dim % 8 == 0
+            and N >= 8
+        )
+        if use_fused:
+            from mem_tpu.ops.attention import fused_attention
+
+            if bias is None:
+                bias = jnp.zeros((self.num_heads, N, N), jnp.float32)
+            qh = q.transpose(0, 2, 1, 3)
+            kh = k.transpose(0, 2, 1, 3)
+            vh = v.transpose(0, 2, 1, 3)
+            interpret = jax.devices()[0].platform == "cpu"
+            out = fused_attention(
+                qh, kh, vh, bias.astype(jnp.float32), float(scale), interpret
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, all_head_dim)
+        else:
+            attn = jnp.einsum(
+                "bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=jnp.float32
+            )
+            if bias is not None:
+                attn = attn + bias[None].astype(attn.dtype)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_dropout, deterministic=deterministic)(attn)
+            out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v)
+            out = out.reshape(B, N, all_head_dim)
         out = nn.Dense(
             self.dim,
             dtype=self.dtype,

@@ -1,0 +1,48 @@
+"""Fused attention kernel vs reference einsum attention (interpret mode)."""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mem_tpu.ops.attention import fused_attention
+
+
+def _ref_attn(q, k, v, bias, scale):
+    s = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k).astype(jnp.float32) + bias[None]
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", p.astype(q.dtype), v)
+
+
+def test_fused_attention_forward(rng):
+    B, H, N, D = 2, 3, 24, 8
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((H, N, N)) * 0.1, jnp.float32)
+    scale = D**-0.5
+    got = fused_attention(q, k, v, bias, scale, True)
+    want = _ref_attn(q, k, v, bias, scale)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_attention_grads(rng):
+    B, H, N, D = 2, 2, 16, 8
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((H, N, N)) * 0.1, jnp.float32)
+    t = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    scale = D**-0.5
+
+    def loss_fused(q, k, v, bias):
+        return jnp.sum(fused_attention(q, k, v, bias, scale, True) * t)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(_ref_attn(q, k, v, bias, scale) * t)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip("qkvb", g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, err_msg=f"d{name}"
+        )
