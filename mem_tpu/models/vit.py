@@ -180,7 +180,7 @@ class Attention(nn.Module):
             and _fa.ENABLED
             and self.attn_dropout == 0.0
             and head_dim % 8 == 0
-            and N >= 8
+            and 8 <= N <= 768  # bwd needs ~5 N^2 f32 VMEM tiles (16MB budget)
         )
         if use_fused:
             from mem_tpu.ops.attention import fused_attention
