@@ -16,9 +16,9 @@ import jax.numpy as jnp
 
 
 def _one_hot_smoothed(targets, num_classes, smoothing):
-    on = 1.0 - smoothing
+    # timm/torch convention: (1-eps) * onehot + eps/K (rows sum to 1)
     off = smoothing / num_classes
-    return jax.nn.one_hot(targets, num_classes) * (on - off) + off
+    return jax.nn.one_hot(targets, num_classes) * (1.0 - smoothing) + off
 
 
 def _rand_bbox(key, h, w, lam):

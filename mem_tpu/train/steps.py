@@ -159,9 +159,10 @@ def make_finetune_train_step(
         if targets.ndim == logits.ndim:       # soft targets (mixup)
             return -jnp.mean(jnp.sum(targets * jax.nn.log_softmax(logits, -1), -1))
         if smoothing > 0:
-            on = 1.0 - smoothing
+            # torch CrossEntropyLoss(label_smoothing) convention:
+            # (1-eps) * onehot + eps/K (rows sum to 1)
             off = smoothing / num_classes
-            t = jax.nn.one_hot(targets, num_classes) * (on - off) + off
+            t = jax.nn.one_hot(targets, num_classes) * (1.0 - smoothing) + off
             return -jnp.mean(jnp.sum(t * jax.nn.log_softmax(logits, -1), -1))
         lp = jnp.take_along_axis(
             jax.nn.log_softmax(logits, -1), targets[..., None], -1

@@ -1,0 +1,107 @@
+"""N-ImageNet pipeline path: structured-array loader, coordinate rescale,
+fixed extents, train random-crop preprocessing (datasets.py:611-660 imagenet
+branch)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture
+def imagenet_ds(tmp_path, rng):
+    root = tmp_path / "nimagenet"
+    for split in ("train", "val"):
+        for cls in ("n01", "n02"):
+            d = root / split / cls
+            d.mkdir(parents=True)
+            for i in range(3):
+                n = int(rng.integers(500, 900))
+                arr = np.zeros(n, dtype=[("x", "<u2"), ("y", "<u2"),
+                                         ("t", "<u4"), ("p", "u1")])
+                arr["x"] = rng.integers(0, 640, n)
+                arr["y"] = rng.integers(0, 480, n)
+                arr["t"] = np.sort(rng.integers(0, 10**6, n))
+                arr["p"] = rng.integers(0, 2, n)
+                np.save(d / f"s{i}.npy", arr)
+    return str(root)
+
+
+def _args(data_path):
+    import types
+
+    return types.SimpleNamespace(
+        data_path=data_path, slice_max_evs=2000, max_random_shift_evs=4,
+        input_H=224, input_W=224, timesurface=0, hotpixfilter=0,
+        hotpix_num_stds=10, logtrafo=0, gammatrafo=0, gamma=0.5,
+        normalize_events=1, rand_aug=0,
+    )
+
+
+def test_imagenet_loader_and_scaling(imagenet_ds, rng):
+    from mem_tpu.cli.common import build_pipeline, build_preproc, detect_dataset
+    from mem_tpu.data.device_pipeline import preprocess_batch
+
+    args = _args(imagenet_ds)
+    assert detect_dataset(imagenet_ds) == "nimagenet"
+
+    ds, it = build_pipeline(args, "train", True, batch_size=4, num_workers=0)
+    batch = next(iter(it.epoch(0)))
+    # train: coords scaled by 256/480; canvas (256, 342)
+    assert batch["events"].shape[2] == 4
+    assert batch["events"][..., 0].max() < 342
+    assert batch["events"][..., 1].max() < 256
+    # polarity remapped to ±1 by the loader
+    ps = batch["events"][..., 3][batch["events"][..., 3] != 0]
+    assert set(np.unique(ps)) <= {-1.0, 1.0}
+    assert (batch["sample_h"] == 256).all() and (batch["sample_w"] == 342).all()
+
+    pp = build_preproc(args, True)
+    assert not pp.resize_to_input and pp.random_crop
+    imgs = jax.jit(lambda b: preprocess_batch(b, pp, True))(
+        jax.tree.map(jnp.asarray, batch)
+    )
+    assert imgs.shape == (4, 224, 224, 3)
+
+    # val: exact rescale to 224x224
+    _, vit = build_pipeline(args, "val", False, batch_size=4, num_workers=0)
+    vb = next(iter(vit.epoch(0)))
+    assert vb["events"][..., 0].max() < 224
+    ppv = build_preproc(args, False)
+    vimgs = jax.jit(lambda b: preprocess_batch(b, ppv, False))(
+        jax.tree.map(jnp.asarray, vb)
+    )
+    assert vimgs.shape == (4, 224, 224, 3)
+    assert float(vimgs.max()) > 0  # events actually landed on the canvas
+
+
+def test_mixup_semantics(rng):
+    from mem_tpu.train.mixup import make_mixup
+
+    fn = make_mixup(num_classes=5, mixup_alpha=0.8, cutmix_alpha=1.0,
+                    prob=1.0, switch_prob=0.5, label_smoothing=0.1)
+    imgs = jnp.asarray(rng.random((6, 16, 16, 3)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 5, (6,)))
+    mixed, soft = fn(jax.random.key(0), imgs, labels)
+    assert mixed.shape == imgs.shape
+    assert soft.shape == (6, 5)
+    np.testing.assert_allclose(np.asarray(soft.sum(-1)), 1.0, rtol=1e-5)
+    # prob=0 disables
+    assert make_mixup(5, 0.8, 1.0, prob=0.0) is None
+
+def test_label_smoothing_matches_torch(rng):
+    torch = pytest.importorskip("torch")
+    from mem_tpu.train.steps import make_finetune_train_step  # noqa: F401
+    # directly test the smoothing convention used in the finetune CE
+    num_classes, smoothing = 5, 0.1
+    logits = rng.standard_normal((4, num_classes)).astype(np.float32)
+    targets = rng.integers(0, num_classes, (4,))
+    want = torch.nn.functional.cross_entropy(
+        torch.from_numpy(logits), torch.from_numpy(targets),
+        label_smoothing=smoothing,
+    ).item()
+    off = smoothing / num_classes
+    t = np.eye(num_classes)[targets] * (1 - smoothing) + off
+    logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    got = -np.mean(np.sum(t * logp, -1))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
