@@ -19,3 +19,36 @@ Design principles (TPU-first, not a port):
 """
 
 __version__ = "0.1.0"
+
+# Public API surface (lazy: importing mem_tpu must not pull in jax so the
+# native/decoder utilities stay usable in minimal host processes).
+__all__ = [
+    "create_model",
+    "voxelize_numpy",
+    "voxelize_jax",
+    "voxelize_fused",
+    "preprocess_batch",
+    "PreprocConfig",
+    "get_mesh",
+    "shard_batch",
+]
+
+
+def __getattr__(name):
+    if name == "create_model":
+        from mem_tpu.models import create_model
+
+        return create_model
+    if name in ("voxelize_numpy", "voxelize_jax", "voxelize_fused"):
+        from mem_tpu.ops import voxelize
+
+        return getattr(voxelize, name)
+    if name in ("preprocess_batch", "PreprocConfig"):
+        from mem_tpu.data import device_pipeline
+
+        return getattr(device_pipeline, name)
+    if name in ("get_mesh", "shard_batch"):
+        from mem_tpu import parallel
+
+        return getattr(parallel, name)
+    raise AttributeError(name)

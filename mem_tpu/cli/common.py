@@ -37,7 +37,12 @@ def build_preproc(args, is_train: bool, color_jitter: float = 0.0) -> PreprocCon
         else:
             canvas = (args.input_H, args.input_W)
         resize, crop = False, is_train
-    else:  # ncaltech101 / ncars: variable extents, ATIS coords < 256
+    elif ds == "ncars":
+        # N-Cars recordings are ~100x120 crops; a 128^2 canvas quarters the
+        # rasterization work vs the generic 256^2
+        canvas = (128, 128)
+        resize, crop = True, False
+    else:  # ncaltech101: variable extents, ATIS coords < 256
         canvas = (256, 256)
         resize, crop = True, False
     return PreprocConfig(
@@ -79,7 +84,7 @@ def build_pipeline(
     scale_xy = None
     fixed_hw = None
     sample_hw_from_data = True
-    canvas = (256, 256)
+    canvas = (128, 128) if ds == "ncars" else (256, 256)
     if ds == "nimagenet":
         sample_hw_from_data = False
         if is_train:
