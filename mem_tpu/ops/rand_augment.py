@@ -73,35 +73,38 @@ _SIGNED = jnp.array(
 # torchvision's fill=None.
 # ---------------------------------------------------------------------------
 
-_PAD = 128  # static bound: max |offset| (translate <= 150/331*224 ~ 102)
+_PAD = 112  # static bound: max |offset| (translate <= 150/331*224 ~ 102)
 
 
 def _shift_rows(img_f, offsets):
     """out[i, j] = img[i, j + offsets[i]] with 1-D bilinear interp and zero
     fill; offsets: (H,) float, |offsets| < _PAD.
 
-    The per-row integer shift is applied by binary decomposition: 9 static
-    rolls (1, 2, 4, ... 256) each taken per-row where the corresponding bit
-    of the shift is set. Rolls and selects are pure VPU elementwise traffic —
+    The per-row integer shift is applied by binary decomposition: 8 static
+    rolls (1, 2, ... 128) each taken per-row where the corresponding bit of
+    the shift is set. Rolls and selects are pure VPU elementwise traffic —
     no gathers, no dynamic slices — which is the fastest way to express a
-    data-dependent permutation this structured on a TPU.
+    data-dependent permutation this structured on a TPU. The chain runs in
+    bf16: pixel values 0..255 are exact in bf16 (8 mantissa bits); only the
+    final fractional lerp rounds, inside RandAugment's statistical-parity
+    domain.
     """
     H, W, C = img_f.shape
-    padded = jnp.pad(img_f, ((0, 0), (_PAD, _PAD), (0, 0)))
+    padded = jnp.pad(img_f.astype(jnp.bfloat16), ((0, 0), (_PAD, _PAD), (0, 0)))
     n = jnp.floor(offsets).astype(jnp.int32)
     f = (offsets - n)[:, None, None]
-    m = jnp.clip(n + _PAD, 0, 2 * _PAD)       # left-shift amount in [0, 256]
+    m = jnp.clip(n + _PAD, 0, 2 * _PAD)       # left-shift amount in [0, 224]
 
     cur = padded
-    for b in range(9):                         # 2^9 - 1 >= 256
+    for b in range(8):                         # 2^8 - 1 >= 224
         amt = 1 << b
         rolled = jnp.roll(cur, -amt, axis=1)
         bit = ((m >> b) & 1).astype(bool)[:, None, None]
         cur = jnp.where(bit, rolled, cur)
     # rows shifted so that cur[i, j] = padded[i, j + m_i]; wraparound cannot
     # contaminate [0, W): j + m_i <= W - 1 + 2*_PAD < W + 2*_PAD.
-    a = cur[:, :W]
-    b2 = jnp.roll(cur, -1, axis=1)[:, :W]
+    a = cur[:, :W].astype(jnp.float32)
+    b2 = jnp.roll(cur, -1, axis=1)[:, :W].astype(jnp.float32)
     return a * (1 - f) + b2 * f
 
 
