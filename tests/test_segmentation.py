@@ -109,3 +109,17 @@ def test_seg_train_smoke(synth_seg_dataset, tmp_path):
         "--auto_resume", "0", "--dtype", "float32",
     ])
     assert os.path.isdir(os.path.join(out, "checkpoint-final"))
+
+    # eval CLI on the trained checkpoint (tools/test.py surface)
+    from mem_tpu.cli.test_seg import main as test_main
+
+    test_main([
+        "--data_root", synth_seg_dataset,
+        "--checkpoint", os.path.join(out, "checkpoint-final"),
+        "--num_classes", "3",
+        "--seg_input_size", "64", "--embed_dim", "32", "--depth", "2",
+        "--num_heads", "2", "--batch_size", "8",
+        "--slice_max_evs", "5000", "--dtype", "float32",
+        "--save_dir", str(tmp_path / "preds"),
+    ])
+    assert len(os.listdir(tmp_path / "preds")) == 2  # two val frames dumped
