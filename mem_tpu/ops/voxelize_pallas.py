@@ -70,12 +70,9 @@ def voxelize_pallas_planes(
 ) -> jnp.ndarray:
     """Returns (B, H, 2W) f32 count planes [pos | neg]."""
     B, N = xs.shape
-    pads = []
-    if N % chunk != 0:
-        pads.append(((0, 0), (0, chunk - N % chunk)))
     B_pad = (-B) % _BGROUP
-    if B_pad or pads:
-        pad_n = (chunk - N % chunk) % chunk
+    pad_n = (chunk - N % chunk) % chunk
+    if B_pad or pad_n:
         xs = jnp.pad(xs, ((0, B_pad), (0, pad_n)))
         ys = jnp.pad(ys, ((0, B_pad), (0, pad_n)))
         wpos = jnp.pad(wpos, ((0, B_pad), (0, pad_n)))

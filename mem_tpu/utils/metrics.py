@@ -123,7 +123,7 @@ class TensorboardLogger:
         try:
             from torch.utils.tensorboard import SummaryWriter  # torch cpu is in-image
 
-            self.writer = SummaryWriter(logdir=log_dir) if False else SummaryWriter(log_dir)
+            self.writer = SummaryWriter(log_dir)
         except Exception:
             self.writer = None
 
