@@ -24,25 +24,31 @@ import jax.numpy as jnp
 # Resize (torchvision Resize(bilinear, antialias=True) semantics)
 # ---------------------------------------------------------------------------
 
-def _triangle_resize_matrix(out_size: int, src_size: int, src_extent, dtype=jnp.float32):
+def _triangle_resize_matrix(out_size: int, src_size: int, src_extent,
+                            src_offset=0.0, dtype=jnp.float32):
     """(out_size, src_size) resampling matrix with triangle (linear) filter.
 
     ``src_extent`` may be a traced scalar <= src_size: the logical source
-    length occupying ``[0, src_extent)`` of the padded static canvas.
+    length occupying ``[src_offset, src_offset + src_extent)`` of the padded
+    static canvas (``src_offset`` enables fused dynamic crops).
     Antialiasing follows the torch/PIL convention: the filter is stretched by
     ``max(scale, 1)`` so downscaling low-passes and upscaling is plain
     bilinear. Rows are normalized to sum 1 (edge handling identical to
     torch's `antialias=True`).
     """
     src_extent = jnp.asarray(src_extent, dtype=jnp.float32)
+    src_offset = jnp.asarray(src_offset, dtype=jnp.float32)
     scale = src_extent / out_size                        # src pixels per out pixel
     fscale = jnp.maximum(scale, 1.0)
-    out_centers = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale  # in src coords
+    out_centers = src_offset + (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale
     src_centers = jnp.arange(src_size, dtype=jnp.float32) + 0.5
     dist = jnp.abs(out_centers[:, None] - src_centers[None, :]) / fscale
     w = jnp.maximum(0.0, 1.0 - dist)
-    # zero out taps beyond the logical extent (padded canvas region)
-    w = w * (src_centers[None, :] < src_extent)
+    # zero out taps beyond the logical window
+    inside = (src_centers[None, :] >= src_offset) & (
+        src_centers[None, :] < src_offset + src_extent
+    )
+    w = w * inside
     w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-12)
     return w.astype(dtype)
 
@@ -84,6 +90,53 @@ def resize_bilinear_batch(imgs, out_h, out_w, src_hs=None, src_ws=None):
     return jax.vmap(lambda im, sh, sw: resize_bilinear(im, out_h, out_w, sh, sw))(
         imgs, src_hs, src_ws
     )
+
+
+def random_resized_crop(
+    img: jnp.ndarray,
+    key: jax.Array,
+    out_h: int,
+    out_w: int,
+    scale=(0.08, 1.0),
+    ratio=(3.0 / 4.0, 4.0 / 3.0),
+) -> jnp.ndarray:
+    """torchvision RandomResizedCrop semantics, jittable (the role of the
+    reference's RandomResizedCropAndInterpolationWithTwoPic on the real-image
+    IMNET path, mem/transforms.py:73-187).
+
+    10 vectorized attempts sample (area, log-aspect); the first in-bounds
+    attempt wins, else the torchvision center-crop fallback. The crop+resize
+    itself is the fused dynamic-window matmul resample (no gathers).
+    """
+    H, W, _ = img.shape
+    k_area, k_ar, k_pos = jax.random.split(key, 3)
+    area = H * W * jax.random.uniform(k_area, (10,), minval=scale[0], maxval=scale[1])
+    log_r = jax.random.uniform(
+        k_ar, (10,), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+    )
+    ar = jnp.exp(log_r)
+    ws = jnp.sqrt(area * ar)
+    hs = jnp.sqrt(area / ar)
+    ok = (ws <= W) & (hs <= H)
+    first = jnp.argmax(ok)                      # first valid attempt (or 0)
+    any_ok = jnp.any(ok)
+
+    # fallback: center crop at clamped aspect (torchvision RandomResizedCrop)
+    in_ratio = W / H
+    fb_w = jnp.where(in_ratio < ratio[0], W, jnp.where(in_ratio > ratio[1], H * ratio[1], W))
+    fb_h = jnp.where(in_ratio < ratio[0], W / ratio[0], jnp.where(in_ratio > ratio[1], H, H))
+
+    crop_w = jnp.where(any_ok, ws[first], fb_w)
+    crop_h = jnp.where(any_ok, hs[first], fb_h)
+    u, v = jax.random.uniform(k_pos, (2,))
+    top = jnp.where(any_ok, u * (H - crop_h), (H - crop_h) / 2.0)
+    left = jnp.where(any_ok, v * (W - crop_w), (W - crop_w) / 2.0)
+
+    wy = _triangle_resize_matrix(out_h, H, crop_h, top)
+    wx = _triangle_resize_matrix(out_w, W, crop_w, left)
+    out = jnp.einsum("oh,hwc->owc", wy, img.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("pw,owc->opc", wx, out, precision=jax.lax.Precision.HIGHEST)
 
 
 # ---------------------------------------------------------------------------

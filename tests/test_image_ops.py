@@ -111,3 +111,35 @@ def test_random_crop(rng):
     img = jnp.asarray(_rand_img(rng, 40, 50))
     out = np.asarray(I.random_crop(img, 5, 7, 32, 32))
     np.testing.assert_array_equal(out, np.asarray(img)[5:37, 7:39])
+
+
+def test_random_resized_crop(rng):
+    import jax
+
+    from mem_tpu.ops.image_ops import random_resized_crop
+
+    img = jnp.asarray(_rand_img(rng, 100, 120))
+    out = random_resized_crop(img, jax.random.key(0), 64, 64)
+    assert out.shape == (64, 64, 3)
+    # values bounded by the source range (convex resampling weights)
+    assert float(out.min()) >= -1e-5
+    assert float(out.max()) <= float(img.max()) + 1e-5
+    # different keys -> different crops
+    out2 = random_resized_crop(img, jax.random.key(1), 64, 64)
+    assert np.abs(np.asarray(out) - np.asarray(out2)).max() > 1e-3
+
+
+def test_crop_window_resize_matches_explicit_crop(rng):
+    """The fused dynamic-window resample equals slicing then resizing."""
+    from mem_tpu.ops.image_ops import _triangle_resize_matrix
+
+    img = _rand_img(rng, 80, 80)
+    top, left, ch, cw = 10, 20, 40, 50
+    wy = np.asarray(_triangle_resize_matrix(32, 80, ch, top))
+    wx = np.asarray(_triangle_resize_matrix(32, 80, cw, left))
+    got = np.einsum("oh,hwc->owc", wy, img)
+    got = np.einsum("pw,owc->opc", wx, got)
+
+    crop = img[top : top + ch, left : left + cw]
+    want = np.asarray(I.resize_bilinear(jnp.asarray(crop.copy()), 32, 32))
+    np.testing.assert_allclose(got, want, atol=1e-4)
