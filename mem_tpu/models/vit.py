@@ -32,6 +32,35 @@ import jax.numpy as jnp
 # checkpoint-import parity.
 QKV_WEIGHT_SLICE = True
 
+# LayerNorm implementation: True = FusedLayerNorm (bf16 IO, f32 statistics,
+# one fused pass); False = flax nn.LayerNorm(dtype=f32) + explicit cast.
+# Identical math (f32 mean/var, eps 1e-6); only intermediate materialization
+# differs.
+LN_FAST = True
+
+
+class FusedLayerNorm(nn.Module):
+    """LayerNorm with bf16 in/out and f32 statistics.
+
+    flax's LayerNorm(dtype=f32) materializes an f32 copy of the (B, N, D)
+    stream before and after each of the 24 norms in a ViT-B step; computing
+    the f32 reduction inline and emitting the input dtype lets XLA keep the
+    stream in bf16 end to end.
+    """
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        m = jnp.mean(xf, axis=-1, keepdims=True)
+        d = xf - m
+        v = jnp.mean(d * d, axis=-1, keepdims=True)
+        y = d * jax.lax.rsqrt(v + self.epsilon) * scale + bias
+        return y.astype(x.dtype)
+
 
 def trunc_normal_init(std: float, trunc_sigmas: float = 2.0):
     """Truncated-normal initializer. ``trunc_sigmas`` is the truncation bound
@@ -263,7 +292,10 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, rel_pos_bias=None, deterministic: bool = True):
-        ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name=name)
+        if LN_FAST:
+            ln = lambda name: FusedLayerNorm(name=name)
+        else:
+            ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name=name)
         attn_out = Attention(
             self.dim,
             self.num_heads,
