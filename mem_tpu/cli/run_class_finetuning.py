@@ -26,6 +26,7 @@ from mem_tpu.train.schedules import as_schedule_fn, cosine_scheduler
 from mem_tpu.train.steps import make_finetune_eval_step, make_finetune_train_step
 from mem_tpu.utils.checkpoint import auto_resume, load_checkpoint, save_checkpoint
 from mem_tpu.utils.config import ConfigArgumentParser
+from mem_tpu.data.prefetch import prefetch
 from mem_tpu.utils.metrics import MetricLogger, maybe_wandb
 
 
@@ -242,7 +243,7 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger()
         t0 = time.time()
-        micro_iter = iter(train_it.epoch(epoch))
+        micro_iter = prefetch(train_it.epoch(epoch))
         for step in range(steps_per_epoch):
             micros = [next(micro_iter) for _ in range(args.update_freq)]
             batch = {

@@ -37,6 +37,7 @@ from mem_tpu.train.steps import (
 )
 from mem_tpu.utils.checkpoint import auto_resume, load_checkpoint, save_checkpoint
 from mem_tpu.utils.config import ConfigArgumentParser
+from mem_tpu.data.prefetch import prefetch
 from mem_tpu.utils.metrics import MetricLogger, TensorboardLogger, maybe_wandb
 
 
@@ -102,6 +103,8 @@ def get_args(argv=None):
                    help="write a jax.profiler trace of a few steps here")
     p.add_argument("--rand_aug_batch_ops", type=int, default=0,
                    help="batch-level RandAugment op choice (speed mode)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree over a 'model' mesh axis")
     return p.parse_args(argv)
 
 
@@ -162,7 +165,7 @@ def main(argv=None):
     args = get_args(argv)
     init_distributed()
     os.makedirs(args.output_dir, exist_ok=True)
-    mesh = get_mesh()
+    mesh = get_mesh(tp=args.tp)
     nproc = jax.process_count()
     local_bs = args.batch_size // nproc
 
@@ -229,7 +232,12 @@ def main(argv=None):
         opt_eps=args.opt_eps,
     )
     opt_state = tx.init(params)
-    params, opt_state = replicate(params, mesh), replicate(opt_state, mesh)
+    if args.tp > 1:
+        from mem_tpu.parallel.mesh import shard_params
+
+        params, opt_state = shard_params(params, mesh), shard_params(opt_state, mesh)
+    else:
+        params, opt_state = replicate(params, mesh), replicate(opt_state, mesh)
 
     if args.MAE:
         train_step = make_mae_train_step(model, tx, preproc_train)
@@ -263,7 +271,7 @@ def main(argv=None):
         timer = StepTimer(args.batch_size)
         t0 = time.time()
         for step, batch in enumerate(
-            logger.log_every(train_it.epoch(epoch), 10, f"Epoch: [{epoch}]",
+            logger.log_every(prefetch(train_it.epoch(epoch)), 10, f"Epoch: [{epoch}]",
                              total=steps_per_epoch)
         ):
             key, sk = jax.random.split(key)

@@ -34,6 +34,7 @@ from mem_tpu.parallel import get_mesh, init_distributed, replicate, shard_batch
 from mem_tpu.train.optim import build_lr_scale_tree, build_wd_mask_tree, scheduled_adamw
 from mem_tpu.utils.checkpoint import auto_resume, load_checkpoint, save_checkpoint
 from mem_tpu.utils.config import ConfigArgumentParser
+from mem_tpu.data.prefetch import prefetch
 from mem_tpu.utils.metrics import MetricLogger
 
 
@@ -214,7 +215,7 @@ def main(argv=None):
     logger = MetricLogger()
     key = jax.random.key(args.seed + 7)
     t0 = time.time()
-    for it, batch in enumerate(train_it.batches(start_iter), start=start_iter):
+    for it, batch in enumerate(prefetch(train_it.batches(start_iter)), start=start_iter):
         if it >= args.max_iters:
             break
         key, sk = jax.random.split(key)

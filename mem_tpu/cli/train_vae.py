@@ -25,6 +25,7 @@ from mem_tpu.train.schedules import VaeAnnealState
 from mem_tpu.train.steps import make_vae_eval_step, make_vae_train_step
 from mem_tpu.utils.checkpoint import auto_resume, save_checkpoint
 from mem_tpu.utils.config import ConfigArgumentParser
+from mem_tpu.data.prefetch import prefetch
 from mem_tpu.utils.metrics import MetricLogger, maybe_wandb
 
 
@@ -139,7 +140,7 @@ def main(argv=None):
         logger = MetricLogger()
         t0 = time.time()
         for i, batch in enumerate(
-            logger.log_every(train_it.epoch(epoch), 10, f"Epoch: [{epoch}]",
+            logger.log_every(prefetch(train_it.epoch(epoch)), 10, f"Epoch: [{epoch}]",
                              total=train_it.steps_per_epoch())
         ):
             key, sk = jax.random.split(key)

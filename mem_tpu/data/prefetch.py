@@ -1,0 +1,39 @@
+"""Background-thread batch prefetching.
+
+The host work per batch (npy reads + padding + mask generation) runs
+concurrently with the device step: the training loop consumes batch i while
+the loader thread prepares i+1..i+depth. With libmemev doing the heavy IO in
+C threads, a depth of 2 fully hides host time behind the ~250 ms device step.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterable, Iterator
+
+_SENTINEL = object()
+
+
+def prefetch(it: Iterable, depth: int = 2) -> Iterator:
+    """Wrap an iterator, materializing up to ``depth`` items ahead in a
+    daemon thread. Exceptions propagate to the consumer."""
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # propagate into the consuming thread
+            q.put(("__prefetch_error__", e))
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
+            raise item[1]
+        yield item

@@ -34,9 +34,56 @@ def init_distributed() -> None:
         jax.distributed.initialize()
 
 
-def get_mesh(axis_name: str = "data", devices=None) -> Mesh:
+def get_mesh(axis_name: str = "data", devices=None, tp: int = 1) -> Mesh:
+    """1-D data mesh by default; ``tp > 1`` adds a 'model' axis for
+    Megatron-style tensor parallelism (see tp_param_specs)."""
     devices = np.asarray(devices if devices is not None else jax.devices())
+    if tp > 1:
+        assert devices.size % tp == 0, (devices.size, tp)
+        return Mesh(devices.reshape(-1, tp), (axis_name, "model"))
     return Mesh(devices.reshape(-1), (axis_name,))
+
+
+def tp_param_specs(params):
+    """PartitionSpec tree for Megatron-style tensor parallelism over the
+    'model' axis: the per-block fan-out weights (qkv, mlp.fc1) shard their
+    output dimension, the fan-in weights (attn.proj, mlp.fc2) shard their
+    input dimension, activations stay replicated at block boundaries — GSPMD
+    inserts the single all-reduce per block half. Everything else (embeds,
+    norms, heads, biases of fan-in layers) is replicated.
+
+    Exceeds the reference's parallelism surface (DP only, SURVEY §2.8); at
+    ViT-B scale this is optional headroom, validated via the dp x tp dryrun.
+    """
+
+    def spec(path, leaf):
+        names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
+        joined = "/".join(str(n) for n in names)
+        nd = getattr(leaf, "ndim", 0)
+        if "attn" in names and names[-1] == "qkv_kernel":
+            return P(None, "model")
+        if names[-1] in ("q_bias", "v_bias"):
+            return P("model")
+        if "attn" in names and "proj" in names and names[-1] == "kernel":
+            return P("model", None)
+        if "fc1" in names and names[-1] == "kernel":
+            return P(None, "model")
+        if "fc1" in names and names[-1] == "bias":
+            return P("model")
+        if "fc2" in names and names[-1] == "kernel":
+            return P("model", None)
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def shard_params(params, mesh: Mesh, specs=None):
+    """Place params on the mesh with the given (or TP-derived) spec tree."""
+    if specs is None:
+        specs = tp_param_specs(params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data", axis_pos: int = 0):
