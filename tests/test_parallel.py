@@ -106,3 +106,28 @@ def test_train_step_runs_sharded(rng):
     assert np.isfinite(float(metrics["loss"]))
     assert np.isfinite(float(metrics["mlm_acc"]))
     assert float(metrics["grad_norm"]) > 0
+
+
+def test_event_axis_sharding_psums_histograms(rng):
+    """SCALING.md claim: if event streams exceed one chip, shard the EVENT
+    axis across the mesh — the histogram contraction reduces over events, so
+    XLA inserts the psum and the result matches replicated execution."""
+    import jax.numpy as jnp
+
+    from mem_tpu.ops.voxelize import voxelize_jax
+
+    mesh = get_mesh()
+    N, H, W = 4096, 32, 32
+    ev = np.zeros((N, 4), np.float32)
+    ev[:, 0] = rng.integers(0, W, N)
+    ev[:, 1] = rng.integers(0, H, N)
+    ev[:, 3] = rng.choice([-1.0, 1.0], N)
+
+    want = np.asarray(voxelize_jax(jnp.asarray(ev), H, W))
+
+    ev_sharded = jax.device_put(
+        jnp.asarray(ev), NamedSharding(mesh, P("data", None))
+    )
+    got = jax.jit(lambda e: voxelize_jax(e, H, W))(ev_sharded)
+    # output lives across the mesh; gather and compare
+    np.testing.assert_array_equal(np.asarray(got), want)
