@@ -114,6 +114,7 @@ def build_pipeline(
         masking=masking,
         window_size=window_size,
         num_mask_patches=getattr(args, "num_mask_patches", 98),
+        mask_pool_size=getattr(args, "mask_pool_size", 0),
         min_mask_patches_per_block=getattr(args, "min_mask_patches_per_block", 16),
         max_mask_patches_per_block=getattr(args, "max_mask_patches_per_block", None),
         seed=seed,

@@ -46,6 +46,7 @@ class PipelineConfig:
     scale_xy: Optional[tuple] = None        # (sx, sy) applied to x,y columns
     # masking (pretraining only)
     masking: Optional[str] = None           # block | random | None
+    mask_pool_size: int = 0                 # >0: pre-generate and sample masks
     window_size: tuple = (14, 14)
     num_mask_patches: int = 98
     min_mask_patches_per_block: int = 16
@@ -67,6 +68,7 @@ class EventBatchIterator:
         self.ds = dataset
         self.cfg = config
         self.mask_gen = None
+        self._mask_pool = None
         if config.masking:
             self.mask_gen = make_mask_generator(
                 config.masking,
@@ -75,6 +77,15 @@ class EventBatchIterator:
                 min_num_patches=config.min_mask_patches_per_block,
                 max_num_patches=config.max_mask_patches_per_block,
             )
+            if config.mask_pool_size > 0:
+                # pre-generated mask pool (SURVEY §7): the BEiT rejection loop
+                # is the host loader's hot spot on weak cores; sampling from a
+                # large fixed pool is statistically equivalent for training
+                pool_rng = np.random.default_rng((config.seed, 0x3A5C))
+                self._mask_pool = np.stack([
+                    self.mask_gen(pool_rng).reshape(-1).astype(bool)
+                    for _ in range(config.mask_pool_size)
+                ])
         self._pool = (
             cf.ThreadPoolExecutor(config.num_workers)
             if config.num_workers > 0
@@ -151,8 +162,13 @@ class EventBatchIterator:
         # seed for all on-chip per-sample randomness (crop/RandAugment/jitter)
         out["aug_seed"] = rng.integers(0, 2**31 - 1, dtype=np.int64).astype(np.uint32)
         if self.mask_gen is not None:
-            out["mask"] = self.mask_gen(rng).reshape(-1).astype(bool)
+            out["mask"] = self._sample_mask(rng)
         return out
+
+    def _sample_mask(self, rng: np.random.Generator) -> np.ndarray:
+        if self._mask_pool is not None:
+            return self._mask_pool[int(rng.integers(0, len(self._mask_pool)))]
+        return self.mask_gen(rng).reshape(-1).astype(bool)
 
     def _collate(self, items):
         cap = self.cfg.slice_max_evs
@@ -234,9 +250,7 @@ class EventBatchIterator:
             ]),
         }
         if self.mask_gen is not None:
-            batch["mask"] = np.stack(
-                [self.mask_gen(r).reshape(-1).astype(bool) for r in rngs]
-            )
+            batch["mask"] = np.stack([self._sample_mask(r) for r in rngs])
         return batch
 
     def epoch(self, epoch: int) -> Iterator[dict]:

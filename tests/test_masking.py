@@ -60,3 +60,33 @@ def test_random_masking_exact_count_and_quirk(rng):
 def test_factory():
     assert isinstance(make_mask_generator("block", 14, 98), BlockMaskingGenerator)
     assert isinstance(make_mask_generator("random", 14, 98), RandomMaskingGenerator)
+
+
+def test_mask_pool_sampling(tmp_path, rng):
+    import numpy as np
+
+    from mem_tpu.data.folder import NpyFolder
+    from mem_tpu.data.pipeline import EventBatchIterator, PipelineConfig
+
+    d = tmp_path / "caltech" / "train" / "a"
+    d.mkdir(parents=True)
+    for i in range(4):
+        ev = np.zeros((100, 4))
+        ev[:, 0] = rng.integers(0, 32, 100)
+        ev[:, 1] = rng.integers(0, 32, 100)
+        ev[:, 3] = 1.0
+        np.save(d / f"s{i}.npy", ev)
+
+    ds = NpyFolder(str(tmp_path / "caltech" / "train"))
+    it = EventBatchIterator(ds, PipelineConfig(
+        batch_size=4, slice_max_evs=200, masking="block",
+        window_size=(4, 4), num_mask_patches=8,
+        min_mask_patches_per_block=2, mask_pool_size=16, num_workers=0,
+    ))
+    assert it._mask_pool.shape == (16, 16)
+    batch = next(iter(it.epoch(0)))
+    assert batch["mask"].shape == (4, 16)
+    # every sampled mask comes from the pool
+    pool = {m.tobytes() for m in it._mask_pool}
+    for m in batch["mask"]:
+        assert m.tobytes() in pool
