@@ -8,7 +8,6 @@ reference payload; eval every 25 epochs reports recon loss + codebook usage.
 """
 from __future__ import annotations
 
-import math
 import os
 import time
 

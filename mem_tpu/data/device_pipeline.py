@@ -21,8 +21,6 @@ datasets.py:34-38) — so this returns ONE image used for both.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -17,8 +17,7 @@ behavior on top of stdlib argparse:
 from __future__ import annotations
 
 import argparse
-import shlex
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 
 def parse_conf_file(path: str) -> Dict[str, str]:
