@@ -142,11 +142,11 @@ class EvBEiT(nn.Module):
 
         # FPN necks (mem.py:332-360, patch_size==16 branch)
         d = self.embed_dim
-        f1 = TorchConvTranspose(d, kernel_size=2, stride=2, padding=0, name="fpn1_deconv1")(taps[0])
+        f1 = TorchConvTranspose(d, kernel_size=2, stride=2, padding=0, dtype=self.dtype, name="fpn1_deconv1")(taps[0])
         f1 = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="fpn1_bn")(f1)
         f1 = nn.gelu(f1, approximate=False)
-        f1 = TorchConvTranspose(d, kernel_size=2, stride=2, padding=0, name="fpn1_deconv2")(f1)
-        f2 = TorchConvTranspose(d, kernel_size=2, stride=2, padding=0, name="fpn2_deconv")(taps[1])
+        f1 = TorchConvTranspose(d, kernel_size=2, stride=2, padding=0, dtype=self.dtype, name="fpn1_deconv2")(f1)
+        f2 = TorchConvTranspose(d, kernel_size=2, stride=2, padding=0, dtype=self.dtype, name="fpn2_deconv")(taps[1])
         f3 = taps[2]
         f4 = nn.max_pool(taps[3], (2, 2), strides=(2, 2))
         return [f1, f2, f3, f4]
@@ -172,28 +172,28 @@ class UPerHead(nn.Module):
             px = jnp.asarray(adaptive_pool_matrix(s, W))
             pooled = jnp.einsum("oh,bhwc->bowc", py, x)
             pooled = jnp.einsum("pw,bowc->bopc", px, pooled)
-            pooled = ConvModule(self.channels, 1, name=f"psp_{si}")(pooled, train)
+            pooled = ConvModule(self.channels, 1, dtype=self.dtype, name=f"psp_{si}")(pooled, train)
             psp_outs.append(_upsample(pooled, H, W))
-        feat = ConvModule(self.channels, 3, name="psp_bottleneck")(
+        feat = ConvModule(self.channels, 3, dtype=self.dtype, name="psp_bottleneck")(
             jnp.concatenate(psp_outs, axis=-1), train
         )
 
         # FPN top-down
         laterals = [
-            ConvModule(self.channels, 1, name=f"lateral_{i}")(inputs[i], train)
+            ConvModule(self.channels, 1, dtype=self.dtype, name=f"lateral_{i}")(inputs[i], train)
             for i in range(len(inputs) - 1)
         ] + [feat]
         for i in range(len(laterals) - 1, 0, -1):
             h, w = laterals[i - 1].shape[1:3]
             laterals[i - 1] = laterals[i - 1] + _upsample(laterals[i], h, w)
         fpn_outs = [
-            ConvModule(self.channels, 3, name=f"fpn_{i}")(laterals[i], train)
+            ConvModule(self.channels, 3, dtype=self.dtype, name=f"fpn_{i}")(laterals[i], train)
             for i in range(len(laterals) - 1)
         ] + [laterals[-1]]
 
         h0, w0 = fpn_outs[0].shape[1:3]
         fpn_outs = [fpn_outs[0]] + [_upsample(f, h0, w0) for f in fpn_outs[1:]]
-        out = ConvModule(self.channels, 3, name="fpn_bottleneck")(
+        out = ConvModule(self.channels, 3, dtype=self.dtype, name="fpn_bottleneck")(
             jnp.concatenate(fpn_outs, axis=-1), train
         )
         out = nn.Dropout(self.dropout_ratio, deterministic=not train)(out)
@@ -206,10 +206,11 @@ class FCNHead(nn.Module):
     num_classes: int
     channels: int = 256
     dropout_ratio: float = 0.1
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvModule(self.channels, 3, name="conv0")(x, train)
+        x = ConvModule(self.channels, 3, dtype=self.dtype, name="conv0")(x, train)
         x = nn.Dropout(self.dropout_ratio, deterministic=not train)(x)
         return nn.Conv(self.num_classes, (1, 1), name="conv_seg")(x)
 
@@ -231,7 +232,7 @@ class EncoderDecoder(nn.Module):
         cfg.setdefault("dtype", self.dtype)
         feats = EvBEiT(name="backbone", **cfg)(x, train)
         logits = UPerHead(self.num_classes, dtype=self.dtype, name="decode_head")(feats, train)
-        aux = FCNHead(self.num_classes, name="auxiliary_head")(feats[self.aux_in_index], train)
+        aux = FCNHead(self.num_classes, dtype=self.dtype, name="auxiliary_head")(feats[self.aux_in_index], train)
         return _upsample(logits, H, W), _upsample(aux, H, W)
 
 

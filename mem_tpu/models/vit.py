@@ -230,10 +230,13 @@ class Attention(nn.Module):
 
         use_fused = (
             self.fused
-            and _fa.ENABLED
+            # auto-on for long sequences where the VMEM-resident kernel wins
+            # (seg backbone N=1025: 428 -> 399 ms/step); short sequences stay
+            # on XLA's batched einsum unless globally opted in (docs/PERF.md)
+            and (_fa.ENABLED or N >= 512)
             and self.attn_dropout == 0.0
             and head_dim % 8 == 0
-            and 8 <= N <= 768  # bwd needs ~5 N^2 f32 VMEM tiles (16MB budget)
+            and 8 <= N <= 1056  # fwd holds 3 N^2 f32 tiles in VMEM; bwd row-blocks above N=448
         )
         if use_fused:
             from mem_tpu.ops.attention import fused_attention

@@ -111,30 +111,156 @@ def _fa_fwd(q, k, v, bias, scale, interpret):
     return out, (q, k, v, bias)
 
 
+QBLK = 256  # q-row block for the flash-style backward
+
+# At N <= this the whole-matrix backward fits the 16MB VMEM budget (5 NxN
+# f32 tiles); above it we row-block the backward.
+_WHOLE_BWD_MAX_N = 448
+
+
+def _bwd_block_kernel(q_ref, k_ref, v_ref, b_ref, do_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale, n_real):
+    """Grid (B, H, QB): dq per q-row block; dk/dv accumulated over the
+    trailing qb axis. Key columns >= n_real are masked out of the softmax
+    (the arrays are padded to QBLK multiples)."""
+    qb = pl.program_id(2)
+
+    @pl.when(qb == 0)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale          # (QBLK, D)
+    k = k_ref[0, 0].astype(jnp.float32)                  # (Np, D)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)                # (QBLK, D)
+    Np = k.shape[0]
+
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_real, s, -jnp.inf)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    ds = p * (dp - delta)                                 # (QBLK, Np)
+
+    dq_ref[0, 0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+                    * scale).astype(dq_ref.dtype)
+    dk_ref[0, 0] += jnp.dot(ds.T, q, preferred_element_type=jnp.float32
+                            ).astype(dk_ref.dtype)
+    dv_ref[0, 0] += jnp.dot(p.T, do, preferred_element_type=jnp.float32
+                            ).astype(dv_ref.dtype)
+
+
+def _dbias_block_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, db_ref,
+                        *, scale, n_real):
+    """Grid (H, QB, B): recompute ds per (h, q-block, b) and accumulate the
+    shared-bias gradient over the trailing batch axis."""
+    b_idx = pl.program_id(2)
+
+    @pl.when(b_idx == 0)
+    def _():
+        db_ref[0] = jnp.zeros_like(db_ref[0])
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    do = do_ref[0, 0].astype(jnp.float32)
+
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b_ref[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < n_real, s, -jnp.inf)
+    s = s - jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+    db_ref[0] += p * (dp - delta)
+
+
 def _fa_bwd(scale, interpret, res, do):
     q, k, v, bias = res
     B, H, N, D = q.shape
-    spec = pl.BlockSpec((1, 1, N, D), lambda h, b: (b, h, 0, 0),
-                        memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((1, N, N), lambda h, b: (h, 0, 0),
+
+    if N <= _WHOLE_BWD_MAX_N:
+        spec = pl.BlockSpec((1, 1, N, D), lambda h, b: (b, h, 0, 0),
+                            memory_space=pltpu.VMEM)
+        bspec = pl.BlockSpec((1, N, N), lambda h, b: (h, 0, 0),
+                             memory_space=pltpu.VMEM)
+        dq, dk, dv, db = pl.pallas_call(
+            functools.partial(_bwd_kernel, scale=scale),
+            grid=(H, B),  # bias-grad accumulates over the trailing batch axis
+            in_specs=[spec, spec, spec, bspec, spec],
+            out_specs=(spec, spec, spec, bspec),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+                jax.ShapeDtypeStruct((B, H, N, D), k.dtype),
+                jax.ShapeDtypeStruct((B, H, N, D), v.dtype),
+                jax.ShapeDtypeStruct((H, N, N), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary"),
+            ),
+            interpret=interpret,
+        )(q, k, v, bias, do)
+        return dq, dk, dv, db
+
+    # ---- row-blocked backward (long sequences, e.g. the 1025-token seg
+    # backbone) — two passes so each accumulated output sits on a trailing
+    # grid axis ----
+    Np = -(-N // QBLK) * QBLK
+    pad = Np - N
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    dop = jnp.pad(do, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    bp = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)))
+    QB = Np // QBLK
+
+    qspec = pl.BlockSpec((1, 1, QBLK, D), lambda b, h, qb: (b, h, qb, 0),
                          memory_space=pltpu.VMEM)
-    dq, dk, dv, db = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale),
-        grid=(H, B),  # bias-grad accumulates over the trailing batch axis
-        in_specs=[spec, spec, spec, bspec, spec],
-        out_specs=(spec, spec, spec, bspec),
+    full = pl.BlockSpec((1, 1, Np, D), lambda b, h, qb: (b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    brow = pl.BlockSpec((1, QBLK, Np), lambda b, h, qb: (h, qb, 0),
+                        memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_block_kernel, scale=scale, n_real=N),
+        grid=(B, H, QB),
+        in_specs=[qspec, full, full, brow, qspec],
+        out_specs=(qspec, full, full),
         out_shape=(
-            jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, N, D), k.dtype),
-            jax.ShapeDtypeStruct((B, H, N, D), v.dtype),
-            jax.ShapeDtypeStruct((H, N, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, Np, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, Np, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, Np, D), v.dtype),
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(q, k, v, bias, do)
-    return dq, dk, dv, db
+    )(qp, kp, vp, bp, dop)
+
+    qspec2 = pl.BlockSpec((1, 1, QBLK, D), lambda h, qb, b: (b, h, qb, 0),
+                          memory_space=pltpu.VMEM)
+    full2 = pl.BlockSpec((1, 1, Np, D), lambda h, qb, b: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM)
+    brow2 = pl.BlockSpec((1, QBLK, Np), lambda h, qb, b: (h, qb, 0),
+                         memory_space=pltpu.VMEM)
+    db = pl.pallas_call(
+        functools.partial(_dbias_block_kernel, scale=scale, n_real=N),
+        grid=(H, QB, B),
+        in_specs=[qspec2, full2, full2, brow2, qspec2],
+        out_specs=brow2,
+        out_shape=jax.ShapeDtypeStruct((H, Np, Np), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bp, dop)
+
+    return (dq[:, :, :N], dk[:, :, :N], dv[:, :, :N], db[:, :N, :N])
 
 
 fused_attention.defvjp(_fa_fwd, _fa_bwd)

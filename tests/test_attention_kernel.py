@@ -46,3 +46,28 @@ def test_fused_attention_grads(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-5, err_msg=f"d{name}"
         )
+
+
+def test_fused_attention_blocked_backward(rng):
+    """Row-blocked backward path (N > whole-matrix threshold): grads must
+    match the autodiff reference, including across padding boundaries."""
+    B, H, N, D = 1, 2, 520, 8  # N > 448 -> blocked path, Np = 768
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((H, N, N)) * 0.1, jnp.float32)
+    t = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    scale = D**-0.5
+
+    def loss_fused(q, k, v, bias):
+        return jnp.sum(fused_attention(q, k, v, bias, scale, True) * t)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(_ref_attn(q, k, v, bias, scale) * t)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip("qkvb", g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, err_msg=f"d{name}"
+        )
