@@ -104,6 +104,10 @@ def get_args(argv=None):
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of a few steps here")
+    p.add_argument("--dump_recon_dir", type=str, default=None,
+                   help="save VAE-reconstruction/mask-overlay panels at eval "
+                        "(the reference's wandb image dumps, "
+                        "engine_for_pretraining.py:28-105)")
     p.add_argument("--rand_aug_batch_ops", type=int, default=0,
                    help="batch-level RandAugment op choice (speed mode)")
     p.add_argument("--tp", type=int, default=1,
@@ -162,6 +166,30 @@ def load_vae(args):
         loss_type=str(h["loss"]),
     )
     return vae, payload["params"]
+
+
+def _dump_recon_panel(args, vae, vae_params, preproc, batch, epoch):
+    """Original-vs-VAE-reconstruction panel + mask overlays (the visual
+    sanity check the reference streams to wandb)."""
+    import jax.numpy as jnp2
+
+    from mem_tpu.data.device_pipeline import preprocess_batch
+    from mem_tpu.utils.visualize import grid, mask_overlay, reconstruction_panel, save_png
+
+    os.makedirs(args.dump_recon_dir, exist_ok=True)
+    imgs = jax.jit(lambda b: preprocess_batch(b, preproc, False))(
+        jax.tree.map(jnp2.asarray, batch)
+    )[:8]
+    ids = vae.apply(vae_params, imgs, method="get_codebook_indices")
+    recon = vae.apply(vae_params, ids, method="decode_indices")
+    panel = reconstruction_panel(np.asarray(imgs), np.asarray(recon), cols=4)
+    save_png(os.path.join(args.dump_recon_dir, f"recon_ep{epoch}.png"), panel)
+    if "mask" in batch:
+        patch = imgs.shape[1] // args.input_H * 0 + (2 ** args.num_layers)
+        overlays = [mask_overlay(np.asarray(imgs[i]), batch["mask"][i], patch)
+                    for i in range(min(8, imgs.shape[0]))]
+        save_png(os.path.join(args.dump_recon_dir, f"mask_ep{epoch}.png"),
+                 grid(overlays, cols=4))
 
 
 def main(argv=None):
@@ -320,9 +348,15 @@ def main(argv=None):
                 })
             if eval_step is not None:
                 vlog = MetricLogger()
+                first = True
                 for batch in val_it.epoch(0):
-                    out = eval_step(params, vae_params, shard_batch(batch, mesh))
+                    b = shard_batch(batch, mesh)
+                    out = eval_step(params, vae_params, b)
                     vlog.update(loss=float(out["loss"]), mlm_acc=float(out["mlm_acc"]))
+                    if first and args.dump_recon_dir:
+                        _dump_recon_panel(args, vae, vae_params, preproc_val,
+                                          batch, epoch)
+                    first = False
                 print(f"* eval: {vlog}")
 
     if jax.process_index() == 0:
