@@ -67,10 +67,43 @@ def interpolate_rel_pos_bias(table: np.ndarray, src_size: int, dst_size: int,
     return np.concatenate([new_body, extra], axis=0).astype(np.float32)
 
 
-def interpolate_abs_pos_embed(pos: np.ndarray, new_grid: int) -> np.ndarray:
-    """(1, 1+N, D) -> (1, 1+new_grid^2, D) bicubic (utils.py:710-731)."""
-    import torch
+def _cubic_kernel(t: np.ndarray, A: float = -0.75) -> np.ndarray:
+    """Keys cubic convolution kernel with a=-0.75 (the torch/PIL constant)."""
+    at = np.abs(t)
+    near = ((A + 2.0) * at - (A + 3.0)) * at * at + 1.0
+    far = (((at - 5.0) * at + 8.0) * at - 4.0) * A
+    return np.where(at <= 1.0, near, np.where(at < 2.0, far, 0.0))
 
+
+def _resize_bicubic_axis(arr: np.ndarray, axis: int, out_size: int) -> np.ndarray:
+    """Separable bicubic resampling along one axis, matching
+    ``torch.nn.functional.interpolate(mode='bicubic', align_corners=False)``:
+    half-pixel coordinate mapping, 4-tap Keys kernel (a=-0.75), edge clamp."""
+    n = arr.shape[axis]
+    if n == out_size:
+        return arr
+    scale = n / out_size
+    x = (np.arange(out_size, dtype=np.float64) + 0.5) * scale - 0.5
+    x0 = np.floor(x).astype(np.int64)
+    frac = x - x0
+    shape = [1] * arr.ndim
+    shape[axis] = out_size
+    out = np.zeros_like(np.take(arr, np.zeros(out_size, np.int64), axis=axis),
+                        dtype=np.float64)
+    for k in range(4):
+        idx = np.clip(x0 - 1 + k, 0, n - 1)
+        w = _cubic_kernel(frac - (k - 1)).reshape(shape)
+        out += np.take(arr, idx, axis=axis).astype(np.float64) * w
+    return out
+
+
+def interpolate_abs_pos_embed(pos: np.ndarray, new_grid: int) -> np.ndarray:
+    """(1, 1+N, D) -> (1, 1+new_grid^2, D) bicubic (utils.py:710-731).
+
+    Pure-numpy reimplementation of the reference's
+    ``F.interpolate(mode='bicubic', align_corners=False)`` so that the
+    core pretrain->finetune surgery path does not require torch (torch is
+    only needed by the parity tooling, torch_import/export_torch)."""
     pos = np.asarray(pos)
     d = pos.shape[-1]
     n = pos.shape[1] - 1
@@ -78,12 +111,10 @@ def interpolate_abs_pos_embed(pos: np.ndarray, new_grid: int) -> np.ndarray:
     if orig == new_grid:
         return pos
     extra = pos[:, :1]
-    body = pos[:, 1:].reshape(1, orig, orig, d).transpose(0, 3, 1, 2)
-    body = torch.nn.functional.interpolate(
-        torch.from_numpy(body.copy()).float(), size=(new_grid, new_grid),
-        mode="bicubic", align_corners=False,
-    ).numpy()
-    body = body.transpose(0, 2, 3, 1).reshape(1, new_grid * new_grid, d)
+    body = pos[:, 1:].astype(np.float32).reshape(1, orig, orig, d)
+    body = _resize_bicubic_axis(body, 1, new_grid)
+    body = _resize_bicubic_axis(body, 2, new_grid)
+    body = body.astype(np.float32).reshape(1, new_grid * new_grid, d)
     return np.concatenate([extra, body], axis=1)
 
 
