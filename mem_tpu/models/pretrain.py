@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from mem_tpu.models.vit import PatchEmbed, VitEncoder, trunc_normal_init
@@ -41,6 +42,14 @@ class VisionTransformerForMaskedImageModeling(nn.Module):
     use_shared_rel_pos_bias: bool = True
     init_std: float = 0.02
     dtype: jnp.dtype = jnp.float32
+    # When set (to the mask generator's num_masking_patches bound), the
+    # lm_head runs only on a static-size gather of the masked positions —
+    # the TPU answer to the reference's dynamic ``x[bool_masked_pos]``
+    # (modeling_pretrain.py:126). Halves the 8192-way head GEMM and the CE
+    # materialization; exactly equivalent because the block generator never
+    # masks more than num_masking_patches (ops/masking.py). Returns
+    # (logits (B, M, V), idx (B, M)) instead of (B, N, V).
+    num_masked_tokens: Optional[int] = None
 
     @property
     def patch_shape(self):
@@ -106,14 +115,26 @@ class VisionTransformerForMaskedImageModeling(nn.Module):
 
         tokens = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm")(tokens)
         patch_tokens = tokens[:, 1:]
+        idx = None
+        if self.num_masked_tokens is not None:
+            # stable argsort puts masked positions first (in index order);
+            # the first num_masked_tokens slots cover every masked position
+            order = jnp.argsort(
+                jnp.where(bool_masked_pos, 0, 1).astype(jnp.int32),
+                axis=1, stable=True,
+            )
+            idx = order[:, : self.num_masked_tokens]
+            patch_tokens = jnp.take_along_axis(patch_tokens, idx[..., None], axis=1)
         logits = nn.Dense(
             self.vocab_size,
             dtype=self.dtype,
             kernel_init=trunc_normal_init(self.init_std, ts),
             name="lm_head",
         )(patch_tokens.astype(self.dtype))
-        # Always (B, N, vocab): masked-position selection happens in the loss
-        # with a weight mask (static shapes; see module docstring).
+        if idx is not None:
+            return logits, idx
+        # (B, N, vocab): masked-position selection happens in the loss with a
+        # weight mask (static shapes; see module docstring).
         return logits
 
 
@@ -121,15 +142,29 @@ def masked_cross_entropy(logits, labels, mask):
     """CE over the 8192-way vocabulary at masked positions only, plus the
     mlm accuracy metric (engine_for_pretraining.py:147-152, 232-234).
 
-    logits (B, N, V) f32-cast; labels (B, N) int; mask (B, N) bool.
+    logits (B, N, V); labels (B, N) int; mask (B, N) bool.
+
+    Written as ``logit[label] - logsumexp`` rather than gathering from a
+    log_softmax so the (B, N, V) f32 normalized tensor is never
+    materialized in HBM (the reductions fuse with the f32 cast).
     """
     logits = logits.astype(jnp.float32)
-    logp = jnp.take_along_axis(
-        nn.log_softmax(logits, axis=-1), labels[..., None], axis=-1
-    )[..., 0]
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    tgt = jnp.take_along_axis(logits, labels[..., None], axis=-1)[..., 0]
+    logp = tgt - lse
     m = mask.astype(jnp.float32)
     denom = jnp.maximum(jnp.sum(m), 1.0)
     loss = -jnp.sum(logp * m) / denom
     correct = (jnp.argmax(logits, axis=-1) == labels).astype(jnp.float32)
     acc = jnp.sum(correct * m) / denom
     return loss, acc
+
+
+def masked_cross_entropy_gathered(logits, idx, labels, mask):
+    """Same objective for the gathered-head path (num_masked_tokens set):
+    logits (B, M, V) at positions ``idx`` (B, M); labels/mask still (B, N).
+    Exactly equal to :func:`masked_cross_entropy` on the full grid whenever
+    every masked position appears in ``idx`` (guaranteed by construction)."""
+    labels_g = jnp.take_along_axis(labels, idx, axis=1)
+    mask_g = jnp.take_along_axis(mask, idx, axis=1)
+    return masked_cross_entropy(logits, labels_g, mask_g)

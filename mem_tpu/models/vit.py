@@ -38,6 +38,14 @@ QKV_WEIGHT_SLICE = True
 # differs.
 LN_FAST = True
 
+# Selective MLP rematerialization: wrap each Mlp in jax.checkpoint with the
+# dots_saveable policy — fc1/fc2 GEMM outputs are saved, the gelu output is
+# recomputed in backward. MEASURED WORSE on the v5e ViT-B/197 grad step
+# (173 -> 196 ms by trace): the bwd gelu recompute runs as a separate
+# unfused read/write pass that costs more than the saved residual write.
+# Kept as a switch (it still trades memory for time when HBM-bound).
+REMAT_MLP = False
+
 
 class FusedLayerNorm(nn.Module):
     """LayerNorm with bf16 in/out and f32 statistics.
@@ -161,6 +169,33 @@ class Mlp(nn.Module):
         return x
 
 
+class _ProjOut(nn.Module):
+    """Output projection consuming (B, H, N, D) directly: contracts the
+    (head, head_dim) pair against the Dense-shaped kernel so the
+    (B,H,N,D)->(B,N,H*D) transpose rides the GEMM instead of materializing.
+    Parameter tree is identical to ``nn.Dense(dim, name='proj')``:
+    kernel (H*D, dim), bias (dim,)."""
+
+    dim: int
+    all_head_dim: int
+    dtype: jnp.dtype = jnp.float32
+    init_std: float = 0.02
+    trunc_sigmas: float = 2.0
+
+    @nn.compact
+    def __call__(self, x):  # x: (B, H, N, D)
+        B, H, N, D = x.shape
+        kernel = self.param(
+            "kernel",
+            trunc_normal_init(self.init_std, self.trunc_sigmas),
+            (self.all_head_dim, self.dim),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim,))
+        k = kernel.astype(self.dtype).reshape(H, D, self.dim)
+        out = jnp.einsum("bhnd,hdo->bno", x.astype(self.dtype), k)
+        return out + bias.astype(self.dtype)
+
+
 class Attention(nn.Module):
     """Multi-head attention with BEiT's decomposed qkv bias (q and v get a
     learned bias, k's is fixed zero — modeling_finetune.py:86-92,128-141) and
@@ -192,6 +227,61 @@ class Attention(nn.Module):
             trunc_normal_init(self.init_std, self.trunc_sigmas),
             (C, 3 * all_head_dim),
         )
+
+        bias = None
+        if self.window_size is not None:
+            bias = RelativePositionBias(
+                self.window_size, self.num_heads, name="rel_pos"
+            )()
+        if rel_pos_bias is not None:
+            bias = rel_pos_bias if bias is None else bias + rel_pos_bias
+
+        from mem_tpu.ops import attention as _fa
+
+        is_cpu = jax.devices()[0].platform == "cpu"
+        use_fused = (
+            self.fused
+            # on-TPU auto-on for head-blocked-eligible shapes (one grid
+            # instance per batch element computes all heads: ViT-B/197 grad
+            # phase 173 -> 137 ms by trace) and for long sequences (seg
+            # backbone N=1025). On CPU the kernel runs in interpret mode —
+            # only when forced (_fa.ENABLED) or for the long-seq path, so
+            # the test suite doesn't pay interpret costs on every ViT test.
+            and (_fa.ENABLED or N >= 512
+                 or (_fa._hb_eligible(self.num_heads, N) and not is_cpu))
+            and self.attn_dropout == 0.0
+            and head_dim % 8 == 0
+            and 8 <= N <= 1056  # fwd holds 3 N^2 f32 tiles in VMEM; bwd row-blocks above N=448
+        )
+
+        if use_fused:
+            # project straight into (B, H, N, D): the head split rides the
+            # GEMM output instead of a materialized reshape/transpose pair
+            w3 = qkv_w.astype(self.dtype).reshape(C, 3, self.num_heads, head_dim)
+            qh = jnp.einsum("bnc,chd->bhnd", x, w3[:, 0])
+            kh = jnp.einsum("bnc,chd->bhnd", x, w3[:, 1])
+            vh = jnp.einsum("bnc,chd->bhnd", x, w3[:, 2])
+            if self.qkv_bias:
+                q_bias = self.param("q_bias", nn.initializers.zeros, (all_head_dim,))
+                v_bias = self.param("v_bias", nn.initializers.zeros, (all_head_dim,))
+                qh = qh + q_bias.reshape(self.num_heads, head_dim)[None, :, None, :].astype(self.dtype)
+                vh = vh + v_bias.reshape(self.num_heads, head_dim)[None, :, None, :].astype(self.dtype)
+            if bias is None:
+                bias = jnp.zeros((self.num_heads, N, N), jnp.float32)
+            interpret = jax.devices()[0].platform == "cpu"
+            from mem_tpu.ops.attention import fused_attention
+
+            out = fused_attention(
+                qh, kh, vh, bias.astype(jnp.float32), float(scale), interpret
+            )
+            out = _ProjOut(
+                self.dim, all_head_dim, dtype=self.dtype,
+                init_std=self.init_std * self.proj_scale,
+                trunc_sigmas=self.trunc_sigmas, name="proj",
+            )(out)
+            out = nn.Dropout(self.proj_dropout, deterministic=deterministic)(out)
+            return out
+
         if QKV_WEIGHT_SLICE:
             # three GEMMs against compile-time weight slices — avoids the
             # post-GEMM (B, N, 3, H, d) extraction shuffles
@@ -218,49 +308,15 @@ class Attention(nn.Module):
             qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
             q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
 
-        bias = None
-        if self.window_size is not None:
-            bias = RelativePositionBias(
-                self.window_size, self.num_heads, name="rel_pos"
-            )()
-        if rel_pos_bias is not None:
-            bias = rel_pos_bias if bias is None else bias + rel_pos_bias
-
-        from mem_tpu.ops import attention as _fa
-
-        use_fused = (
-            self.fused
-            # auto-on for long sequences where the VMEM-resident kernel wins
-            # (seg backbone N=1025: 428 -> 399 ms/step); short sequences stay
-            # on XLA's batched einsum unless globally opted in (docs/PERF.md)
-            and (_fa.ENABLED or N >= 512)
-            and self.attn_dropout == 0.0
-            and head_dim % 8 == 0
-            and 8 <= N <= 1056  # fwd holds 3 N^2 f32 tiles in VMEM; bwd row-blocks above N=448
+        attn = jnp.einsum(
+            "bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=jnp.float32
         )
-        if use_fused:
-            from mem_tpu.ops.attention import fused_attention
-
-            if bias is None:
-                bias = jnp.zeros((self.num_heads, N, N), jnp.float32)
-            qh = q.transpose(0, 2, 1, 3)
-            kh = k.transpose(0, 2, 1, 3)
-            vh = v.transpose(0, 2, 1, 3)
-            interpret = jax.devices()[0].platform == "cpu"
-            out = fused_attention(
-                qh, kh, vh, bias.astype(jnp.float32), float(scale), interpret
-            )
-            out = out.transpose(0, 2, 1, 3).reshape(B, N, all_head_dim)
-        else:
-            attn = jnp.einsum(
-                "bnhd,bmhd->bhnm", q * scale, k, preferred_element_type=jnp.float32
-            )
-            if bias is not None:
-                attn = attn + bias[None].astype(attn.dtype)
-            attn = jax.nn.softmax(attn, axis=-1)
-            attn = nn.Dropout(self.attn_dropout, deterministic=deterministic)(attn)
-            out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v)
-            out = out.reshape(B, N, all_head_dim)
+        if bias is not None:
+            attn = attn + bias[None].astype(attn.dtype)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_dropout, deterministic=deterministic)(attn)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v)
+        out = out.reshape(B, N, all_head_dim)
         out = nn.Dense(
             self.dim,
             dtype=self.dtype,
@@ -314,7 +370,16 @@ class Block(nn.Module):
             proj_scale=self.depth_scale,
             name="attn",
         )(ln("norm1")(x).astype(self.dtype), rel_pos_bias, deterministic)
-        mlp_out_fn = lambda y: Mlp(
+        mlp_cls = Mlp
+        if REMAT_MLP:
+            # static_argnums counts __call__ args with self at 0 -> the
+            # `deterministic` python bool is arg 2
+            mlp_cls = nn.remat(
+                Mlp,
+                policy=jax.checkpoint_policies.dots_saveable,
+                static_argnums=(2,),
+            )
+        mlp_out_fn = lambda y: mlp_cls(
             int(self.dim * self.mlp_ratio),
             self.dim,
             dropout=self.dropout,

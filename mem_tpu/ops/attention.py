@@ -37,10 +37,73 @@ from jax.experimental.pallas import tpu as pltpu
 ENABLED = False
 
 
+# Head-blocked variant: one grid instance per batch element computes ALL
+# heads (python loop unrolled inside the kernel). At N=197/H=12 the
+# per-(batch, head) grid pays fixed costs on 1536 tiny instances (net-zero
+# vs XLA, docs/PERF.md); 128 instances with 12x the work amortize them.
+# Eligible when the whole (H, N, N) f32 bias + per-head scratch fits VMEM.
+_HB_MAX_BIAS_BYTES = 5 * 1024 * 1024   # (H, N, N) f32; N<=320 for H=12
+
+
+def _hb_eligible(H: int, N: int) -> bool:
+    return H * N * N * 4 <= _HB_MAX_BIAS_BYTES
+
+
+def _fwd_hb_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, H):
+    # Matmuls run on the native (bf16) operands with f32 accumulation —
+    # casting operands to f32 would put the MXU in f32 mode (4x slower).
+    for h in range(H):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = s + b_ref[h]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(v_ref.dtype), v_ref[0, h],
+                    preferred_element_type=jnp.float32)
+        o_ref[0, h] = o.astype(o_ref.dtype)
+
+
+def _bwd_hb_kernel(q_ref, k_ref, v_ref, b_ref, do_ref,
+                   dq_ref, dk_ref, dv_ref, db_ref, *, scale, H):
+    b_idx = pl.program_id(0)
+
+    @pl.when(b_idx == 0)
+    def _():
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    for h in range(H):
+        q = q_ref[0, h]
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        do = do_ref[0, h]
+
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = s + b_ref[h]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # f32
+        pc = p.astype(v.dtype)
+
+        dv = jnp.dot(pc.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - delta)                       # f32 (db accumulation)
+        dsc = ds.astype(q.dtype)
+
+        dq_ref[0, h] = (jnp.dot(dsc, k, preferred_element_type=jnp.float32)
+                        * scale).astype(dq_ref.dtype)
+        dk_ref[0, h] = (jnp.dot(dsc.T, q, preferred_element_type=jnp.float32)
+                        * scale).astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
+        db_ref[h] += ds
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale):
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k = k_ref[0, 0].astype(jnp.float32)
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b_ref[0]
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale + b_ref[0]
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
@@ -53,25 +116,27 @@ def _bwd_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, dq_ref, dk_ref, dv_ref,
                 db_ref, *, scale):
     b_idx = pl.program_id(1)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
 
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b_ref[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale + b_ref[0]
     s = s - jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s)
     p = e / jnp.sum(e, axis=-1, keepdims=True)
+    pc = p.astype(v.dtype)
 
-    dv = jnp.dot(p.T, do, preferred_element_type=jnp.float32)
+    dv = jnp.dot(pc.T, do, preferred_element_type=jnp.float32)
     dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
     delta = jnp.sum(dp * p, axis=-1, keepdims=True)
     ds = p * (dp - delta)                                  # (N, N) f32
+    dsc = ds.astype(q.dtype)
 
-    dq_ref[0, 0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dq_ref[0, 0] = (jnp.dot(dsc, k, preferred_element_type=jnp.float32)
                     * scale).astype(dq_ref.dtype)
-    dk_ref[0, 0] = jnp.dot(ds.T, q_ref[0, 0].astype(jnp.float32) * scale,
-                           preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    dk_ref[0, 0] = (jnp.dot(dsc.T, q, preferred_element_type=jnp.float32)
+                    * scale).astype(dk_ref.dtype)
     dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
     @pl.when(b_idx == 0)
@@ -93,6 +158,23 @@ def fused_attention(q, k, v, bias, scale: float, interpret: bool = False):
 
 def _fa_fwd(q, k, v, bias, scale, interpret):
     B, H, N, D = q.shape
+    if _hb_eligible(H, N):
+        spec = pl.BlockSpec((1, H, N, D), lambda b: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        bspec = pl.BlockSpec((H, N, N), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            functools.partial(_fwd_hb_kernel, scale=scale, H=H),
+            grid=(B,),
+            in_specs=[spec, spec, spec, bspec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",),
+            ),
+            interpret=interpret,
+        )(q, k, v, bias)
+        return out, (q, k, v, bias)
     spec = pl.BlockSpec((1, 1, N, D), lambda b, h: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((1, N, N), lambda b, h: (h, 0, 0),
@@ -130,13 +212,12 @@ def _bwd_block_kernel(q_ref, k_ref, v_ref, b_ref, do_ref,
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale          # (QBLK, D)
-    k = k_ref[0, 0].astype(jnp.float32)                  # (Np, D)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)                # (QBLK, D)
-    Np = k.shape[0]
+    q = q_ref[0, 0]                                      # (QBLK, D)
+    k = k_ref[0, 0]                                      # (Np, D)
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]                                    # (QBLK, D)
 
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b_ref[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale + b_ref[0]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_real, s, -jnp.inf)
     s = s - jnp.max(s, axis=-1, keepdims=True)
@@ -146,12 +227,14 @@ def _bwd_block_kernel(q_ref, k_ref, v_ref, b_ref, do_ref,
     dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
     delta = jnp.sum(dp * p, axis=-1, keepdims=True)
     ds = p * (dp - delta)                                 # (QBLK, Np)
+    dsc = ds.astype(q.dtype)
 
-    dq_ref[0, 0] = (jnp.dot(ds, k, preferred_element_type=jnp.float32)
+    dq_ref[0, 0] = (jnp.dot(dsc, k, preferred_element_type=jnp.float32)
                     * scale).astype(dq_ref.dtype)
-    dk_ref[0, 0] += jnp.dot(ds.T, q, preferred_element_type=jnp.float32
-                            ).astype(dk_ref.dtype)
-    dv_ref[0, 0] += jnp.dot(p.T, do, preferred_element_type=jnp.float32
+    dk_ref[0, 0] += (jnp.dot(dsc.T, q, preferred_element_type=jnp.float32)
+                     * scale).astype(dk_ref.dtype)
+    dv_ref[0, 0] += jnp.dot(p.astype(do.dtype).T, do,
+                            preferred_element_type=jnp.float32
                             ).astype(dv_ref.dtype)
 
 
@@ -165,12 +248,12 @@ def _dbias_block_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, db_ref,
     def _():
         db_ref[0] = jnp.zeros_like(db_ref[0])
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    do = do_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
 
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) + b_ref[0]
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale + b_ref[0]
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < n_real, s, -jnp.inf)
     s = s - jnp.max(s, axis=-1, keepdims=True)
@@ -184,6 +267,29 @@ def _dbias_block_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, db_ref,
 def _fa_bwd(scale, interpret, res, do):
     q, k, v, bias = res
     B, H, N, D = q.shape
+
+    if _hb_eligible(H, N):
+        spec = pl.BlockSpec((1, H, N, D), lambda b: (b, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        bspec = pl.BlockSpec((H, N, N), lambda b: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+        dq, dk, dv, db = pl.pallas_call(
+            functools.partial(_bwd_hb_kernel, scale=scale, H=H),
+            grid=(B,),  # db accumulates across the (arbitrary) batch axis
+            in_specs=[spec, spec, spec, bspec, spec],
+            out_specs=(spec, spec, spec, bspec),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+                jax.ShapeDtypeStruct((B, H, N, D), k.dtype),
+                jax.ShapeDtypeStruct((B, H, N, D), v.dtype),
+                jax.ShapeDtypeStruct((H, N, N), jnp.float32),
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            interpret=interpret,
+        )(q, k, v, bias, do)
+        return dq, dk, dv, db
 
     if N <= _WHOLE_BWD_MAX_N:
         spec = pl.BlockSpec((1, 1, N, D), lambda h, b: (b, h, 0, 0),

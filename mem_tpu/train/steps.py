@@ -23,7 +23,10 @@ import jax.numpy as jnp
 import optax
 
 from mem_tpu.data.device_pipeline import PreprocConfig, preprocess_batch
-from mem_tpu.models.pretrain import masked_cross_entropy
+from mem_tpu.models.pretrain import (
+    masked_cross_entropy,
+    masked_cross_entropy_gathered,
+)
 from mem_tpu.train.optim import grad_global_norm
 
 
@@ -86,12 +89,16 @@ def make_pretrain_train_step(model, d_vae, tx, preproc: PreprocConfig):
             vae_params, images, method="get_codebook_indices"
         )  # (B, N) frozen tokenizer, no grad
 
+        gathered = getattr(model, "num_masked_tokens", None) is not None
+
         def loss_fn(p):
-            logits = model.apply(
+            out = model.apply(
                 p, images, mask, deterministic=False, rngs={"dropout": rng}
             )
-            loss, acc = masked_cross_entropy(logits, labels, mask)
-            return loss, acc
+            if gathered:      # lm_head ran only on the masked positions
+                logits, idx = out
+                return masked_cross_entropy_gathered(logits, idx, labels, mask)
+            return masked_cross_entropy(out, labels, mask)
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         gnorm = grad_global_norm(grads)
@@ -107,8 +114,12 @@ def make_pretrain_eval_step(model, d_vae, preproc: PreprocConfig):
         images = preprocess_batch(batch, preproc, is_train=False)
         mask = batch["mask"]
         labels = d_vae.apply(vae_params, images, method="get_codebook_indices")
-        logits = model.apply(params, images, mask)
-        loss, acc = masked_cross_entropy(logits, labels, mask)
+        out = model.apply(params, images, mask)
+        if getattr(model, "num_masked_tokens", None) is not None:
+            logits, idx = out
+            loss, acc = masked_cross_entropy_gathered(logits, idx, labels, mask)
+        else:
+            loss, acc = masked_cross_entropy(out, labels, mask)
         return {"loss": loss, "mlm_acc": acc}
 
     return jax.jit(step)

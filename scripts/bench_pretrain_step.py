@@ -26,7 +26,8 @@ from mem_tpu.parallel import get_mesh, replicate, shard_batch
 def main(batch_size=128, n_events=30000, iters=20):
     B, N = batch_size, n_events
     model = create_model("pt_vit", dtype=jnp.bfloat16, init_values=0.1,
-                         use_shared_rel_pos_bias=True, drop_path_rate=0.1)
+                         use_shared_rel_pos_bias=True, drop_path_rate=0.1,
+                         num_masked_tokens=98)
     vae = DiscreteVAE(dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
     batch = {

@@ -71,3 +71,35 @@ def test_fused_attention_blocked_backward(rng):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5, err_msg=f"d{name}"
         )
+
+
+def test_fused_attention_per_head_path(rng, monkeypatch):
+    """Legacy per-(batch, head) path still correct when the head-blocked
+    variant is ineligible (large H*N*N bias)."""
+    import mem_tpu.ops.attention as fa
+
+    monkeypatch.setattr(fa, "_HB_MAX_BIAS_BYTES", 0)
+    B, H, N, D = 2, 2, 16, 8
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((H, N, N)) * 0.1, jnp.float32)
+    t = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.float32)
+    scale = D**-0.5
+
+    def loss_fused(q, k, v, bias):
+        return jnp.sum(fa.fused_attention(q, k, v, bias, scale, True) * t)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(_ref_attn(q, k, v, bias, scale) * t)
+
+    got = fa.fused_attention(q, k, v, bias, scale, True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(_ref_attn(q, k, v, bias, scale)),
+                               atol=2e-5)
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip("qkvb", g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, err_msg=f"d{name}"
+        )
