@@ -1,21 +1,24 @@
-"""Benchmark: on-chip fused voxelization throughput vs the reference's CPU
-rasterizer (BASELINE.md metric #1; target >= 10x).
-
-Prints ONE JSON line:
+"""Driver-facing benchmarks. Prints one JSON line per metric:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-The TPU path is the fused augment+rasterize front end (index arithmetic +
-factorized one-hot MXU contraction); the baseline is the reference's
-``np.add.at`` scatter loop semantics (voxelize_numpy transliterates
-mem/datasets.py:552-595).
+1. ``voxelize_events_per_sec`` — on-chip fused augment+rasterize vs the
+   reference's CPU ``np.add.at`` scatter loop (BASELINE.md metric #1;
+   voxelize_numpy transliterates mem/datasets.py:552-595).
+2. ``pretrain_samples_per_sec_chip`` — the BASELINE.md north-star: full
+   fused ViT-B MEM pretrain train step (on-chip preprocessing -> frozen
+   VAE tokenizer -> masked ViT-B -> CE -> scheduled AdamW) at B=128.
+   vs_baseline is relative to this repo's round-1 number (461 samples/s/
+   chip; the reference repo publishes no throughput figures).
 """
 import json
 import time
 
 import numpy as np
 
+ROUND1_PRETRAIN_SAMPLES_PER_SEC = 461.0
 
-def main():
+
+def bench_voxelize():
     import jax
     import jax.numpy as jnp
 
@@ -76,7 +79,37 @@ def main():
         "value": round(tpu_rate, 1),
         "unit": "events/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
-    }))
+    }), flush=True)
+
+
+def bench_pretrain_step(B=128, iters=12):
+    import jax
+
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from scripts.trace_pretrain import build
+
+    step, params, os_, vp, jb = build(batch_ops=True, gathered=True, B=B)
+    p, o, m = step(params, os_, vp, jb, jax.random.key(3))
+    jax.block_until_ready(m)
+    # iterations chain through the donated train state (dedup gotcha)
+    t0 = time.perf_counter()
+    for i in range(iters):
+        p, o, m = step(p, o, vp, jb, jax.random.fold_in(jax.random.key(4), i))
+    jax.block_until_ready(m)
+    dt = (time.perf_counter() - t0) / iters
+    rate = B / dt
+    print(json.dumps({
+        "metric": "pretrain_samples_per_sec_chip",
+        "value": round(rate, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(rate / ROUND1_PRETRAIN_SAMPLES_PER_SEC, 2),
+    }), flush=True)
+
+
+def main():
+    bench_voxelize()
+    bench_pretrain_step()
 
 
 if __name__ == "__main__":
