@@ -241,12 +241,18 @@ def seg_loss(logits, aux, labels, num_classes: int, aux_weight: float = 0.4,
     """CE (+0.4 aux) with ignore_index semantics (mmseg CrossEntropyLoss)."""
 
     def ce(lg):
+        # logit[label] via one-hot reduce over the tiny class axis — a
+        # take_along_axis gather here serializes over the 2.25M pixels
+        # (33 ms/step each on v5e, docs/PERF.md round 2); the one-hot
+        # multiply-reduce vectorizes. Loss = logsumexp - logit[label]
+        # (no full log_softmax materialization).
         lg = lg.astype(jnp.float32)
         valid = labels != ignore_index
         lab = jnp.where(valid, labels, 0)
-        lp = jnp.take_along_axis(
-            jax.nn.log_softmax(lg, axis=-1), lab[..., None], axis=-1
-        )[..., 0]
+        onehot = jax.nn.one_hot(lab, num_classes, dtype=jnp.float32)
+        tgt = jnp.sum(lg * onehot, axis=-1)
+        lse = jax.nn.logsumexp(lg, axis=-1)
+        lp = tgt - lse
         denom = jnp.maximum(jnp.sum(valid), 1)
         return -jnp.sum(lp * valid) / denom
 

@@ -120,10 +120,23 @@ def relative_position_index(window_size: Tuple[int, int]) -> np.ndarray:
 
 class RelativePositionBias(nn.Module):
     """Learned relative-position bias table shared across blocks
-    (modeling_finetune.py:213-247). Returns (num_heads, N+1, N+1)."""
+    (modeling_finetune.py:213-247). Returns (num_heads, N+1, N+1).
+
+    Two mathematically identical expansions of table -> (H, N, N):
+      - small windows: direct gather by the precomputed index;
+      - large windows (the 32x32 seg backbone): separable one-hot MXU
+        einsums. The index factorizes as rx*(2Ww-1)+ry with rx/ry depending
+        only on (xi,xj)/(yi,yj), so the gather is two tiny one-hot
+        contractions — and crucially the BACKWARD becomes einsums too,
+        replacing a (12, 1025, 1025) f32 serialized scatter-add that cost
+        ~85 ms/step of the seg train step (docs/PERF.md round 2).
+    """
 
     window_size: Tuple[int, int]
     num_heads: int
+
+    # above this many grid positions, expand via einsum instead of gather
+    EINSUM_MIN_POSITIONS = 400
 
     @nn.compact
     def __call__(self) -> jnp.ndarray:
@@ -134,9 +147,33 @@ class RelativePositionBias(nn.Module):
             nn.initializers.zeros,
             (num_rel, self.num_heads),
         )
-        idx = relative_position_index(self.window_size)
-        bias = table[idx.reshape(-1)].reshape(idx.shape[0], idx.shape[1], -1)
-        return bias.transpose(2, 0, 1)
+        if wh * ww <= self.EINSUM_MIN_POSITIONS:
+            idx = relative_position_index(self.window_size)
+            bias = table[idx.reshape(-1)].reshape(idx.shape[0], idx.shape[1], -1)
+            return bias.transpose(2, 0, 1)
+
+        nx, ny = 2 * wh - 1, 2 * ww - 1
+        H = self.num_heads
+        t2 = table[: nx * ny].reshape(nx, ny, H)
+        ax = np.arange(wh)
+        ay = np.arange(ww)
+        ox = jnp.asarray(
+            (ax[:, None, None] - ax[None, :, None] + wh - 1)
+            == np.arange(nx)[None, None, :], jnp.float32)     # (wh, wh, nx)
+        oy = jnp.asarray(
+            (ay[:, None, None] - ay[None, :, None] + ww - 1)
+            == np.arange(ny)[None, None, :], jnp.float32)     # (ww, ww, ny)
+        c = jnp.einsum("bvs,rsh->rbvh", oy, t2)               # (nx, ww, ww, H)
+        body = jnp.einsum("aur,rbvh->habuv", ox, c)           # (H, wh, ww, wh, ww)
+        body = body.reshape(H, wh * ww, wh * ww)
+        # cls entries: row 0 = table[-3], col 0 = table[-2], corner = table[-1]
+        t = table.T                                           # (H, num_rel)
+        row0 = jnp.broadcast_to(t[:, -3][:, None, None], (H, 1, wh * ww))
+        col0 = jnp.broadcast_to(t[:, -2][:, None, None], (H, wh * ww, 1))
+        corner = t[:, -1][:, None, None]
+        top = jnp.concatenate([corner, row0], axis=2)
+        bottom = jnp.concatenate([col0, body], axis=2)
+        return jnp.concatenate([top, bottom], axis=1)
 
 
 class Mlp(nn.Module):

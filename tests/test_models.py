@@ -148,3 +148,22 @@ def test_rel_pos_index_structure():
     # symmetric relative offsets map to transposed indices
     assert idx[1, 2] != idx[2, 1]
     assert idx.max() < n_rel
+
+
+def test_rel_pos_bias_einsum_matches_gather(rng):
+    """Large-window einsum expansion == gather expansion (exact: one-hot
+    contractions sum a single product per output)."""
+    import jax
+    import jax.numpy as jnp
+    from mem_tpu.models.vit import RelativePositionBias
+
+    class Small(RelativePositionBias):
+        EINSUM_MIN_POSITIONS = 0  # force einsum path
+
+    win, H = (5, 7), 3
+    num_rel = (2 * 5 - 1) * (2 * 7 - 1) + 3
+    table = jnp.asarray(rng.standard_normal((num_rel, H)), jnp.float32)
+    params = {"params": {"relative_position_bias_table": table}}
+    got = Small(win, H).apply(params)
+    want = RelativePositionBias(win, H).apply(params)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
