@@ -184,9 +184,12 @@ def _dump_recon_panel(args, vae, vae_params, preproc, batch, epoch):
     from mem_tpu.utils.visualize import grid, mask_overlay, reconstruction_panel, save_png
 
     os.makedirs(args.dump_recon_dir, exist_ok=True)
-    imgs = jax.jit(lambda b: preprocess_batch(b, preproc, False))(
-        jax.tree.map(jnp2.asarray, batch)
-    )[:8]
+    if "vae_view" in batch:     # real-image IMNET path
+        imgs = jnp2.asarray(batch["vae_view"])[:8]
+    else:
+        imgs = jax.jit(lambda b: preprocess_batch(b, preproc, False))(
+            jax.tree.map(jnp2.asarray, batch)
+        )[:8]
     ids = vae.apply(vae_params, imgs, method="get_codebook_indices")
     recon = vae.apply(vae_params, ids, method="decode_indices")
     panel = reconstruction_panel(np.asarray(imgs), np.asarray(recon), cols=4)
@@ -210,18 +213,41 @@ def main(argv=None):
     patch = 2 ** args.num_layers
     window = (args.input_H // patch, args.input_W // patch)
 
-    _, train_it = build_pipeline(
-        args, "train", True, local_bs,
-        masking=args.masking if not args.MAE else None, window_size=window,
-        seed=args.seed, num_workers=args.num_workers,
-        shard_id=jax.process_index(), num_shards=nproc,
-    )
-    _, val_it = build_pipeline(
-        args, "val", False, local_bs,
-        masking=args.masking if not args.MAE else None, window_size=window,
-        seed=args.seed, num_workers=args.num_workers,
-        shard_id=jax.process_index(), num_shards=nproc,
-    )
+    if args.data_set == "IMNET":
+        # real-image JPEG pretraining (mem/datasets.py:147,156-157 +
+        # DataAugmentationForPTE2V two-view pipeline)
+        assert not args.MAE, "--MAE with --data_set IMNET is not a reference path"
+        from mem_tpu.data.image_pipeline import (
+            ImageBatchIterator, ImageFolder, ImagePipelineConfig)
+        from mem_tpu.data.folder import resolve_split_root
+
+        def _img_it(split, is_train):
+            folder = ImageFolder(resolve_split_root(args.data_path, split))
+            return ImageBatchIterator(folder, ImagePipelineConfig(
+                batch_size=local_bs, input_size=args.input_H,
+                second_size=args.input_H, is_train=is_train,
+                masking=args.masking, window_size=window,
+                num_mask_patches=args.num_mask_patches,
+                min_mask_patches_per_block=args.min_mask_patches_per_block,
+                max_mask_patches_per_block=args.max_mask_patches_per_block,
+                seed=args.seed, shuffle=is_train, drop_last=is_train,
+                shard_id=jax.process_index(), num_shards=nproc,
+            ))
+
+        train_it, val_it = _img_it("train", True), _img_it("val", False)
+    else:
+        _, train_it = build_pipeline(
+            args, "train", True, local_bs,
+            masking=args.masking if not args.MAE else None, window_size=window,
+            seed=args.seed, num_workers=args.num_workers,
+            shard_id=jax.process_index(), num_shards=nproc,
+        )
+        _, val_it = build_pipeline(
+            args, "val", False, local_bs,
+            masking=args.masking if not args.MAE else None, window_size=window,
+            seed=args.seed, num_workers=args.num_workers,
+            shard_id=jax.process_index(), num_shards=nproc,
+        )
     preproc_train = build_preproc(args, True, color_jitter=args.color_jitter)
     preproc_val = build_preproc(args, False)
 
@@ -242,7 +268,10 @@ def main(argv=None):
     init_batch = jax.tree.map(jnp.asarray, next(iter(train_it.epoch(0))))
     from mem_tpu.data.device_pipeline import preprocess_batch
 
-    dummy_img = jax.jit(lambda b: preprocess_batch(b, preproc_train, True))(init_batch)
+    if args.data_set == "IMNET":
+        dummy_img = init_batch["patches"]
+    else:
+        dummy_img = jax.jit(lambda b: preprocess_batch(b, preproc_train, True))(init_batch)
     if args.MAE:
         params = jax.jit(model.init)(
             {"params": rng, "mask": rng, "dropout": rng}, dummy_img

@@ -82,11 +82,16 @@ def make_pretrain_train_step(model, d_vae, tx, preproc: PreprocConfig):
     masked ViT forward -> CE at masked positions -> AdamW update."""
 
     def step(params, opt_state, vae_params, batch, rng):
-        images = preprocess_batch(batch, preproc, is_train=True)
+        if "patches" in batch:
+            # real-image (IMNET) path: two host-prepared views — bilinear
+            # for the model, lanczos for the tokenizer (datasets.py:86-133)
+            images, vae_images = batch["patches"], batch["vae_view"]
+        else:
+            images = vae_images = preprocess_batch(batch, preproc, is_train=True)
         mask = batch["mask"]
 
         labels = d_vae.apply(
-            vae_params, images, method="get_codebook_indices"
+            vae_params, vae_images, method="get_codebook_indices"
         )  # (B, N) frozen tokenizer, no grad
 
         gathered = getattr(model, "num_masked_tokens", None) is not None
@@ -111,9 +116,12 @@ def make_pretrain_train_step(model, d_vae, tx, preproc: PreprocConfig):
 
 def make_pretrain_eval_step(model, d_vae, preproc: PreprocConfig):
     def step(params, vae_params, batch):
-        images = preprocess_batch(batch, preproc, is_train=False)
+        if "patches" in batch:
+            images, vae_images = batch["patches"], batch["vae_view"]
+        else:
+            images = vae_images = preprocess_batch(batch, preproc, is_train=False)
         mask = batch["mask"]
-        labels = d_vae.apply(vae_params, images, method="get_codebook_indices")
+        labels = d_vae.apply(vae_params, vae_images, method="get_codebook_indices")
         out = model.apply(params, images, mask)
         if getattr(model, "num_masked_tokens", None) is not None:
             logits, idx = out
