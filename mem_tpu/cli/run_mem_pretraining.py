@@ -108,6 +108,9 @@ def get_args(argv=None):
                    help="save VAE-reconstruction/mask-overlay panels at eval "
                         "(the reference's wandb image dumps, "
                         "engine_for_pretraining.py:28-105)")
+    p.add_argument("--recon_grad_norm_thresh", type=float, default=6.0,
+                   help="also dump a recon panel when grad_norm exceeds "
+                        "this (engine_for_pretraining.py:167)")
     p.add_argument("--rand_aug_batch_ops", type=int, default=1,
                    help="batch-level RandAugment op choice (default ON: "
                         "~35 ms/step faster at B=128; per-sample parity mode "
@@ -175,9 +178,23 @@ def load_vae(args):
     return vae, payload["params"]
 
 
-def _dump_recon_panel(args, vae, vae_params, preproc, batch, epoch):
+def should_dump_on_grad_norm(grad_norm: float, it: int, last_dump_it: int,
+                             thresh: float, min_gap: int = 100) -> bool:
+    """Grad-norm-triggered reconstruction dump predicate
+    (engine_for_pretraining.py:167-201: wandb image dump when
+    grad_norm > 6). Rate-limited to one dump per ``min_gap`` steps so a
+    noisy stretch doesn't flood the disk (the reference streams to wandb,
+    which dedups by step)."""
+    import math as _math
+
+    return (_math.isfinite(grad_norm) and grad_norm > thresh
+            and it - last_dump_it >= min_gap)
+
+
+def _dump_recon_panel(args, vae, vae_params, preproc, batch, epoch, tag=None):
     """Original-vs-VAE-reconstruction panel + mask overlays (the visual
     sanity check the reference streams to wandb)."""
+    tag = f"ep{epoch}" if tag is None else tag
     import jax.numpy as jnp2
 
     from mem_tpu.data.device_pipeline import preprocess_batch
@@ -193,12 +210,12 @@ def _dump_recon_panel(args, vae, vae_params, preproc, batch, epoch):
     ids = vae.apply(vae_params, imgs, method="get_codebook_indices")
     recon = vae.apply(vae_params, ids, method="decode_indices")
     panel = reconstruction_panel(np.asarray(imgs), np.asarray(recon), cols=4)
-    save_png(os.path.join(args.dump_recon_dir, f"recon_ep{epoch}.png"), panel)
+    save_png(os.path.join(args.dump_recon_dir, f"recon_{tag}.png"), panel)
     if "mask" in batch:
         patch = imgs.shape[1] // args.input_H * 0 + (2 ** args.num_layers)
         overlays = [mask_overlay(np.asarray(imgs[i]), batch["mask"][i], patch)
                     for i in range(min(8, imgs.shape[0]))]
-        save_png(os.path.join(args.dump_recon_dir, f"mask_ep{epoch}.png"),
+        save_png(os.path.join(args.dump_recon_dir, f"mask_{tag}.png"),
                  grid(overlays, cols=4))
 
 
@@ -333,6 +350,7 @@ def main(argv=None):
     from mem_tpu.utils.profiling import StepTimer, trace
 
     profiled = False
+    last_trigger_dump = -(10**9)
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger()
         timer = StepTimer(args.batch_size)
@@ -366,6 +384,15 @@ def main(argv=None):
                     logger.update(mlm_acc=float(m["mlm_acc"]))
                 if not math.isfinite(loss_v):
                     raise RuntimeError(f"non-finite loss at step {it}")
+                # grad-norm-triggered recon dump (the reference's
+                # grad_norm>6 wandb image path, engine_for_pretraining.py:167)
+                if (args.dump_recon_dir and not args.MAE
+                        and should_dump_on_grad_norm(
+                            float(m["grad_norm"]), it, last_trigger_dump,
+                            args.recon_grad_norm_thresh)):
+                    last_trigger_dump = it
+                    _dump_recon_panel(args, vae, vae_params, preproc_train,
+                                      batch, epoch, tag=f"trigger_it{it}")
                 if run and it % 100 == 0:
                     run.log({"train/loss": loss_v,
                              "train/grad_norm": float(m["grad_norm"]), "step": it})
