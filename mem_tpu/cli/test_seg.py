@@ -43,6 +43,15 @@ def get_args(argv=None):
     p.add_argument("--slice_max_evs", type=int, default=180000)
     p.add_argument("--save_dir", type=str, default=None)
     p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--aug_test", type=int, default=0,
+                   help="multi-scale/flip test-time augmentation "
+                        "(MyMultiScaleFlipAug, EventDataset.py:1050-1141); "
+                        "averages softmax probabilities over all "
+                        "scale x flip combinations")
+    p.add_argument("--aug_scales", type=str, default="0.75,1.0,1.25",
+                   help="comma-separated scale ratios for --aug_test")
+    p.add_argument("--aug_flip", type=int, default=1,
+                   help="include horizontally flipped passes in --aug_test")
     return p.parse_args(argv)
 
 
@@ -69,13 +78,39 @@ def main(argv=None):
     params = replicate(payload["params"], mesh)
     batch_stats = replicate(payload["batch_stats"], mesh)
 
+    scales = [float(s) for s in args.aug_scales.split(",")] if args.aug_test else [1.0]
+    flips = [False, True] if (args.aug_test and args.aug_flip) else [False]
+
     @jax.jit
     def infer(batch):
+        """Whole-image inference; with --aug_test, averages softmax
+        probabilities over scale x flip passes (mmseg aug_test semantics;
+        the wrapper surface is MyMultiScaleFlipAug,
+        EventDataset.py:1050-1141). Each pass resizes the rasterized
+        440x640 image by the ratio, runs the segmentor (which upsamples
+        logits back to its input size), resizes probabilities to the label
+        grid, and un-flips."""
         images, labels = seg_preprocess_batch(batch, False)
-        logits, _ = model.apply(
-            {"params": params, "batch_stats": batch_stats}, images, train=False
-        )
-        pred = jnp.argmax(logits, axis=-1)
+        B, H, W, _ = images.shape
+        prob_sum = jnp.zeros((B, H, W, args.num_classes), jnp.float32)
+        for s in scales:
+            sh, sw = int(round(H * s)), int(round(W * s))
+            img_s = images if (sh, sw) == (H, W) else jax.image.resize(
+                images, (B, sh, sw, images.shape[-1]), method="bilinear")
+            for flip in flips:
+                x = img_s[:, :, ::-1] if flip else img_s
+                logits, _ = model.apply(
+                    {"params": params, "batch_stats": batch_stats}, x,
+                    train=False,
+                )
+                prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                if flip:
+                    prob = prob[:, :, ::-1]
+                if (sh, sw) != (H, W):
+                    prob = jax.image.resize(
+                        prob, (B, H, W, args.num_classes), method="bilinear")
+                prob_sum = prob_sum + prob
+        pred = jnp.argmax(prob_sum, axis=-1)
         return pred, confusion_matrix(pred, labels, args.num_classes, IGNORE_INDEX)
 
     cm = np.zeros((args.num_classes, args.num_classes))

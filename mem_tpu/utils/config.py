@@ -41,12 +41,18 @@ class ConfigArgumentParser:
                                  help="key = value config file")
         self._alias_map: Dict[str, str] = {}   # config key -> dest
         self._type_map: Dict[str, Any] = {}
+        self._required: list = []              # (flag, dest) checked post-parse
 
     def add_argument(self, *flags: str, **kwargs):
         # flags like '--epochs', '--pt_epochs' -> canonical first
         canonical = flags[0]
         dest = kwargs.get("dest", canonical.lstrip("-").replace("-", "_"))
+        # defer `required` until after config-file resolution (a required
+        # value may legitimately come from the .conf, configargparse-style)
+        required = kwargs.pop("required", False)
         action = self.parser.add_argument(*flags, **kwargs)
+        if required:
+            self._required.append((canonical, action.dest))
         for f in flags:
             self._alias_map[f.lstrip("-")] = action.dest
         self._type_map[action.dest] = kwargs.get("type", None)
@@ -68,6 +74,9 @@ class ConfigArgumentParser:
                 defaults[dest] = self._convert(dest, raw)
             self.parser.set_defaults(**defaults)
         args, _unknown = self.parser.parse_known_args(argv)
+        for flag, dest in self._required:
+            if getattr(args, dest, None) in (None, ""):
+                self.parser.error(f"the following arguments are required: {flag}")
         return args
 
     def _convert(self, dest: str, raw: str) -> Any:

@@ -123,3 +123,88 @@ def test_seg_train_smoke(synth_seg_dataset, tmp_path):
         "--save_dir", str(tmp_path / "preds"),
     ])
     assert len(os.listdir(tmp_path / "preds")) == 2  # two val frames dumped
+
+
+def test_seg_tta_eval(synth_seg_dataset, tmp_path):
+    """Multi-scale/flip TTA surface (MyMultiScaleFlipAug role,
+    EventDataset.py:1050-1141): 2 scales x {plain, hflip} passes through
+    test_seg --aug_test. Uses a directly-saved random checkpoint (training
+    is covered by the smoke; a train-mode preprocess run costs ~75 s on
+    this 1-core CPU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mem_tpu.cli.test_seg import main as test_main
+    from mem_tpu.models.segmentation import EncoderDecoder
+    from mem_tpu.utils.checkpoint import save_checkpoint
+
+    model = EncoderDecoder(
+        num_classes=3,
+        backbone_cfg=dict(img_size=64, embed_dim=32, depth=2, num_heads=2,
+                          # test_seg's formula: max(0, depth-4+k) for k<4
+                          out_indices=(0, 0, 0, 1)),
+        dtype=jnp.float32,
+    )
+    import functools
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        jax.random.key(0), jnp.zeros((1, 440, 640, 3), jnp.float32))
+    ck = str(tmp_path / "ck")
+    save_checkpoint(ck, "final", {
+        "params": jax.tree.map(np.asarray, variables["params"]),
+        "batch_stats": jax.tree.map(np.asarray, variables["batch_stats"]),
+    })
+    test_main([
+        "--data_root", synth_seg_dataset,
+        "--checkpoint", os.path.join(ck, "checkpoint-final"),
+        "--num_classes", "3",
+        "--seg_input_size", "64", "--embed_dim", "32", "--depth", "2",
+        "--num_heads", "2", "--batch_size", "8",
+        "--slice_max_evs", "5000", "--dtype", "float32",
+        "--aug_test", "1", "--aug_scales", "1.0,0.5", "--aug_flip", "1",
+    ])
+
+
+def test_run_ss_orchestration(synth_seg_dataset, tmp_path):
+    """run-ss.sh: .conf -> trained seg ckpt -> per-class mIoU table
+    (the reference run-ss.sh stage-chaining role)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    conf = tmp_path / "seg.conf"
+    conf.write_text(
+        "expweek = test\n"
+        "expname = ss\n"
+        f"data_root = {synth_seg_dataset}\n"
+        "num_classes = 3\n"
+        "seg_input_size = 64\n"
+        "embed_dim = 32\n"
+        "depth = 2\n"
+        "num_heads = 2\n"
+        "max_iters = 1\n"
+        "batch_size = 8\n"
+        "lr = 1e-3\n"
+        "warmup_iters = 1\n"
+        "eval_interval = 1000\n"
+        "save_interval = 1000\n"
+        "rand_aug = 0\n"
+        "slice_max_evs = 5000\n"
+        "auto_resume = 0\n"
+        "dtype = float32\n"
+        "aug_test = 0\n"
+    )
+    expdir = tmp_path / "exp"
+    env = dict(os.environ)
+    env.update({
+        "PYTHONPATH": repo, "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache",
+        "PYTHON": sys.executable,
+    })
+    r = subprocess.run(
+        ["bash", os.path.join(repo, "run-ss.sh"), str(conf), str(expdir)],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    assert os.path.isdir(expdir / "seg" / "checkpoint-final")
+    assert "mIoU" in r.stdout  # per-class table printed by test_seg
