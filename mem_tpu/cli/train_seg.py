@@ -77,6 +77,10 @@ def get_args(argv=None):
     p.add_argument("--eval_interval", type=int, default=4000)
     p.add_argument("--save_interval", type=int, default=4000)
     p.add_argument("--rand_aug", type=int, default=1)
+    p.add_argument("--rand_aug_batch_ops", type=int, default=1,
+                   help="share the RandAugment op choice across the batch "
+                        "per round (speed mode; marginal op distribution "
+                        "unchanged). 0 = per-sample ops, reference semantics")
     p.add_argument("--slice_max_evs", type=int, default=180000)
     p.add_argument("--output_dir", type=str, default="./seg_out")
     p.add_argument("--seed", type=int, default=0)
@@ -86,9 +90,11 @@ def get_args(argv=None):
     return p.parse_args(argv)
 
 
-def make_seg_steps(model, tx, num_classes: int, rand_aug: bool):
+def make_seg_steps(model, tx, num_classes: int, rand_aug: bool,
+                   rand_aug_batch_ops: bool = False):
     def train_step(params, batch_stats, opt_state, batch, rng):
-        images, labels = seg_preprocess_batch(batch, True, rand_aug)
+        images, labels = seg_preprocess_batch(batch, True, rand_aug,
+                                              rand_aug_batch_ops)
 
         def loss_fn(p):
             (logits, aux), new_state = model.apply(
@@ -188,7 +194,10 @@ def main(argv=None):
     batch_stats = replicate(batch_stats, mesh)
     opt_state = replicate(opt_state, mesh)
 
-    train_step, eval_step = make_seg_steps(model, tx, args.num_classes, bool(args.rand_aug))
+    train_step, eval_step = make_seg_steps(
+        model, tx, args.num_classes, bool(args.rand_aug),
+        bool(args.rand_aug_batch_ops),
+    )
 
     start_iter = 0
     if args.auto_resume:

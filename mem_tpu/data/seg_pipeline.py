@@ -149,9 +149,16 @@ class SegBatchIterator:
         }
 
 
-def seg_preprocess_batch(batch: dict, is_train: bool, rand_aug: bool = True):
+def seg_preprocess_batch(batch: dict, is_train: bool, rand_aug: bool = True,
+                         rand_aug_batch_ops: bool = False):
     """On-chip: events -> network-ready (B, 440, 640, 3) float32 in 0..255,
-    plus flipped labels. Returns (images, labels)."""
+    plus flipped labels. Returns (images, labels).
+
+    ``rand_aug_batch_ops=True`` shares the RandAugment op choice across the
+    batch per round (magnitudes/signs stay per sample) — same documented
+    speed deviation as the pretraining pipeline (ops/rand_augment.py
+    ``batch_ops``): under vmap a lax.switch runs every photometric branch on
+    the whole batch, ~9x the selected work."""
     img = voxelize_fused(
         batch["events"], batch["n_valid"], SEG_H, SEG_W,
         time_surface=False, wrap_uint8=True,
@@ -169,7 +176,8 @@ def seg_preprocess_batch(batch: dict, is_train: bool, rand_aug: bool = True):
         keys = jax.vmap(jax.random.key)(batch["aug_seed"].astype(jnp.uint32))
         if rand_aug:
             u8 = rand_augment_batch(u8, keys, num_ops=2, magnitude=10,
-                                    geometric=False)
+                                    geometric=False,
+                                    batch_ops=rand_aug_batch_ops)
         img = u8.astype(jnp.float32)
         flip = batch["flip"][:, None, None]
         img = jnp.where(flip[..., None], img[:, :, ::-1], img)

@@ -21,7 +21,7 @@ from mem_tpu.train.optim import build_lr_scale_tree, build_wd_mask_tree, schedul
 from scripts.trace_pretrain import analyze
 
 
-def build(B=8, N=180000):
+def build(B=8, N=180000, batch_ops=True):
     model = EncoderDecoder(
         num_classes=11,
         backbone_cfg=dict(img_size=512, embed_dim=768, depth=12,
@@ -42,7 +42,7 @@ def build(B=8, N=180000):
     jb = shard_batch(batch, mesh)
 
     from mem_tpu.data.seg_pipeline import seg_preprocess_batch
-    imgs, _ = jax.jit(lambda b: seg_preprocess_batch(b, True, True))(jb)
+    imgs, _ = jax.jit(lambda b: seg_preprocess_batch(b, True, True, batch_ops))(jb)
     import functools
     variables = jax.jit(functools.partial(model.init, train=True))(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)}, imgs,
@@ -60,7 +60,7 @@ def build(B=8, N=180000):
     params, batch_stats, opt_state = (replicate(params, mesh),
                                       replicate(batch_stats, mesh),
                                       replicate(opt_state, mesh))
-    train_step, _ = make_seg_steps(model, tx, 11, True)
+    train_step, _ = make_seg_steps(model, tx, 11, True, batch_ops)
     return train_step, params, batch_stats, opt_state, jb
 
 
@@ -68,7 +68,7 @@ def main():
     kv = dict(a.split("=") for a in sys.argv[1:])
     B = int(kv.get("B", 8))
     nsteps = int(kv.get("steps", 3))
-    step, p, bs, o, jb = build(B)
+    step, p, bs, o, jb = build(B, batch_ops=bool(int(kv.get("batch_ops", 1))))
     p, bs, o, m = step(p, bs, o, jb, jax.random.key(2))
     jax.block_until_ready(m)
     p, bs, o, m = step(p, bs, o, jb, jax.random.key(3))

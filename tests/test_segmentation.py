@@ -71,6 +71,35 @@ def test_encoder_decoder_shapes(rng):
     assert "batch_stats" in new_state
 
 
+def test_seg_preprocess_batch_ops_mode(rng):
+    """batch_ops RandAugment (shared op choice per round) is shape/range
+    compatible with the per-sample mode and respects the flip flags."""
+    from mem_tpu.data.seg_pipeline import seg_preprocess_batch
+
+    B, N, H, W = 2, 500, 440, 640
+    ev = np.zeros((B, N, 4), np.float32)
+    ev[..., 0] = rng.integers(0, W, (B, N))
+    ev[..., 1] = rng.integers(0, H, (B, N))
+    ev[..., 3] = rng.choice([-1.0, 1.0], (B, N))
+    batch = {
+        "events": jnp.asarray(ev),
+        "n_valid": jnp.full((B,), N, jnp.int32),
+        "label": jnp.asarray(rng.integers(0, 11, (B, H, W)), jnp.int32),
+        "flip": jnp.asarray([False, True]),
+        "aug_seed": jnp.arange(B, dtype=jnp.uint32),
+    }
+    for batch_ops in (False, True):
+        imgs, labels = jax.jit(
+            lambda b: seg_preprocess_batch(b, True, True, batch_ops)
+        )(batch)
+        assert imgs.shape == (B, H, W, 3) and labels.shape == (B, H, W)
+        assert float(imgs.min()) >= 0.0 and float(imgs.max()) <= 255.0
+        # sample 1 label is mirrored, sample 0 untouched
+        np.testing.assert_array_equal(np.asarray(labels[0]), np.asarray(batch["label"][0]))
+        np.testing.assert_array_equal(
+            np.asarray(labels[1]), np.asarray(batch["label"][1])[:, ::-1])
+
+
 @pytest.fixture(scope="module")
 def synth_seg_dataset(tmp_path_factory):
     root = tmp_path_factory.mktemp("dsec")
