@@ -75,6 +75,10 @@ def get_args(argv=None):
     p.add_argument("--opt", type=str, default="adamw")
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--opt_eps", type=float, default=1e-8)
+    p.add_argument("--opt_betas", type=float, nargs="+", default=None,
+                   help="declared for surface parity but hard-overridden to "
+                        "(0.9, 0.95) exactly like the reference "
+                        "(optim_factory.py:121)")
     p.add_argument("--smoothing", type=float, default=0.1)
     p.add_argument("--mixup", type=float, default=0.8)
     p.add_argument("--cutmix", type=float, default=1.0)

@@ -95,7 +95,15 @@ def get_args(argv=None):
     p.add_argument("--weight_decay", type=float, default=0.05)
     p.add_argument("--weight_decay_end", type=float, default=None)
     p.add_argument("--clip_grad", "--pt_grad_clip", type=float, default=None)
+    p.add_argument("--opt", type=str, default="adamw",
+                   help="optimizer name (optim_factory.py 20-way switch; "
+                        "lookahead_ prefix supported)")
     p.add_argument("--opt_eps", type=float, default=1e-8)
+    p.add_argument("--opt_betas", type=float, nargs="+", default=[0.9, 0.999],
+                   help="declared for surface parity but hard-overridden to "
+                        "(0.9, 0.95) exactly like the reference "
+                        "(optim_factory.py:121)")
+    p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--save_ckpt_freq", "--pt_save_ckpt_freq", type=int, default=25)
     p.add_argument("--output_dir", type=str, default="./pt_out")
     p.add_argument("--log_dir", type=str, default=None)
@@ -315,7 +323,11 @@ def main(argv=None):
         wd_schedule=as_schedule_fn(wd_sched),
         weight_decay=args.weight_decay,
         clip_grad=args.clip_grad,
+        opt=args.opt,
         opt_eps=args.opt_eps,
+        momentum=args.momentum,
+        # --opt_betas is accepted but ignored: betas are forced to
+        # (0.9, 0.95), the reference's hard override (optim_factory.py:121)
     )
     opt_state = tx.init(params)
     if args.tp > 1:

@@ -165,6 +165,149 @@ def test_adam_l2_matches_torch(rng):
     np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), atol=2e-6)
 
 
+# ---------------------------------------------------------------------------
+# optimizer zoo (optim_factory.py:98-181 20-way switch)
+# ---------------------------------------------------------------------------
+
+def _run_pair(rng, opt_name, topt_factory, steps=6, wd=0.01, lr=0.01,
+              opt_betas=(0.9, 0.999), atol=2e-6, momentum=0.9):
+    """Step our create_optimizer(opt_name) and a torch optimizer in lockstep
+    on identical gradients; return (ours, theirs) final weights."""
+    w = rng.standard_normal((4, 3)).astype(np.float32)
+    params = {"w": jnp.asarray(w)}
+    tx = create_optimizer(params, lambda s: lr, weight_decay=wd, opt=opt_name,
+                          opt_betas=opt_betas, momentum=momentum)
+    state = tx.init(params)
+    tw = torch.nn.Parameter(torch.from_numpy(w.copy()))
+    topt = topt_factory([tw])
+    for _ in range(steps):
+        gw = rng.standard_normal((4, 3)).astype(np.float32)
+        up, state = tx.update({"w": jnp.asarray(gw)}, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, up)
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(gw.copy())
+        topt.step()
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tw.detach().numpy(), atol=atol)
+
+
+def test_nadam_matches_torch(rng):
+    _run_pair(rng, "nadam", lambda ps: torch.optim.NAdam(
+        ps, lr=0.01, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.01))
+
+
+def test_radam_matches_torch(rng):
+    # atol 2e-5: optax places eps as sqrt(v/c2)+eps, torch as
+    # (sqrt(v)+eps)/sqrt(c2) — an O(eps) per-step perturbation, ~1e-5
+    # accumulated over 12 steps; the rectification schedule itself matches.
+    _run_pair(rng, "radam", lambda ps: torch.optim.RAdam(
+        ps, lr=0.01, betas=(0.9, 0.999), eps=1e-8, weight_decay=0.01),
+        steps=12, atol=2e-5)  # crosses the rho_t > 5 threshold at step 5
+
+
+def test_adadelta_matches_torch(rng):
+    _run_pair(rng, "adadelta", lambda ps: torch.optim.Adadelta(
+        ps, lr=0.01, rho=0.9, eps=1e-6, weight_decay=0.01))
+
+
+def test_rmsprop_matches_torch(rng):
+    _run_pair(rng, "rmsprop", lambda ps: torch.optim.RMSprop(
+        ps, lr=0.01, alpha=0.9, eps=1e-8, momentum=0.9, weight_decay=0.01))
+
+
+def test_adamp_unprojected_matches_adamw(rng):
+    """Where the projection never fires (cos(p, g) large), AdamP(nesterov
+    =False) is exactly torch AdamW: multiplicative decoupled decay + Adam
+    step."""
+    w = np.abs(rng.standard_normal((4, 3))).astype(np.float32) + 1.0
+    params = {"w": jnp.asarray(w)}
+    from mem_tpu.train.optim import scheduled_adamp
+
+    tx = scheduled_adamp(
+        lambda s: 0.01, lambda s: 0.05,
+        {"w": 1.0}, {"w": 1.0}, b1=0.9, b2=0.999, eps=1e-8, nesterov=False,
+    )
+    state = tx.init(params)
+    tw = torch.nn.Parameter(torch.from_numpy(w.copy()))
+    topt = torch.optim.AdamW([tw], lr=0.01, betas=(0.9, 0.999), eps=1e-8,
+                             weight_decay=0.05)
+    for _ in range(5):
+        # gradients parallel-ish to p -> cosine similarity far above delta
+        gw = (w * 0.5 + 0.01 * rng.standard_normal((4, 3))).astype(np.float32)
+        up, state = tx.update({"w": jnp.asarray(gw)}, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, up)
+        topt.zero_grad()
+        tw.grad = torch.from_numpy(gw.copy())
+        topt.step()
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), tw.detach().numpy(), atol=3e-6)
+
+
+def test_adamp_projection_removes_radial_component(rng):
+    """For a scale-invariant-looking param (g orthogonal to p per channel)
+    the projected update must have no radial component: dot(p_row,
+    update_row) ~ 0 while the unprojected Adam step would not."""
+    from mem_tpu.train.optim import _adamp_project
+
+    p = rng.standard_normal((4, 16)).astype(np.float32)
+    # per-row orthogonal gradient
+    g = rng.standard_normal((4, 16)).astype(np.float32)
+    g -= (np.sum(g * p, -1, keepdims=True) / np.sum(p * p, -1, keepdims=True)) * p
+    perturb = rng.standard_normal((4, 16)).astype(np.float32)
+    out, fired = _adamp_project(jnp.asarray(p), jnp.asarray(g), jnp.asarray(perturb))
+    assert float(fired) == 1.0
+    radial = np.sum(np.asarray(out) * p, axis=-1) / np.linalg.norm(p, axis=-1)
+    np.testing.assert_allclose(radial, 0.0, atol=1e-4)
+    # and a non-orthogonal gradient must NOT fire
+    _, fired2 = _adamp_project(jnp.asarray(p), jnp.asarray(p + 0.01 * g),
+                               jnp.asarray(perturb))
+    assert float(fired2) == 0.0
+
+
+def test_sgdp_runs_and_decays(rng):
+    w = rng.standard_normal((4, 3)).astype(np.float32)
+    params = {"w": jnp.asarray(w)}
+    tx = create_optimizer(params, lambda s: 0.01, weight_decay=0.01, opt="sgdp")
+    state = tx.init(params)
+    for _ in range(3):
+        gw = rng.standard_normal((4, 3)).astype(np.float32)
+        up, state = tx.update({"w": jnp.asarray(gw)}, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, up)
+    assert np.all(np.isfinite(np.asarray(params["w"])))
+
+
+def test_lookahead_sync_semantics():
+    """lookahead_sgd with momentum 0: after k=6 unit-gradient steps at
+    lr=0.1 the slow weights pull the fast ones halfway back."""
+    params = {"w": jnp.asarray(np.array([1.0], np.float32))}
+    tx = create_optimizer(params, lambda s: 0.1, opt="lookahead_momentum",
+                          momentum=0.0)
+    state = tx.init(params)
+    g = {"w": jnp.asarray(np.array([1.0], np.float32))}
+    vals = []
+    for _ in range(6):
+        up, state = tx.update(g, state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, up)
+        vals.append(float(params["w"][0]))
+    # steps 1-5: plain sgd; step 6: fast=0.4, slow sync: 1.0 + 0.5*(0.4-1.0)
+    np.testing.assert_allclose(vals[:5], [0.9, 0.8, 0.7, 0.6, 0.5], atol=1e-6)
+    np.testing.assert_allclose(vals[5], 0.7, atol=1e-6)
+
+
+def test_fused_aliases_and_adahessian_error():
+    params = {"w": jnp.zeros((2, 2))}
+    for name in ("fusedadamw", "fusedadam", "fusedsgd", "fusedmomentum",
+                 "fusedlamb", "fusednovograd", "rmsproptf", "adafactor",
+                 "novograd", "lamb"):
+        tx = create_optimizer(params, lambda s: 0.01, weight_decay=0.01,
+                              opt=name)
+        state = tx.init(params)
+        up, _ = tx.update({"w": jnp.ones((2, 2))}, state, params)
+        assert np.all(np.isfinite(np.asarray(up["w"])))
+    with pytest.raises(ValueError, match="adahessian"):
+        create_optimizer(params, lambda s: 0.01, opt="adahessian")
+
+
 def test_hotpix_topk_mode(rng):
     import jax.numpy as jnp2
 
