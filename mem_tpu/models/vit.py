@@ -38,6 +38,13 @@ QKV_WEIGHT_SLICE = True
 # differs.
 LN_FAST = True
 
+# Flat-layout fused attention for head-blocked-eligible shapes: q/k/v stay
+# (B, N, C) from full-speed flat GEMMs (178 vs 88 TF/s for bhnd-layout
+# einsums) and the per-head slicing happens on VMEM tiles inside the Pallas
+# kernel; the output proj is a flat GEMM again. False = bhnd einsums + the
+# (B,H,N,D)-consuming kernel.
+FLAT_ATTN = True
+
 # Selective MLP rematerialization: wrap each Mlp in jax.checkpoint with the
 # dots_saveable policy — fc1/fc2 GEMM outputs are saved, the gelu output is
 # recomputed in backward. MEASURED WORSE on the v5e ViT-B/197 grad step
@@ -290,6 +297,36 @@ class Attention(nn.Module):
             and head_dim % 8 == 0
             and 8 <= N <= 1056  # fwd holds 3 N^2 f32 tiles in VMEM; bwd row-blocks above N=448
         )
+
+        if use_fused and FLAT_ATTN and _fa._hb_eligible(self.num_heads, N):
+            # flat path: three (B*N, C) @ (C, C) GEMMs (full MXU speed), head
+            # slicing inside the kernel, flat GEMM proj — no bhnd layout ever
+            w = qkv_w.astype(self.dtype)
+            q = jnp.dot(x, w[:, :all_head_dim])
+            k = jnp.dot(x, w[:, all_head_dim : 2 * all_head_dim])
+            v = jnp.dot(x, w[:, 2 * all_head_dim :])
+            if self.qkv_bias:
+                q_bias = self.param("q_bias", nn.initializers.zeros, (all_head_dim,))
+                v_bias = self.param("v_bias", nn.initializers.zeros, (all_head_dim,))
+                q = q + q_bias.astype(self.dtype)
+                v = v + v_bias.astype(self.dtype)
+            if bias is None:
+                bias = jnp.zeros((self.num_heads, N, N), jnp.float32)
+            from mem_tpu.ops.attention import fused_attention_flat
+
+            out = fused_attention_flat(
+                q, k, v, bias.astype(jnp.float32), float(scale), is_cpu
+            )
+            out = nn.Dense(
+                self.dim,
+                dtype=self.dtype,
+                kernel_init=trunc_normal_init(
+                    self.init_std * self.proj_scale, self.trunc_sigmas
+                ),
+                name="proj",
+            )(out)
+            out = nn.Dropout(self.proj_dropout, deterministic=deterministic)(out)
+            return out
 
         if use_fused:
             # project straight into (B, H, N, D): the head split rides the

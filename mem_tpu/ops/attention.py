@@ -100,6 +100,136 @@ def _bwd_hb_kernel(q_ref, k_ref, v_ref, b_ref, do_ref,
         db_ref[h] += ds
 
 
+def _fwd_flat_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, H, D):
+    """Head-blocked forward on FLAT (N, H*D) tiles: the per-head q/k/v are
+    lane-slices of the VMEM-resident flat tensors, so the feeding GEMMs can
+    stay in the fast (B*N, C) @ (C, C) layout (178 vs 88 TF/s for the
+    bhnd-layout einsums, docs/PERF.md) and no (B,H,N,D) transpose ever
+    exists."""
+    qv = q_ref[0]
+    kv = k_ref[0]
+    vv = v_ref[0]
+    for h in range(H):
+        lo = h * D
+        q = qv[:, lo:lo + D]
+        k = kv[:, lo:lo + D]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = s + b_ref[h]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(vv.dtype), vv[:, lo:lo + D],
+                    preferred_element_type=jnp.float32)
+        o_ref[0, :, lo:lo + D] = o.astype(o_ref.dtype)
+
+
+def _bwd_flat_kernel(q_ref, k_ref, v_ref, b_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, db_ref, *, scale, H, D):
+    b_idx = pl.program_id(0)
+
+    @pl.when(b_idx == 0)
+    def _():
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    qv = q_ref[0]
+    kv = k_ref[0]
+    vv = v_ref[0]
+    dov = do_ref[0]
+    for h in range(H):
+        lo = h * D
+        q = qv[:, lo:lo + D]
+        k = kv[:, lo:lo + D]
+        v = vv[:, lo:lo + D]
+        do = dov[:, lo:lo + D]
+
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = s + b_ref[h]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        pc = p.astype(v.dtype)
+
+        dv = jnp.dot(pc.T, do, preferred_element_type=jnp.float32)
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        dsc = ds.astype(q.dtype)
+
+        dq_ref[0, :, lo:lo + D] = (
+            jnp.dot(dsc, k, preferred_element_type=jnp.float32) * scale
+        ).astype(dq_ref.dtype)
+        dk_ref[0, :, lo:lo + D] = (
+            jnp.dot(dsc.T, q, preferred_element_type=jnp.float32) * scale
+        ).astype(dk_ref.dtype)
+        dv_ref[0, :, lo:lo + D] = dv.astype(dv_ref.dtype)
+        db_ref[h] += ds
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_attention_flat(q, k, v, bias, scale: float, interpret: bool = False):
+    """softmax(q k^T * scale + bias) v on FLAT layouts.
+
+    q, k, v: (B, N, H*D); bias: (H, N, N) f32. Returns (B, N, H*D) in q's
+    dtype. Head count is inferred from the bias. Only head-blocked-eligible
+    shapes (the (H, N, N) bias fits VMEM); callers fall back to
+    ``fused_attention`` otherwise.
+    """
+    return _fa_flat_fwd(q, k, v, bias, scale, interpret)[0]
+
+
+def _fa_flat_fwd(q, k, v, bias, scale, interpret):
+    B, N, C = q.shape
+    H = bias.shape[0]
+    D = C // H
+    spec = pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((H, N, N), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_flat_kernel, scale=scale, H=H, D=D),
+        grid=(B,),
+        in_specs=[spec, spec, spec, bspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias)
+    return out, (q, k, v, bias)
+
+
+def _fa_flat_bwd(scale, interpret, res, do):
+    q, k, v, bias = res
+    B, N, C = q.shape
+    H = bias.shape[0]
+    D = C // H
+    spec = pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((H, N, N), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dq, dk, dv, db = pl.pallas_call(
+        functools.partial(_bwd_flat_kernel, scale=scale, H=H, D=D),
+        grid=(B,),  # db accumulates across the (arbitrary) batch axis
+        in_specs=[spec, spec, spec, bspec, spec],
+        out_specs=(spec, spec, spec, bspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, C), q.dtype),
+            jax.ShapeDtypeStruct((B, N, C), k.dtype),
+            jax.ShapeDtypeStruct((B, N, C), v.dtype),
+            jax.ShapeDtypeStruct((H, N, N), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias, do)
+    return dq, dk, dv, db
+
+
+fused_attention_flat.defvjp(_fa_flat_fwd, _fa_flat_bwd)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale):
     q = q_ref[0, 0]
     k = k_ref[0, 0]

@@ -185,6 +185,9 @@ def main():
     if "fa" in kv:
         import mem_tpu.ops.attention as _fa
         _fa.ENABLED = bool(int(kv["fa"]))
+    if "flat" in kv:
+        import mem_tpu.models.vit as _vit
+        _vit.FLAT_ATTN = bool(int(kv["flat"]))
     if kv.get("mode") == "phases":
         phases(bool(int(kv.get("batch_ops", 1))),
                bool(int(kv.get("gathered", 1))), int(kv.get("B", 128)))

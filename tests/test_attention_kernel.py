@@ -73,6 +73,44 @@ def test_fused_attention_blocked_backward(rng):
         )
 
 
+def test_fused_attention_flat(rng):
+    """Flat-layout head-blocked kernel: fwd + all grads vs the einsum
+    reference on (B, N, H*D) tensors."""
+    from mem_tpu.ops.attention import fused_attention_flat
+
+    B, H, N, D = 2, 3, 24, 8
+    q = jnp.asarray(rng.standard_normal((B, N, H * D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, N, H * D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, N, H * D)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((H, N, N)) * 0.1, jnp.float32)
+    t = jnp.asarray(rng.standard_normal((B, N, H * D)), jnp.float32)
+    scale = D**-0.5
+
+    def to_bhnd(x):
+        return x.reshape(B, N, H, D).transpose(0, 2, 1, 3)
+
+    def from_bhnd(x):
+        return x.transpose(0, 2, 1, 3).reshape(B, N, H * D)
+
+    got = fused_attention_flat(q, k, v, bias, scale, True)
+    want = from_bhnd(_ref_attn(to_bhnd(q), to_bhnd(k), to_bhnd(v), bias, scale))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def loss_fused(q, k, v, bias):
+        return jnp.sum(fused_attention_flat(q, k, v, bias, scale, True) * t)
+
+    def loss_ref(q, k, v, bias):
+        return jnp.sum(
+            from_bhnd(_ref_attn(to_bhnd(q), to_bhnd(k), to_bhnd(v), bias, scale)) * t)
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for name, a, b in zip("qkvb", g_fused, g_ref):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, err_msg=f"d{name}"
+        )
+
+
 def test_fused_attention_per_head_path(rng, monkeypatch):
     """Legacy per-(batch, head) path still correct when the head-blocked
     variant is ineligible (large H*N*N bias)."""

@@ -96,9 +96,14 @@ def test_fused_attention_model_path_matches_einsum(rng, monkeypatch):
     model = create_model("pt_vit", **CFG)
     params = jax.jit(model.init)(jax.random.key(0), x, mask)
 
+    from mem_tpu.models import vit as vit_mod
+
     monkeypatch.setattr(fa, "ENABLED", False)
     want = model.apply(params, x, mask)
     monkeypatch.setattr(fa, "ENABLED", True)
-    got = model.apply(params, x, mask)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               atol=5e-5, rtol=1e-5)
+    for flat in (True, False):  # flat-layout kernel and the bhnd kernel
+        monkeypatch.setattr(vit_mod, "FLAT_ATTN", flat)
+        got = model.apply(params, x, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=5e-5, rtol=1e-5,
+                                   err_msg=f"FLAT_ATTN={flat}")
