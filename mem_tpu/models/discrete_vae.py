@@ -25,11 +25,31 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from mem_tpu.ops.softmax import log_softmax_lastdim, softmax_lastdim
+
+
+# ConvTranspose implementation: False (default) = input-dilated conv; True =
+# sub-pixel decomposition (4 dense 2x2 convs per output parity + interleave).
+# MEASURED: XLA:TPU already skips the dilation zeros — the dilated conv runs
+# at ~185 TF/s (peak), and the sub-pixel form pays ~60 ms/step of interleave
+# copies on the (B,224,224,384) tensors (VAE step 379 -> 434 ms, docs/
+# PERF.md). Kept as a validated alternative; identical math either way.
+SUBPIXEL_DECONV = False
+
+
 
 class TorchConvTranspose(nn.Module):
     """ConvTranspose2d with torch's exact semantics (kernel 4, stride 2,
-    padding 1 doubles the spatial size). Implemented as an input-dilated
-    convolution with spatially flipped kernel."""
+    padding 1 doubles the spatial size).
+
+    Two mathematically identical realizations (see SUBPIXEL_DECONV): the
+    sub-pixel form derives from the dilated-conv definition
+    ``out = conv(dilate(in, 2), flip(K), pad=2)``: dilated positions are
+    nonzero only at even indices, so per output parity the sum collapses to
+    two taps per dim —
+        out[2m]   = in[m-1] K[3] + in[m]   K[1]
+        out[2m+1] = in[m]   K[2] + in[m+1] K[0]
+    i.e. four 2x2 convs with per-parity padding, interleaved 2x2."""
 
     features: int
     kernel_size: int = 4
@@ -48,16 +68,42 @@ class TorchConvTranspose(nn.Module):
             (k, k, in_ch, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
-        pad = k - 1 - p
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            jnp.flip(kernel, (0, 1)).astype(self.dtype),
-            window_strides=(1, 1),
-            padding=[(pad, pad + (s - 1) * 0), (pad, pad)],
-            lhs_dilation=(s, s),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if SUBPIXEL_DECONV and (k, s, p) == (4, 2, 1):
+            y = self._subpixel(x, kernel)
+        else:
+            pad = k - 1 - p
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                jnp.flip(kernel, (0, 1)).astype(self.dtype),
+                window_strides=(1, 1),
+                padding=[(pad, pad), (pad, pad)],
+                lhs_dilation=(s, s),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         return y + bias.astype(self.dtype)
+
+    def _subpixel(self, x, kernel):
+        B, H, W, C = x.shape
+        kd = kernel.astype(self.dtype)
+        xd = x.astype(self.dtype)
+        sel = ((3, 1), (2, 0))        # taps per parity: even -> K[3],K[1]
+        pads = ((1, 0), (0, 1))       # even: left pad 1; odd: right pad 1
+        outs = []
+        for py in (0, 1):
+            row = []
+            for px in (0, 1):
+                w = kd[jnp.array(sel[py])][:, jnp.array(sel[px])]  # (2,2,C,O)
+                y = jax.lax.conv_general_dilated(
+                    xd, w, window_strides=(1, 1),
+                    padding=[pads[py], pads[px]],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )                                                  # (B,H,W,O)
+                row.append(y)
+            outs.append(row)
+        # interleave: out[:, 2i+py, 2j+px] = outs[py][px][:, i, j]
+        y = jnp.stack([jnp.stack(r, axis=3) for r in outs], axis=2)
+        # (B, H, py, W, px, O) -> (B, 2H, 2W, O)
+        return y.reshape(B, 2 * H, 2 * W, self.features)
 
 
 class ResBlock(nn.Module):
@@ -202,7 +248,9 @@ class DiscreteVAE(nn.Module):
         if rng is None:
             rng = self.make_rng("gumbel")
         g = jax.random.gumbel(rng, logits.shape, dtype=jnp.float32)
-        soft = jax.nn.softmax((logits.astype(jnp.float32) + g) / temperature, axis=-1)
+        # barriered softmax: over the 8192-way vocab, XLA's fused
+        # reduce-broadcast re-reads every row 64x (ops/softmax.py — 21x win)
+        soft = softmax_lastdim((logits.astype(jnp.float32) + g) / temperature)
         if self.straight_through:
             hard = jax.nn.one_hot(jnp.argmax(soft, -1), self.num_tokens, dtype=soft.dtype)
             soft = hard + soft - jax.lax.stop_gradient(soft)
@@ -211,7 +259,7 @@ class DiscreteVAE(nn.Module):
         recon = self._recon_loss(self._norm(img), out)
 
         # KL(q || uniform), summed (see class docstring for the batchmean quirk)
-        log_qy = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        log_qy = log_softmax_lastdim(logits.astype(jnp.float32))
         log_uniform = jnp.log(1.0 / self.num_tokens)
         kl = jnp.sum(jnp.exp(log_qy) * (log_qy - log_uniform))
 

@@ -167,3 +167,28 @@ def test_rel_pos_bias_einsum_matches_gather(rng):
     got = Small(win, H).apply(params)
     want = RelativePositionBias(win, H).apply(params)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-6)
+
+
+def test_subpixel_deconv_matches_dilated(rng, monkeypatch):
+    """The sub-pixel realization of ConvTranspose2d(4, 2, 1) equals the
+    input-dilated definition, values and grads (docs/PERF.md VAE entry)."""
+    import jax
+    import jax.numpy as jnp
+    import mem_tpu.models.discrete_vae as dv
+
+    x = jnp.asarray(rng.standard_normal((2, 7, 9, 5)), jnp.float32)
+    m = dv.TorchConvTranspose(6)
+    params = m.init(jax.random.key(0), x)
+
+    def run(flag):
+        monkeypatch.setattr(dv, "SUBPIXEL_DECONV", flag)
+        y = m.apply(params, x)
+        g = jax.grad(lambda p: jnp.sum(m.apply(p, x) ** 2))(params)
+        return y, g
+
+    ya, ga = run(True)
+    yb, gb = run(False)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
