@@ -4,6 +4,12 @@
 1. ``voxelize_events_per_sec`` — on-chip fused augment+rasterize vs the
    reference's CPU ``np.add.at`` scatter loop (BASELINE.md metric #1;
    voxelize_numpy transliterates mem/datasets.py:552-595).
+   ROUND-2 CORRECTION: round 1 recorded 44.7 Gev/s — a measurement artifact
+   (constant-folded chain -> dedup, and a non-waiting block_until_ready;
+   docs/PERF.md "honesty correction"). The honest wall rate is ~0.33 Gev/s
+   (~34x CPU), now measured with an output-dependent chain + scalar-fetch
+   synchronization, with the Pallas VMEM-accumulator histogram as the TPU
+   backend (4.1 ms device time at this config).
 2. ``pretrain_samples_per_sec_chip`` — the BASELINE.md north-star: full
    fused ViT-B MEM pretrain train step (on-chip preprocessing -> frozen
    VAE tokenizer -> masked ViT-B -> CE -> scheduled AdamW) at B=128.
@@ -40,29 +46,36 @@ def bench_voxelize():
     sample_h = np.full((B,), 180, np.int32)
     sample_w = np.full((B,), 240, np.int32)
 
-    # NOTE: iterations are chained through a data dependency — repeated
-    # identical dispatches get deduped/cached somewhere in this stack and
-    # measure fantasy numbers (docs/PERF.md "methodology gotchas").
+    # Measurement rules learned the hard way (docs/PERF.md "methodology
+    # gotchas", round-2 honesty correction):
+    #   1. chain iterations through an OUTPUT-DEPENDENT, NON-FOLDABLE
+    #      update (a `* 0.0` chain is constant-folded; a nudge on a dead
+    #      input column leaves outputs identical and dedup returns cached
+    #      results — both produced ~100x-inflated round-1 rates);
+    #   2. block_until_ready on a device buffer does NOT reliably wait on
+    #      this remote backend — synchronize by fetching a jit-computed
+    #      checksum scalar to host.
     def step(e, nv, tf, xf, sh, shh, sww):
         out = voxelize_fused(
             e, nv, H, W, time_flip=tf, x_flip=xf, shift_xy=sh,
             sample_H=shh, sample_W=sww,
         )
-        e_next = e.at[0, 0, 2].add(out[0, 0, 0, 0].astype(jnp.float32) * 0.0)
-        return e_next, out
+        # output-dependent chain: event 0's x moves by (count % 2) pixels
+        e_next = e.at[:, 0, 0].add((out[:, 0, 0, 0] % 2).astype(jnp.float32))
+        return e_next, jnp.sum(out, dtype=jnp.int32)
 
     f = jax.jit(step, donate_argnums=(0,))
     args = [
         jnp.asarray(a) for a in (events, n_valid, time_flip, x_flip, shift, sample_h, sample_w)
     ]
-    e, out = f(*args)
-    out.block_until_ready()  # compile
+    e, chk = f(*args)
+    float(chk)  # compile + sync
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        e, out = f(e, *args[1:])
-    out.block_until_ready()
+        e, chk = f(e, *args[1:])
+    assert float(chk) > 0  # host fetch = the only real synchronization
     dt = (time.perf_counter() - t0) / iters
     tpu_rate = B * N / dt
 
@@ -91,12 +104,14 @@ def bench_pretrain_step(B=128, iters=12):
 
     step, params, os_, vp, jb = build(batch_ops=True, gathered=True, B=B)
     p, o, m = step(params, os_, vp, jb, jax.random.key(3))
-    jax.block_until_ready(m)
-    # iterations chain through the donated train state (dedup gotcha)
+    float(m["loss"])  # compile + sync
+    # iterations chain through the donated train state (dedup gotcha);
+    # the final scalar fetch is the synchronization (block_until_ready on
+    # device buffers does not reliably wait over the remote backend)
     t0 = time.perf_counter()
     for i in range(iters):
         p, o, m = step(p, o, vp, jb, jax.random.fold_in(jax.random.key(4), i))
-    jax.block_until_ready(m)
+    assert np.isfinite(float(m["loss"]))
     dt = (time.perf_counter() - t0) / iters
     rate = B / dt
     print(json.dumps({

@@ -176,6 +176,17 @@ def _time_surface_plane(xs, ys, ts, valid, in_bounds, H: int, W: int):
 # Fused augment + rasterize (the on-chip preprocessing front end)
 # ---------------------------------------------------------------------------
 
+# Histogram backend for voxelize_fused: None = auto (Pallas VMEM-accumulator
+# kernel on TPU, XLA one-hot contraction elsewhere); True/False forces.
+PALLAS_HIST: bool | None = None
+
+
+def _use_pallas_hist() -> bool:
+    if PALLAS_HIST is not None:
+        return PALLAS_HIST
+    return jax.default_backend() == "tpu"
+
+
 def voxelize_fused(
     events: jnp.ndarray,
     n_valid: jnp.ndarray,
@@ -247,6 +258,37 @@ def voxelize_fused(
         xs = xs + shift_xy[:, 0:1]
         ys = ys + shift_xy[:, 1:2]
         valid &= (xs >= 0) & (xs < sample_W[:, None]) & (ys >= 0) & (ys < sample_H[:, None])
+
+    if _use_pallas_hist():
+        # Pallas chunked-accumulator histogram: one-hot factors built in
+        # VMEM, (H, 2W) accumulator resident across the chunk loop. Honest
+        # device-time comparison at (B=64, 30k, 256²): 4.1 ms vs 6.0 ms for
+        # the XLA one-hot contraction (which materializes ~2 GB of one-hots
+        # in HBM) and 37.5 ms for a scatter formulation (docs/PERF.md).
+        from mem_tpu.ops.voxelize_pallas import voxelize_pallas_planes
+
+        in_b = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
+        ok = valid & in_b
+        wpos = jnp.where(ok & (ps == 1), 1.0, 0.0)
+        wneg = jnp.where(ok & (ps == -1), 1.0, 0.0)
+        xs_c = jnp.clip(xs, 0, W - 1)
+        ys_c = jnp.clip(ys, 0, H - 1)
+        planes = voxelize_pallas_planes(
+            xs_c, ys_c, wpos, wneg, H, W,
+            interpret=jax.default_backend() != "tpu",
+        )
+        pos, neg = planes[..., :W], planes[..., W:]
+        if wrap_uint8:
+            pos, neg = jnp.mod(pos, 256.0), jnp.mod(neg, 256.0)
+        else:
+            pos, neg = jnp.minimum(pos, 255.0), jnp.minimum(neg, 255.0)
+        if time_surface:
+            tss = jax.vmap(
+                lambda x, y, t, v, o: _time_surface_plane(x, y, t, v, o, H, W)
+            )(xs_c, ys_c, ts, valid, ok)
+        else:
+            tss = jnp.zeros_like(pos)
+        return jnp.stack([pos, tss, neg], axis=-1).astype(jnp.uint8)
 
     ev = jnp.stack([xs.astype(jnp.float32), ys.astype(jnp.float32), ts, ps], axis=-1)
     return jax.vmap(

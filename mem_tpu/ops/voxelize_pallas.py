@@ -1,8 +1,10 @@
-"""Pallas TPU kernel for event voxelization.
+"""Pallas TPU kernel for event voxelization — the default histogram backend
+of ``voxelize_fused`` on TPU (voxelize.PALLAS_HIST).
 
 The XLA path (mem_tpu.ops.voxelize) expresses the histogram as a one-hot
-contraction and relies on the compiler to rewrite it into a scatter. This
-kernel makes the schedule explicit and removes the remaining HBM traffic:
+contraction, which materializes the (N, H)/(N, W) one-hot factors in HBM
+(~2 GB per B=64×30k batch; 6.0 ms by device time). This kernel makes the
+schedule explicit and removes that traffic (4.1 ms, 1.5x):
 event chunks stream HBM -> VMEM; both one-hot factors are built *inside*
 VMEM with iota compares (they never exist in HBM); the (H, 2W) accumulator
 lives in VMEM across the chunk loop and is written out once per sample.
