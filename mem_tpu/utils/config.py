@@ -41,6 +41,7 @@ class ConfigArgumentParser:
                                  help="key = value config file")
         self._alias_map: Dict[str, str] = {}   # config key -> dest
         self._type_map: Dict[str, Any] = {}
+        self._nargs_map: Dict[str, Any] = {}
         self._required: list = []              # (flag, dest) checked post-parse
 
     def add_argument(self, *flags: str, **kwargs):
@@ -56,6 +57,7 @@ class ConfigArgumentParser:
         for f in flags:
             self._alias_map[f.lstrip("-")] = action.dest
         self._type_map[action.dest] = kwargs.get("type", None)
+        self._nargs_map[action.dest] = kwargs.get("nargs", None)
         return action
 
     def set_defaults(self, **kwargs):
@@ -81,6 +83,13 @@ class ConfigArgumentParser:
 
     def _convert(self, dest: str, raw: str) -> Any:
         typ = self._type_map.get(dest)
+        nargs = self._nargs_map.get(dest)
+        if nargs in ("+", "*") or isinstance(nargs, int):
+            items = raw.replace(",", " ").split()
+            return [self._convert_one(typ, t) for t in items]
+        return self._convert_one(typ, raw)
+
+    def _convert_one(self, typ, raw: str) -> Any:
         if typ is None:
             # bool flags from store_true/store_false
             if raw.lower() in ("true", "1", "yes"):

@@ -100,3 +100,17 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     names = sorted(os.listdir(out))
     assert "checkpoint-4" not in names
     assert "checkpoint-9" in names and "checkpoint-final" in names
+
+
+def test_nargs_config_key(tmp_path):
+    """List-valued keys (e.g. opt_betas) parse from .conf files."""
+    from mem_tpu.utils.config import ConfigArgumentParser
+
+    conf = tmp_path / "c.conf"
+    conf.write_text("opt_betas = 0.9 0.999\nscales = 1, 2, 3\n")
+    p = ConfigArgumentParser()
+    p.add_argument("--opt_betas", type=float, nargs="+", default=None)
+    p.add_argument("--scales", type=int, nargs="+", default=None)
+    args = p.parse_args(["--config", str(conf)])
+    assert args.opt_betas == [0.9, 0.999]
+    assert args.scales == [1, 2, 3]
