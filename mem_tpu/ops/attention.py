@@ -330,17 +330,22 @@ QBLK = 256  # q-row block for the flash-style backward
 _WHOLE_BWD_MAX_N = 448
 
 
-def _bwd_block_kernel(q_ref, k_ref, v_ref, b_ref, do_ref,
-                      dq_ref, dk_ref, dv_ref, *, scale, n_real):
-    """Grid (B, H, QB): dq per q-row block; dk/dv accumulated over the
-    trailing qb axis. Key columns >= n_real are masked out of the softmax
-    (the arrays are padded to QBLK multiples)."""
-    qb = pl.program_id(2)
+def _bwd_block_merged_kernel(q_ref, k_ref, v_ref, b_ref, do_ref,
+                             dq_ref, dkp_ref, dvp_ref, db_ref,
+                             *, scale, n_real):
+    """Grid (H, QB, B), ONE attention recompute per (h, q-block, b):
+    dq written per instance; dk/dv written as per-q-block PARTIALS (summed
+    over the qb axis outside — Pallas output revisiting only accumulates
+    along trailing grid axes, and db needs the trailing axis for its
+    batch-sum); db accumulated over the trailing b axis. Replaces the
+    previous two-pass backward that recomputed softmax twice (~29 ms of the
+    seg step, docs/PERF.md). Key columns >= n_real are masked out (arrays
+    padded to QBLK multiples)."""
+    b_idx = pl.program_id(2)
 
-    @pl.when(qb == 0)
+    @pl.when(b_idx == 0)
     def _():
-        dk_ref[...] = jnp.zeros_like(dk_ref)
-        dv_ref[...] = jnp.zeros_like(dv_ref)
+        db_ref[0] = jnp.zeros_like(db_ref[0])
 
     q = q_ref[0, 0]                                      # (QBLK, D)
     k = k_ref[0, 0]                                      # (Np, D)
@@ -356,42 +361,17 @@ def _bwd_block_kernel(q_ref, k_ref, v_ref, b_ref, do_ref,
 
     dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
     delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-    ds = p * (dp - delta)                                 # (QBLK, Np)
+    ds = p * (dp - delta)                                 # (QBLK, Np) f32
     dsc = ds.astype(q.dtype)
 
     dq_ref[0, 0] = (jnp.dot(dsc, k, preferred_element_type=jnp.float32)
                     * scale).astype(dq_ref.dtype)
-    dk_ref[0, 0] += (jnp.dot(dsc.T, q, preferred_element_type=jnp.float32)
-                     * scale).astype(dk_ref.dtype)
-    dv_ref[0, 0] += jnp.dot(p.astype(do.dtype).T, do,
-                            preferred_element_type=jnp.float32
-                            ).astype(dv_ref.dtype)
-
-
-def _dbias_block_kernel(q_ref, k_ref, v_ref, b_ref, do_ref, db_ref,
-                        *, scale, n_real):
-    """Grid (H, QB, B): recompute ds per (h, q-block, b) and accumulate the
-    shared-bias gradient over the trailing batch axis."""
-    b_idx = pl.program_id(2)
-
-    @pl.when(b_idx == 0)
-    def _():
-        db_ref[0] = jnp.zeros_like(db_ref[0])
-
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
-
-    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale + b_ref[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    s = jnp.where(col < n_real, s, -jnp.inf)
-    s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
-    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-    delta = jnp.sum(dp * p, axis=-1, keepdims=True)
-    db_ref[0] += p * (dp - delta)
+    dkp_ref[0, 0, 0] = (jnp.dot(dsc.T, q, preferred_element_type=jnp.float32)
+                        * scale).astype(dkp_ref.dtype)
+    dvp_ref[0, 0, 0] = jnp.dot(p.astype(do.dtype).T, do,
+                               preferred_element_type=jnp.float32
+                               ).astype(dvp_ref.dtype)
+    db_ref[0] += ds
 
 
 def _fa_bwd(scale, interpret, res, do):
@@ -445,8 +425,8 @@ def _fa_bwd(scale, interpret, res, do):
         return dq, dk, dv, db
 
     # ---- row-blocked backward (long sequences, e.g. the 1025-token seg
-    # backbone) — two passes so each accumulated output sits on a trailing
-    # grid axis ----
+    # backbone) — ONE pass; dk/dv come out as per-q-block partials summed
+    # by XLA (cheap bandwidth) so db can own the trailing accumulation axis
     Np = -(-N // QBLK) * QBLK
     pad = Np - N
     qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
@@ -456,45 +436,32 @@ def _fa_bwd(scale, interpret, res, do):
     bp = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)))
     QB = Np // QBLK
 
-    qspec = pl.BlockSpec((1, 1, QBLK, D), lambda b, h, qb: (b, h, qb, 0),
+    qspec = pl.BlockSpec((1, 1, QBLK, D), lambda h, qb, b: (b, h, qb, 0),
                          memory_space=pltpu.VMEM)
-    full = pl.BlockSpec((1, 1, Np, D), lambda b, h, qb: (b, h, 0, 0),
+    full = pl.BlockSpec((1, 1, Np, D), lambda h, qb, b: (b, h, 0, 0),
                         memory_space=pltpu.VMEM)
-    brow = pl.BlockSpec((1, QBLK, Np), lambda b, h, qb: (h, qb, 0),
+    brow = pl.BlockSpec((1, QBLK, Np), lambda h, qb, b: (h, qb, 0),
                         memory_space=pltpu.VMEM)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_block_kernel, scale=scale, n_real=N),
-        grid=(B, H, QB),
+    part = pl.BlockSpec((1, 1, 1, Np, D), lambda h, qb, b: (qb, b, h, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dq, dkp, dvp, db = pl.pallas_call(
+        functools.partial(_bwd_block_merged_kernel, scale=scale, n_real=N),
+        grid=(H, QB, B),
         in_specs=[qspec, full, full, brow, qspec],
-        out_specs=(qspec, full, full),
+        out_specs=(qspec, part, part, brow),
         out_shape=(
             jax.ShapeDtypeStruct((B, H, Np, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, Np, D), k.dtype),
-            jax.ShapeDtypeStruct((B, H, Np, D), v.dtype),
+            jax.ShapeDtypeStruct((QB, B, H, Np, D), k.dtype),
+            jax.ShapeDtypeStruct((QB, B, H, Np, D), v.dtype),
+            jax.ShapeDtypeStruct((H, Np, Np), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(qp, kp, vp, bp, dop)
-
-    qspec2 = pl.BlockSpec((1, 1, QBLK, D), lambda h, qb, b: (b, h, qb, 0),
-                          memory_space=pltpu.VMEM)
-    full2 = pl.BlockSpec((1, 1, Np, D), lambda h, qb, b: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM)
-    brow2 = pl.BlockSpec((1, QBLK, Np), lambda h, qb, b: (h, qb, 0),
-                         memory_space=pltpu.VMEM)
-    db = pl.pallas_call(
-        functools.partial(_dbias_block_kernel, scale=scale, n_real=N),
-        grid=(H, QB, B),
-        in_specs=[qspec2, full2, full2, brow2, qspec2],
-        out_specs=brow2,
-        out_shape=jax.ShapeDtypeStruct((H, Np, Np), jnp.float32),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
-        ),
-        interpret=interpret,
-    )(qp, kp, vp, bp, dop)
+    dk = jnp.sum(dkp.astype(jnp.float32), axis=0).astype(k.dtype)
+    dv = jnp.sum(dvp.astype(jnp.float32), axis=0).astype(v.dtype)
 
     return (dq[:, :, :N], dk[:, :, :N], dv[:, :, :N], db[:, :N, :N])
 
