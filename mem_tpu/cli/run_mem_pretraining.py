@@ -128,6 +128,10 @@ def get_args(argv=None):
                         "parity vs the reference is statistical, SURVEY §7)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree over a 'model' mesh axis")
+    p.add_argument("--zero1", type=int, default=0,
+                   help="shard optimizer moments over the data axis (ZeRO-1 "
+                        "role; 2x-params HBM drops to 2x/N). Numerically "
+                        "identical — GSPMD inserts the collectives")
     return p.parse_args(argv)
 
 
@@ -334,6 +338,11 @@ def main(argv=None):
         from mem_tpu.parallel.mesh import shard_params
 
         params, opt_state = shard_params(params, mesh), shard_params(opt_state, mesh)
+    elif args.zero1:
+        from mem_tpu.parallel.mesh import shard_opt_state_zero1
+
+        params = replicate(params, mesh)
+        opt_state = shard_opt_state_zero1(opt_state, mesh)
     else:
         params, opt_state = replicate(params, mesh), replicate(opt_state, mesh)
 

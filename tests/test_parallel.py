@@ -131,3 +131,47 @@ def test_event_axis_sharding_psums_histograms(rng):
     got = jax.jit(lambda e: voxelize_jax(e, H, W))(ev_sharded)
     # output lives across the mesh; gather and compare
     np.testing.assert_array_equal(np.asarray(got), want)
+
+
+def test_zero1_opt_sharding_matches_replicated(rng):
+    """ZeRO-1 optimizer-state sharding over the data axis is numerically
+    identical to replicated state, and the moments really are sharded."""
+    from mem_tpu.parallel.mesh import shard_opt_state_zero1, zero1_opt_specs
+    from mem_tpu.train.optim import create_optimizer
+
+    mesh = get_mesh()
+    w = {"w": jnp.asarray(rng.standard_normal((16, 8)), jnp.float32),
+         "b": jnp.asarray(rng.standard_normal((8,)), jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((16, 16)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+    tx = create_optimizer(w, lambda s: 1e-2, weight_decay=0.01, clip_grad=1.0)
+
+    def loss(p, x, y):
+        return jnp.mean((x @ p["w"] + p["b"] - y) ** 2)
+
+    @jax.jit
+    def step(p, o, x, y):
+        g = jax.grad(loss)(p, x, y)
+        up, o = tx.update(g, o, p)
+        import optax
+        return optax.apply_updates(p, up), o
+
+    x_s = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    runs = []
+    for zero1 in (False, True):
+        p = replicate(w, mesh)
+        o = tx.init(p)
+        o = shard_opt_state_zero1(o, mesh) if zero1 else replicate(o, mesh)
+        if zero1:
+            # the (16, 8) moment leaves are sharded 2 rows/device
+            mu_w = o.mu["w"]
+            assert {s.data.shape[0] for s in mu_w.addressable_shards} == {2}
+            # odd leading dims stay replicated
+            specs = zero1_opt_specs(tx.init(w), mesh)
+            assert specs.mu["w"] == P("data", None)
+            assert specs.count == P()
+        for i in range(3):
+            p, o = step(p, o, x_s, y + i)
+        runs.append(jax.tree.map(np.asarray, p))
+    for a, b in zip(jax.tree.leaves(runs[0]), jax.tree.leaves(runs[1])):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
