@@ -247,6 +247,9 @@ def main(argv=None):
                       group=f"{args.expweek}_{args.expname}")
     key = jax.random.key(args.seed + jax.process_index() + 2)
 
+    from mem_tpu.utils.preemption import GracefulShutdown
+
+    stopper = GracefulShutdown()
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger()
         t0 = time.time()
@@ -269,6 +272,18 @@ def main(argv=None):
             if run and step % 100 == 0:
                 run.log({"train/loss": float(m["loss"]),
                          "epoch": epoch, "step": epoch * steps_per_epoch + step})
+            if stopper.requested:
+                break
+        if stopper.requested:
+            if jax.process_index() == 0:
+                save_checkpoint(args.output_dir, epoch, {
+                    "params": jax.tree.map(np.asarray, params),
+                    "opt_state": jax.tree.map(np.asarray, opt_state),
+                    "ema": jax.tree.map(np.asarray, ema_params),
+                    "epoch": epoch - 1, "best_acc": best_acc,
+                })
+            print(f"preempted at epoch {epoch}: checkpoint saved; exiting")
+            return
         sps = steps_per_epoch * args.batch_size / (time.time() - t0)
         print(f"epoch {epoch}: loss {logger.meters['loss'].global_avg:.4f} "
               f"{sps:.1f} samples/sec")

@@ -372,6 +372,9 @@ def main(argv=None):
 
     from mem_tpu.utils.profiling import StepTimer, trace
 
+    from mem_tpu.utils.preemption import GracefulShutdown
+
+    stopper = GracefulShutdown()
     profiled = False
     last_trigger_dump = -(10**9)
     for epoch in range(start_epoch, args.epochs):
@@ -421,6 +424,19 @@ def main(argv=None):
                              "train/grad_norm": float(m["grad_norm"]), "step": it})
                 if tb and it % 100 == 0:
                     tb.update(head="train", step=it, loss=loss_v)
+            if stopper.requested:
+                break
+        if stopper.requested:
+            # SIGTERM: save a resumable checkpoint tagged with the current
+            # epoch (auto-resume restarts this epoch) and exit 0 for requeue
+            if jax.process_index() == 0:
+                save_checkpoint(args.output_dir, epoch, {
+                    "params": jax.tree.map(np.asarray, params),
+                    "opt_state": jax.tree.map(np.asarray, opt_state),
+                    "epoch": epoch - 1,
+                })
+            print(f"preempted at epoch {epoch}: checkpoint saved; exiting")
+            return
         sps = steps_per_epoch * args.batch_size / (time.time() - t0)
         print(f"epoch {epoch}: {sps:.1f} samples/sec "
               f"({sps / jax.device_count():.1f}/chip)")

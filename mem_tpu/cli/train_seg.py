@@ -222,11 +222,24 @@ def main(argv=None):
         return seg_metrics(cm)
 
     logger = MetricLogger()
+    from mem_tpu.utils.preemption import GracefulShutdown
+
+    stopper = GracefulShutdown()
     key = jax.random.key(args.seed + 7)
     t0 = time.time()
     for it, batch in enumerate(prefetch(train_it.batches(start_iter)), start=start_iter):
         if it >= args.max_iters:
             break
+        if stopper.requested:
+            if jax.process_index() == 0:
+                save_checkpoint(args.output_dir, it, {
+                    "params": jax.tree.map(np.asarray, params),
+                    "batch_stats": jax.tree.map(np.asarray, batch_stats),
+                    "opt_state": jax.tree.map(np.asarray, opt_state),
+                    "epoch": it,  # resume continues at this iteration
+                })
+            print(f"preempted at iter {it}: checkpoint saved; exiting")
+            return
         key, sk = jax.random.split(key)
         params, batch_stats, opt_state, m = train_step(
             params, batch_stats, opt_state, shard_batch(batch, mesh), sk

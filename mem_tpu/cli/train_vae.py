@@ -135,6 +135,9 @@ def main(argv=None):
     run = maybe_wandb(bool(args.wandb), project="dalle_train_vae")
     key = jax.random.key(args.seed + jax.process_index())
 
+    from mem_tpu.utils.preemption import GracefulShutdown
+
+    stopper = GracefulShutdown()
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger()
         t0 = time.time()
@@ -155,6 +158,26 @@ def main(argv=None):
             if run and i % 1000 == 0:
                 run.log({"epoch": epoch, "iter": i, "loss": float(metrics["loss"]),
                          "lr": sched.lr})
+            if stopper.requested:
+                break
+        if stopper.requested:
+            if jax.process_index() == 0:
+                save_checkpoint(args.output_dir, epoch, {
+                    "params": jax.tree.map(np.asarray, params),
+                    "opt_state": jax.tree.map(np.asarray, opt_state),
+                    "epoch": epoch - 1,
+                    "lr": sched.lr, "temp": sched.temp,
+                    "global_step": sched.global_step,
+                    "hparams": {
+                        "input_H": args.input_H, "input_W": args.input_W,
+                        "num_tokens": args.num_tokens, "emb_dim": args.emb_dim,
+                        "num_layers": args.num_layers,
+                        "num_resnet_blocks": args.num_resnet_blocks,
+                        "hidden_dim": args.hidden_dim, "loss": args.loss,
+                    },
+                })
+            print(f"preempted at epoch {epoch}: checkpoint saved; exiting")
+            return
         sps = train_it.steps_per_epoch() * args.batch_size / (time.time() - t0)
         print(f"epoch {epoch}: {sps:.1f} samples/sec")
 
