@@ -26,7 +26,7 @@ from mem_tpu.train.schedules import as_schedule_fn, cosine_scheduler
 from mem_tpu.train.steps import make_finetune_eval_step, make_finetune_train_step
 from mem_tpu.utils.checkpoint import auto_resume, load_checkpoint, save_checkpoint
 from mem_tpu.utils.config import ConfigArgumentParser
-from mem_tpu.data.prefetch import prefetch
+from mem_tpu.data.prefetch import device_prefetch, prefetch
 from mem_tpu.utils.metrics import MetricLogger, maybe_wandb
 
 
@@ -254,14 +254,18 @@ def main(argv=None):
         logger = MetricLogger()
         t0 = time.time()
         micro_iter = prefetch(train_it.epoch(epoch))
-        for step in range(steps_per_epoch):
-            micros = [next(micro_iter) for _ in range(args.update_freq)]
-            batch = {
-                k: np.stack([m[k] for m in micros]) for k in micros[0]
-            }
+
+        def stacked():
+            # leading axis = update_freq micro-batches
+            for _ in range(steps_per_epoch):
+                micros = [next(micro_iter) for _ in range(args.update_freq)]
+                yield {k: np.stack([m[k] for m in micros]) for k in micros[0]}
+
+        # shard the batch dim; transfers issue one step ahead (async)
+        dev_iter = device_prefetch(
+            stacked(), lambda x: shard_batch(x, mesh, axis_pos=1))
+        for step, b in enumerate(dev_iter):
             key, sk = jax.random.split(key)
-            # leading axis = update_freq micro-batches; shard the batch dim
-            b = shard_batch(batch, mesh, axis_pos=1)
             params, opt_state, ema_params, m = train_step(params, opt_state, ema_params, b, sk)
             # sync metrics only periodically (device->host fetch = tunnel RTT)
             if step % 10 == 0 or step == steps_per_epoch - 1:

@@ -37,7 +37,7 @@ from mem_tpu.train.steps import (
 )
 from mem_tpu.utils.checkpoint import auto_resume, load_checkpoint, save_checkpoint
 from mem_tpu.utils.config import ConfigArgumentParser
-from mem_tpu.data.prefetch import prefetch
+from mem_tpu.data.prefetch import device_prefetch, prefetch
 from mem_tpu.utils.metrics import MetricLogger, TensorboardLogger, maybe_wandb
 
 
@@ -381,12 +381,13 @@ def main(argv=None):
         logger = MetricLogger()
         timer = StepTimer(args.batch_size)
         t0 = time.time()
-        for step, batch in enumerate(
-            logger.log_every(prefetch(train_it.epoch(epoch)), 10, f"Epoch: [{epoch}]",
-                             total=steps_per_epoch)
+        for step, b in enumerate(
+            logger.log_every(
+                device_prefetch(prefetch(train_it.epoch(epoch)),
+                                lambda x: shard_batch(x, mesh)),
+                10, f"Epoch: [{epoch}]", total=steps_per_epoch)
         ):
             key, sk = jax.random.split(key)
-            b = shard_batch(batch, mesh)
             do_trace = args.profile_dir and not profiled and step == 2
             with trace(args.profile_dir if do_trace else None):
                 if args.MAE:
@@ -418,7 +419,7 @@ def main(argv=None):
                             args.recon_grad_norm_thresh)):
                     last_trigger_dump = it
                     _dump_recon_panel(args, vae, vae_params, preproc_train,
-                                      batch, epoch, tag=f"trigger_it{it}")
+                                      b, epoch, tag=f"trigger_it{it}")
                 if run and it % 100 == 0:
                     run.log({"train/loss": loss_v,
                              "train/grad_norm": float(m["grad_norm"]), "step": it})

@@ -34,7 +34,7 @@ from mem_tpu.parallel import get_mesh, init_distributed, replicate, shard_batch
 from mem_tpu.train.optim import build_lr_scale_tree, build_wd_mask_tree, scheduled_adamw
 from mem_tpu.utils.checkpoint import auto_resume, load_checkpoint, save_checkpoint
 from mem_tpu.utils.config import ConfigArgumentParser
-from mem_tpu.data.prefetch import prefetch
+from mem_tpu.data.prefetch import device_prefetch, prefetch
 from mem_tpu.utils.metrics import MetricLogger
 
 
@@ -227,7 +227,11 @@ def main(argv=None):
     stopper = GracefulShutdown()
     key = jax.random.key(args.seed + 7)
     t0 = time.time()
-    for it, batch in enumerate(prefetch(train_it.batches(start_iter)), start=start_iter):
+    for it, batch in enumerate(
+        device_prefetch(prefetch(train_it.batches(start_iter)),
+                        lambda x: shard_batch(x, mesh)),
+        start=start_iter,
+    ):
         if it >= args.max_iters:
             break
         if stopper.requested:
@@ -242,7 +246,7 @@ def main(argv=None):
             return
         key, sk = jax.random.split(key)
         params, batch_stats, opt_state, m = train_step(
-            params, batch_stats, opt_state, shard_batch(batch, mesh), sk
+            params, batch_stats, opt_state, batch, sk
         )
         # sync metrics only periodically (device->host fetch = tunnel RTT)
         if it % 10 == 0:

@@ -24,7 +24,7 @@ from mem_tpu.train.schedules import VaeAnnealState
 from mem_tpu.train.steps import make_vae_eval_step, make_vae_train_step
 from mem_tpu.utils.checkpoint import auto_resume, save_checkpoint
 from mem_tpu.utils.config import ConfigArgumentParser
-from mem_tpu.data.prefetch import prefetch
+from mem_tpu.data.prefetch import device_prefetch, prefetch
 from mem_tpu.utils.metrics import MetricLogger, maybe_wandb
 
 
@@ -141,12 +141,13 @@ def main(argv=None):
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger()
         t0 = time.time()
-        for i, batch in enumerate(
-            logger.log_every(prefetch(train_it.epoch(epoch)), 10, f"Epoch: [{epoch}]",
-                             total=train_it.steps_per_epoch())
+        for i, b in enumerate(
+            logger.log_every(
+                device_prefetch(prefetch(train_it.epoch(epoch)),
+                                lambda x: shard_batch(x, mesh)),
+                10, f"Epoch: [{epoch}]", total=train_it.steps_per_epoch())
         ):
             key, sk = jax.random.split(key)
-            b = shard_batch(batch, mesh)
             params, opt_state, metrics = train_step(
                 params, opt_state, b, sk,
                 jnp.float32(sched.lr), jnp.float32(sched.temp), jnp.float32(args.clip),

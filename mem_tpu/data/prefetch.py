@@ -37,3 +37,22 @@ def prefetch(it: Iterable, depth: int = 2) -> Iterator:
         if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
             raise item[1]
         yield item
+
+
+def device_prefetch(it: Iterable, put_fn, depth: int = 1) -> Iterator:
+    """Issue the (async) host->device transfer for batch i+1 before the
+    consumer blocks on step i.
+
+    ``jax.device_put`` returns immediately; by calling ``put_fn`` (e.g.
+    ``lambda b: shard_batch(b, mesh)``) one item ahead, the transfer —
+    which on this machine rides the remote-TPU tunnel — overlaps the
+    previous device step instead of serializing with it. Yields
+    device-resident batches.
+    """
+    buf = []
+    for item in it:
+        buf.append(put_fn(item))
+        if len(buf) > depth:
+            yield buf.pop(0)
+    while buf:
+        yield buf.pop(0)
