@@ -167,7 +167,8 @@ def seg_preprocess_batch(batch: dict, is_train: bool, rand_aug: bool = True,
     img = I.remove_hot_pixels(img, 10.0)                 # RemoveHotPixelsEvs
 
     # NormalizeEvs: joint max over all channels -> scale to 0..255
-    m = jnp.max(img, axis=(1, 2, 3), keepdims=True)
+    # (barrier: reduce-broadcast refusion pathology, ops/softmax.py)
+    m = jax.lax.optimization_barrier(jnp.max(img, axis=(1, 2, 3), keepdims=True))
     img = img / jnp.where(m > 0, m, 1.0) * 255.0
 
     labels = batch["label"]

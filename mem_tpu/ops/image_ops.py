@@ -188,7 +188,10 @@ def normalize_event(img: jnp.ndarray) -> jnp.ndarray:
     """Divide channels 0&2 by their joint max, if nonzero
     (NormalizeEvent, transforms.py:225-237). Per-sample over (H, W, C)."""
     ch = _EVENT_CH.astype(img.dtype)
-    m = jnp.max(img * ch, axis=(-3, -2, -1), keepdims=True)
+    # barrier: XLA refuses the reduce into its broadcast consumer with
+    # per-lane-tile recompute (ops/softmax.py module doc)
+    m = jax.lax.optimization_barrier(
+        jnp.max(img * ch, axis=(-3, -2, -1), keepdims=True))
     factor = jnp.where(m > 0, 1.0 / jnp.maximum(m, 1e-30), 1.0)
     return img * (ch * factor + (1 - ch))
 
@@ -219,8 +222,13 @@ def remove_hot_pixels(
         hot = (pos >= thr) | (neg >= thr)
     else:
         n = both.shape[-3] * both.shape[-2] * 2
-        mean = jnp.mean(both, axis=(-3, -2, -1), keepdims=True)
-        var = jnp.sum((both - mean) ** 2, axis=(-3, -2, -1), keepdims=True) / (n - 1)
+        # barriers on both reductions (reduce-broadcast refusion pathology,
+        # ops/softmax.py module doc)
+        mean = jax.lax.optimization_barrier(
+            jnp.mean(both, axis=(-3, -2, -1), keepdims=True))
+        var = jax.lax.optimization_barrier(
+            jnp.sum((both - mean) ** 2, axis=(-3, -2, -1), keepdims=True)
+            / (n - 1))
         thr = (mean + num_stds * jnp.sqrt(var))[..., 0]
         hot = (pos > thr) | (neg > thr)                   # (..., H, W)
     keep = (~hot)[..., None].astype(img.dtype)
