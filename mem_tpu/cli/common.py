@@ -123,6 +123,13 @@ def build_pipeline(
         num_workers=num_workers,
         shard_id=shard_id,
         num_shards=num_shards,
+        # compact int16 wire format when the t column is dead (time surface
+        # off) and coords are integral — 2.7x less host->device traffic
+        compact_wire=(
+            bool(getattr(args, "compact_wire", 1))
+            and not bool(getattr(args, "timesurface", 0))
+            and scale_xy is None
+        ),
     )
     return folder, EventBatchIterator(folder, cfg)
 
@@ -141,3 +148,8 @@ def add_preprocessing_args(parser) -> None:
     parser.add_argument("--rand_aug", type=int, default=1)
     parser.add_argument("--input_W", type=int, default=224)
     parser.add_argument("--input_H", type=int, default=224)
+    parser.add_argument("--compact_wire", type=int, default=1,
+                        help="ship events as int16 [x, y, p] when the "
+                             "timestamp column is dead (timesurface off): "
+                             "2.7x less host->device traffic. 0 = always "
+                             "send (B, N, 4) float32")

@@ -51,12 +51,27 @@ class PreprocConfig:
     wrap_uint8: bool = True
 
 
+def events_f32(batch: dict) -> jnp.ndarray:
+    """(B, N, 4) f32 events from either wire format.
+
+    ``events_xyp`` is the compact int16 (B, N, 3) [x, y, p] format the host
+    pipeline ships when the timestamp column is dead (time surface off —
+    the classification default): 6 B/event instead of 16. The t column is
+    reconstructed as zeros; nothing downstream reads it in this mode (the
+    time-flip remap only feeds the time surface; its polarity negation uses
+    the p column)."""
+    if "events" in batch:
+        return batch["events"]
+    e = batch["events_xyp"].astype(jnp.float32)
+    z = jnp.zeros_like(e[..., :1])
+    return jnp.concatenate([e[..., 0:1], e[..., 1:2], z, e[..., 2:3]], axis=-1)
+
+
 def preprocess_batch(batch: dict, cfg: PreprocConfig, is_train: bool) -> jnp.ndarray:
     """batch: dict from mem_tpu.data.pipeline (events, n_valid, aug params).
     Returns (B, input_h, input_w, 3) float32 in [0, 1]."""
-    B = batch["events"].shape[0]
     img = voxelize_fused(
-        batch["events"],
+        events_f32(batch),
         batch["n_valid"],
         cfg.canvas_h,
         cfg.canvas_w,

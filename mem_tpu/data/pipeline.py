@@ -56,6 +56,11 @@ class PipelineConfig:
     drop_last: bool = True
     num_workers: int = 4
     use_native: bool = True   # libmemev threaded batch loader when eligible
+    # compact wire format: ship events as (B, N, 3) int16 [x, y, p]
+    # ("events_xyp") instead of (B, N, 4) f32 — 2.7x less host->device
+    # traffic. Only valid when the t column is dead (time surface off) and
+    # coordinates are integral (no scale_xy); cli/common gates it.
+    compact_wire: bool = False
     # multi-host sharding
     shard_id: int = 0
     num_shards: int = 1
@@ -253,6 +258,14 @@ class EventBatchIterator:
             batch["mask"] = np.stack([self._sample_mask(r) for r in rngs])
         return batch
 
+    def _maybe_compact(self, batch: dict) -> dict:
+        if not self.cfg.compact_wire:
+            return batch
+        e = batch.pop("events")
+        batch["events_xyp"] = np.ascontiguousarray(
+            e[..., [0, 1, 3]]).astype(np.int16)
+        return batch
+
     def epoch(self, epoch: int) -> Iterator[dict]:
         idx = self._epoch_indices(epoch)
         b = self.cfg.batch_size
@@ -266,7 +279,7 @@ class EventBatchIterator:
                 chunk.append(chunk[len(chunk) % max(len(chunk), 1)])
             if native_ok:
                 try:
-                    yield self._load_batch_native(epoch, chunk)
+                    yield self._maybe_compact(self._load_batch_native(epoch, chunk))
                     continue
                 except IOError:
                     pass  # corrupt file: fall through to the retrying path
@@ -274,4 +287,4 @@ class EventBatchIterator:
                 items = list(self._pool.map(lambda i: self._load_one(epoch, int(i)), chunk))
             else:
                 items = [self._load_one(epoch, int(i)) for i in chunk]
-            yield self._collate(items)
+            yield self._maybe_compact(self._collate(items))

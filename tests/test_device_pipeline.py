@@ -73,3 +73,40 @@ def test_eval_preprocess_matches_host_oracle(rng):
             (out, out), True, True,
         )
         np.testing.assert_allclose(got[b], want, atol=3e-4, err_msg=f"sample {b}")
+
+
+def test_compact_wire_equivalent(rng, tmp_path):
+    """compact int16 [x, y, p] wire format == float32 events end to end
+    (loader -> collate -> preprocess), timesurface off."""
+    from mem_tpu.data.folder import NpyFolder, caltech_npy_loader
+    from mem_tpu.data.pipeline import EventBatchIterator, PipelineConfig
+
+    d = tmp_path / "caltech" / "train" / "c0"
+    d.mkdir(parents=True)
+    for i in range(4):
+        n = int(rng.integers(800, 1500))
+        ev = np.zeros((n, 4))
+        ev[:, 0] = rng.integers(0, 64, n)
+        ev[:, 1] = rng.integers(0, 48, n)
+        ev[:, 2] = np.sort(rng.integers(0, 10**6, n))
+        ev[:, 3] = rng.choice([-1.0, 1.0], n)
+        np.save(d / f"s{i}.npy", ev)
+    folder = NpyFolder(str(tmp_path / "caltech" / "train"),
+                       loader=caltech_npy_loader)
+
+    def batch_for(compact):
+        cfg = PipelineConfig(batch_size=4, slice_max_evs=2000, is_train=True,
+                             max_random_shift_evs=2, canvas_h=96, canvas_w=96,
+                             seed=3, num_workers=0, use_native=False,
+                             compact_wire=compact)
+        return next(iter(EventBatchIterator(folder, cfg).epoch(0)))
+
+    a, b = batch_for(False), batch_for(True)
+    assert "events_xyp" in b and b["events_xyp"].dtype == np.int16
+    pc = PreprocConfig(input_h=32, input_w=32, canvas_h=96, canvas_w=96,
+                       rand_aug=False)
+    ia = jax.jit(lambda x: preprocess_batch(x, pc, True))(
+        jax.tree.map(jnp.asarray, a))
+    ib = jax.jit(lambda x: preprocess_batch(x, pc, True))(
+        jax.tree.map(jnp.asarray, b))
+    np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
