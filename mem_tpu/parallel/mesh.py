@@ -58,8 +58,6 @@ def tp_param_specs(params):
 
     def spec(path, leaf):
         names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
-        joined = "/".join(str(n) for n in names)
-        nd = getattr(leaf, "ndim", 0)
         if "attn" in names and names[-1] == "qkv_kernel":
             return P(None, "model")
         if names[-1] in ("q_bias", "v_bias"):

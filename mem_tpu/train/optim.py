@@ -40,7 +40,6 @@ def get_num_layer_for_vit(path_names, num_max_layer: int) -> int:
     ("params", "encoder", "blocks_3", "attn", "qkv_kernel").
     """
     names = [str(n) for n in path_names]
-    joined = "/".join(names)
     if any(n in ("cls_token", "mask_token", "pos_embed") for n in names):
         return 0
     if "patch_embed" in names:
