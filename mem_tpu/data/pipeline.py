@@ -262,8 +262,14 @@ class EventBatchIterator:
         if not self.cfg.compact_wire:
             return batch
         e = batch.pop("events")
-        batch["events_xyp"] = np.ascontiguousarray(
-            e[..., [0, 1, 3]]).astype(np.int16)
+        # per-column sliced stores: each converts f32->int16 directly with
+        # no intermediate f32 gather copy (2x less host memory traffic than
+        # a fancy-index + astype)
+        xyp = np.empty(e.shape[:-1] + (3,), np.int16)
+        xyp[..., 0] = e[..., 0]
+        xyp[..., 1] = e[..., 1]
+        xyp[..., 2] = e[..., 3]
+        batch["events_xyp"] = xyp
         return batch
 
     def epoch(self, epoch: int) -> Iterator[dict]:
