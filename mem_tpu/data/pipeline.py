@@ -216,9 +216,19 @@ class EventBatchIterator:
         labels = [self.ds.samples[int(i)][1] for i in chunk]
         rngs = [np.random.default_rng((cfg.seed, epoch, int(i))) for i in chunk]
         fracs = [r.random() for r in rngs]
-        events, n_valid, maxxy = native.load_batch(
-            paths, fracs, cfg.slice_max_evs, num_threads=max(cfg.num_workers, 1)
-        )
+        if cfg.compact_wire:
+            # C threads emit the int16 [x, y, p] wire format directly
+            events, n_valid, maxxy = native.load_batch_xyp(
+                paths, fracs, cfg.slice_max_evs,
+                num_threads=max(cfg.num_workers, 1),
+            )
+            events_key = "events_xyp"
+        else:
+            events, n_valid, maxxy = native.load_batch(
+                paths, fracs, cfg.slice_max_evs,
+                num_threads=max(cfg.num_workers, 1),
+            )
+            events_key = "events"
         B = len(paths)
         if cfg.fixed_hw is not None:
             sh = np.full((B,), cfg.fixed_hw[0], np.int32)
@@ -231,7 +241,7 @@ class EventBatchIterator:
             sw = np.full((B,), cfg.canvas_w, np.int32)
 
         batch = {
-            "events": events,
+            events_key: events,
             "n_valid": n_valid,
             "label": np.asarray(labels, np.int64),
             "sample_h": sh,
@@ -259,8 +269,8 @@ class EventBatchIterator:
         return batch
 
     def _maybe_compact(self, batch: dict) -> dict:
-        if not self.cfg.compact_wire:
-            return batch
+        if not self.cfg.compact_wire or "events" not in batch:
+            return batch  # off, or the native loader already emitted xyp
         e = batch.pop("events")
         # per-column sliced stores: each converts f32->int16 directly with
         # no intermediate f32 gather copy (2x less host memory traffic than

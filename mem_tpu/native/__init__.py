@@ -59,6 +59,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32)]
+    lib.memev_load_batch_xyp.restype = ctypes.c_int64
+    lib.memev_load_batch_xyp.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32)]
     _lib = lib
     return _lib
 
@@ -109,6 +115,31 @@ def load_batch(paths: Sequence[str], slice_fracs: Sequence[float], cap: int,
     rc = lib.memev_load_batch(
         c_paths, c_fracs, B, cap, num_threads,
         events.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nvalid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        maxxy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise IOError(f"libmemev: failed loading {paths[rc - 1]!r}")
+    return events, nvalid, maxxy
+
+
+def load_batch_xyp(paths: Sequence[str], slice_fracs: Sequence[float],
+                   cap: int, num_threads: int = 4):
+    """Compact-wire threaded batch assembly: returns (events_xyp (B, cap, 3)
+    int16 [x, y, p], n_valid (B,) i32, maxxy (B, 2) i32) — the int16
+    conversion happens inside the C read loop (zero extra host passes)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(paths)
+    events = np.zeros((B, cap, 3), dtype=np.int16)
+    nvalid = np.zeros((B,), dtype=np.int32)
+    maxxy = np.zeros((B, 2), dtype=np.int32)
+    c_paths = (ctypes.c_char_p * B)(*[p.encode() for p in paths])
+    c_fracs = (ctypes.c_double * B)(*[float(s) for s in slice_fracs])
+    rc = lib.memev_load_batch_xyp(
+        c_paths, c_fracs, B, cap, num_threads,
+        events.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
         nvalid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         maxxy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )

@@ -171,6 +171,87 @@ int64_t memev_load_npy_sliced(const char* path, double slice_frac,
   return take;
 }
 
+// Compact-wire variant: load one .npy into int16 (cap, 3) [x, y, p] — the
+// on-wire format the device pipeline consumes when the timestamp column is
+// dead (data/pipeline.py compact_wire). Conversion happens inside the read
+// loop, so the Python side ships the buffer with zero extra passes.
+int64_t memev_load_npy_sliced_xyp(const char* path, double slice_frac,
+                                  int64_t cap, int16_t* out,
+                                  int32_t* out_maxxy) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, &buf)) return -1;
+  NpyInfo info;
+  if (!parse_npy_header(buf.data(), int64_t(buf.size()), &info)) return -1;
+  const int64_t rows = info.rows;
+  int64_t start = 0, take = rows;
+  if (rows > cap) {
+    start = int64_t(slice_frac * double(rows - cap + 1));
+    if (start < 0) start = 0;
+    if (start > rows - cap) start = rows - cap;
+    take = cap;
+  }
+  const uint8_t* data = buf.data() + info.data_off;
+  float mx = -1.0f, my = -1.0f;
+  if (info.itemsize == 8) {
+    const double* d = reinterpret_cast<const double*>(data) + start * 4;
+    for (int64_t i = 0; i < take; ++i) {
+      const float x = float(d[i * 4 + 0]);
+      const float y = float(d[i * 4 + 1]);
+      out[i * 3 + 0] = int16_t(x);
+      out[i * 3 + 1] = int16_t(y);
+      out[i * 3 + 2] = int16_t(float(d[i * 4 + 3]));
+      if (x > mx) mx = x;
+      if (y > my) my = y;
+    }
+  } else {
+    const float* d = reinterpret_cast<const float*>(data) + start * 4;
+    for (int64_t i = 0; i < take; ++i) {
+      const float x = d[i * 4 + 0];
+      const float y = d[i * 4 + 1];
+      out[i * 3 + 0] = int16_t(x);
+      out[i * 3 + 1] = int16_t(y);
+      out[i * 3 + 2] = int16_t(d[i * 4 + 3]);
+      if (x > mx) mx = x;
+      if (y > my) my = y;
+    }
+  }
+  std::memset(out + take * 3, 0, size_t(cap - take) * 3 * sizeof(int16_t));
+  out_maxxy[0] = int32_t(mx) + 1;
+  out_maxxy[1] = int32_t(my) + 1;
+  return take;
+}
+
+int64_t memev_load_batch_xyp(const char** paths, const double* slice_fracs,
+                             int64_t batch, int64_t cap, int64_t num_threads,
+                             int16_t* out_events, int32_t* out_nvalid,
+                             int32_t* out_maxxy) {
+  std::atomic<int64_t> next(0), failed(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t i = next.fetch_add(1);
+      if (i >= batch) return;
+      const int64_t n = memev_load_npy_sliced_xyp(
+          paths[i], slice_fracs[i], cap, out_events + i * cap * 3,
+          out_maxxy + i * 2);
+      if (n < 0) {
+        int64_t expect = 0;
+        failed.compare_exchange_strong(expect, i + 1);
+        out_nvalid[i] = 0;
+      } else {
+        out_nvalid[i] = int32_t(n);
+      }
+    }
+  };
+  if (num_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < num_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failed.load();
+}
+
 // Threaded batch assembly: B paths -> (B, cap, 4) float32 + n_valid[B] +
 // per-sample (max_x+1, max_y+1) extents. slice_fracs holds host-sampled
 // U[0,1) fractions for the SliceRandomMaxEvs windows.

@@ -76,3 +76,35 @@ def test_native_decode_throughput(rng):
     t_numpy = time.perf_counter() - t0
     print(f"native {500_000/t_native/1e6:.1f} Mev/s vs numpy {500_000/t_numpy/1e6:.1f} Mev/s")
     assert t_native < 5 * t_numpy
+
+
+def test_native_xyp_matches_python_compact(tmp_path, rng):
+    """Native int16 [x,y,p] batch loader == the python path's compact
+    collate, including slicing windows and extents."""
+    import numpy as np
+    import pytest
+
+    from mem_tpu import native
+
+    if not native.available():
+        pytest.skip("libmemev unavailable")
+    paths = []
+    for i in range(4):
+        n = int(rng.integers(1500, 4000))
+        ev = np.zeros((n, 4))
+        ev[:, 0] = rng.integers(0, 240, n)
+        ev[:, 1] = rng.integers(0, 180, n)
+        ev[:, 2] = np.sort(rng.integers(0, 10**6, n))
+        ev[:, 3] = rng.choice([-1.0, 1.0], n)
+        p = tmp_path / f"s{i}.npy"
+        np.save(p, ev if i % 2 == 0 else ev.astype(np.float32))
+        paths.append(str(p))
+    fracs = rng.random(4)
+    cap = 2000
+    e16, nv16, mx16 = native.load_batch_xyp(paths, fracs, cap, num_threads=2)
+    e32, nv32, mx32 = native.load_batch(paths, fracs, cap, num_threads=2)
+    np.testing.assert_array_equal(nv16, nv32)
+    np.testing.assert_array_equal(mx16, mx32)
+    np.testing.assert_array_equal(e16[..., 0], e32[..., 0].astype(np.int16))
+    np.testing.assert_array_equal(e16[..., 1], e32[..., 1].astype(np.int16))
+    np.testing.assert_array_equal(e16[..., 2], e32[..., 3].astype(np.int16))
