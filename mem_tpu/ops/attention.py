@@ -6,11 +6,13 @@ per-(batch, head) attention tile fits VMEM, so this kernel computes
 softmax(q k^T * scale + bias) v end-to-end on chip memory: the N x N matrix
 never exists in HBM, forward or backward.
 
-Layout: q, k, v are (B, H, N, D) (D = head_dim, a multiple of 64 in every
-model here); bias is (H, N, N) f32 shared across the batch (the BEiT
-relative position bias). The backward pass recomputes probabilities
-(flash-style) in a second kernel and accumulates the shared-bias gradient
-across the batch grid axis via an output-revisiting block.
+Layouts: the flat head-blocked kernels take q, k, v as (B, N, H*D) (the
+fast-GEMM layout, see ``fused_attention_flat``); the legacy kernels take
+(B, H, N, D). bias is (H, N, N) f32 shared across the batch (the BEiT
+relative position bias). Backward passes recompute probabilities
+flash-style in ONE kernel and accumulate the shared-bias gradient across
+the batch grid axis via an output-revisiting block (long sequences emit
+dk/dv as per-q-block partials summed outside).
 
 Used by mem_tpu.models.vit.Attention when attention dropout is 0 (the
 reference's default) — falls back to the einsum path otherwise.
@@ -323,7 +325,9 @@ def _fa_fwd(q, k, v, bias, scale, interpret):
     return out, (q, k, v, bias)
 
 
-QBLK = 256  # q-row block for the flash-style backward
+QBLK = 256  # q-row block for the flash-style backward; at the
+# seg N=1025 it pads to 1280 — 512 would pad to 1536 (+50% work)
+# and overflow the VMEM budget (compile measured pathological)
 
 # At N <= this the whole-matrix backward fits the 16MB VMEM budget (5 NxN
 # f32 tiles); above it we row-block the backward.
