@@ -2,7 +2,14 @@ from mem_tpu.parallel.mesh import (
     get_mesh,
     init_distributed,
     shard_batch,
+    shard_params,
+    shard_opt_state_zero1,
     replicate,
     unreplicate,
     psum_metrics,
+)
+from mem_tpu.parallel.pipeline import (
+    pipeline_apply,
+    pipeline_param_sharding,
+    stack_stage_params,
 )
