@@ -36,6 +36,64 @@ from mem_tpu.ops.softmax import log_softmax_lastdim, softmax_lastdim
 # PERF.md). Kept as a validated alternative; identical math either way.
 SUBPIXEL_DECONV = False
 
+# Custom VJP for the dilated deconv: XLA's autodiff of the lhs-dilated conv
+# materializes a full spatial REVERSE of the (B, 2H, 2W, C) cotangent
+# (~19 ms/step of the VAE trace, docs/PERF.md). Hand-derived backward:
+#   d_x = conv(dy, K^T, stride 2, pad (1, 2))      (exact; no reverse)
+#   d_K = linear_transpose of the sub-pixel form   (4 parity weight-grads
+#                                                   over strided slices)
+CUSTOM_DECONV_VJP = True
+
+
+def _subpixel_conv(x, kernel, features: int):
+    """Sub-pixel realization of ConvTranspose2d(4, 2, 1), bias-free.
+    x (B, H, W, C), kernel (4, 4, C, O) -> (B, 2H, 2W, O)."""
+    B, H, W, C = x.shape
+    sel = ((3, 1), (2, 0))        # taps per parity: even -> K[3],K[1]
+    pads = ((1, 0), (0, 1))       # even: left pad 1; odd: right pad 1
+    outs = []
+    for py in (0, 1):
+        row = []
+        for px in (0, 1):
+            w = kernel[jnp.array(sel[py])][:, jnp.array(sel[px])]  # (2,2,C,O)
+            row.append(jax.lax.conv_general_dilated(
+                x, w, window_strides=(1, 1),
+                padding=[pads[py], pads[px]],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ))
+        outs.append(row)
+    # interleave: out[:, 2i+py, 2j+px] = outs[py][px][:, i, j]
+    y = jnp.stack([jnp.stack(r, axis=3) for r in outs], axis=2)
+    return y.reshape(B, 2 * H, 2 * W, features)
+
+
+@jax.custom_vjp
+def _deconv421(x, kernel):
+    """ConvTranspose2d(k=4, s=2, p=1) core (bias-free), dilated-conv forward
+    with the reverse-free hand-derived backward (see CUSTOM_DECONV_VJP)."""
+    return jax.lax.conv_general_dilated(
+        x, jnp.flip(kernel, (0, 1)), (1, 1), [(2, 2), (2, 2)],
+        lhs_dilation=(2, 2), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _deconv421_fwd(x, kernel):
+    return _deconv421(x, kernel), (x, kernel)
+
+
+def _deconv421_bwd(res, dy):
+    x, kernel = res
+    d_x = jax.lax.conv_general_dilated(
+        dy, jnp.swapaxes(kernel, 2, 3), (2, 2), [(1, 2), (1, 2)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    feats = kernel.shape[-1]
+    d_k = jax.linear_transpose(
+        lambda kk: _subpixel_conv(x, kk, feats), kernel)(dy)[0]
+    return d_x, d_k
+
+
+_deconv421.defvjp(_deconv421_fwd, _deconv421_bwd)
 
 
 class TorchConvTranspose(nn.Module):
@@ -68,42 +126,22 @@ class TorchConvTranspose(nn.Module):
             (k, k, in_ch, self.features),
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        xd = x.astype(self.dtype)
+        kd = kernel.astype(self.dtype)
         if SUBPIXEL_DECONV and (k, s, p) == (4, 2, 1):
-            y = self._subpixel(x, kernel)
+            y = _subpixel_conv(xd, kd, self.features)
+        elif CUSTOM_DECONV_VJP and (k, s, p) == (4, 2, 1):
+            y = _deconv421(xd, kd)
         else:
             pad = k - 1 - p
             y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype),
-                jnp.flip(kernel, (0, 1)).astype(self.dtype),
+                xd, jnp.flip(kd, (0, 1)),
                 window_strides=(1, 1),
                 padding=[(pad, pad), (pad, pad)],
                 lhs_dilation=(s, s),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
         return y + bias.astype(self.dtype)
-
-    def _subpixel(self, x, kernel):
-        B, H, W, C = x.shape
-        kd = kernel.astype(self.dtype)
-        xd = x.astype(self.dtype)
-        sel = ((3, 1), (2, 0))        # taps per parity: even -> K[3],K[1]
-        pads = ((1, 0), (0, 1))       # even: left pad 1; odd: right pad 1
-        outs = []
-        for py in (0, 1):
-            row = []
-            for px in (0, 1):
-                w = kd[jnp.array(sel[py])][:, jnp.array(sel[px])]  # (2,2,C,O)
-                y = jax.lax.conv_general_dilated(
-                    xd, w, window_strides=(1, 1),
-                    padding=[pads[py], pads[px]],
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )                                                  # (B,H,W,O)
-                row.append(y)
-            outs.append(row)
-        # interleave: out[:, 2i+py, 2j+px] = outs[py][px][:, i, j]
-        y = jnp.stack([jnp.stack(r, axis=3) for r in outs], axis=2)
-        # (B, H, py, W, px, O) -> (B, 2H, 2W, O)
-        return y.reshape(B, 2 * H, 2 * W, self.features)
 
 
 class ResBlock(nn.Module):

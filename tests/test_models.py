@@ -180,15 +180,18 @@ def test_subpixel_deconv_matches_dilated(rng, monkeypatch):
     m = dv.TorchConvTranspose(6)
     params = m.init(jax.random.key(0), x)
 
-    def run(flag):
-        monkeypatch.setattr(dv, "SUBPIXEL_DECONV", flag)
+    def run(subpixel, custom_vjp):
+        monkeypatch.setattr(dv, "SUBPIXEL_DECONV", subpixel)
+        monkeypatch.setattr(dv, "CUSTOM_DECONV_VJP", custom_vjp)
         y = m.apply(params, x)
         g = jax.grad(lambda p: jnp.sum(m.apply(p, x) ** 2))(params)
         return y, g
 
-    ya, ga = run(True)
-    yb, gb = run(False)
-    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-5)
-    for a, b in zip(jax.tree.leaves(ga), jax.tree.leaves(gb)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-4, atol=1e-4)
+    ya, ga = run(True, False)    # sub-pixel autodiff
+    yb, gb = run(False, False)   # dilated autodiff (reference)
+    yc, gc = run(False, True)    # dilated fwd + hand-derived backward
+    for y2, g2 in ((ya, ga), (yc, gc)):
+        np.testing.assert_allclose(np.asarray(y2), np.asarray(yb), atol=1e-5)
+        for a, b in zip(jax.tree.leaves(g2), jax.tree.leaves(gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4)
