@@ -90,6 +90,9 @@ def get_args(argv=None):
     p.add_argument("--rand_aug_batch_ops", type=int, default=1,
                    help="batch-level RandAugment op choice (speed mode, "
                         "default ON; statistical parity per SURVEY §7)")
+    p.add_argument("--zero1", type=int, default=0,
+                   help="shard optimizer moments over the data axis "
+                        "(ZeRO-1 role; see run_mem_pretraining)")
     p.add_argument("--save_ckpt_freq", "--class_save_ckpt_freq", type=int, default=25)
     p.add_argument("--output_dir", type=str, default="./ft_out")
     p.add_argument("--seed", type=int, default=0)
@@ -202,7 +205,13 @@ def main(argv=None):
         )
     opt_state = tx.init(params)
     ema_params = jax.tree.map(lambda x: x.copy(), params) if args.model_ema else params
-    params, opt_state = replicate(params, mesh), replicate(opt_state, mesh)
+    params = replicate(params, mesh)
+    if args.zero1:
+        from mem_tpu.parallel.mesh import shard_opt_state_zero1
+
+        opt_state = shard_opt_state_zero1(opt_state, mesh)
+    else:
+        opt_state = replicate(opt_state, mesh)
     ema_params = replicate(ema_params, mesh)
 
     mixup_fn = make_mixup(
