@@ -205,13 +205,10 @@ def main(argv=None):
         )
     opt_state = tx.init(params)
     ema_params = jax.tree.map(lambda x: x.copy(), params) if args.model_ema else params
-    params = replicate(params, mesh)
-    if args.zero1:
-        from mem_tpu.parallel.mesh import shard_opt_state_zero1
+    from mem_tpu.parallel.mesh import place_train_state
 
-        opt_state = shard_opt_state_zero1(opt_state, mesh)
-    else:
-        opt_state = replicate(opt_state, mesh)
+    params, opt_state = place_train_state(
+        params, opt_state, mesh, zero1=bool(args.zero1))
     ema_params = replicate(ema_params, mesh)
 
     mixup_fn = make_mixup(
@@ -234,8 +231,9 @@ def main(argv=None):
              "epoch": 0, "best_acc": 0.0},
         )
         if payload is not None:
-            params = replicate(payload["params"], mesh)
-            opt_state = replicate(payload["opt_state"], mesh)
+            params, opt_state = place_train_state(
+                payload["params"], payload["opt_state"], mesh,
+                zero1=bool(args.zero1))
             ema_params = replicate(payload["ema"], mesh)
             best_acc = float(payload.get("best_acc", 0.0))
 

@@ -334,17 +334,10 @@ def main(argv=None):
         # (0.9, 0.95), the reference's hard override (optim_factory.py:121)
     )
     opt_state = tx.init(params)
-    if args.tp > 1:
-        from mem_tpu.parallel.mesh import shard_params
+    from mem_tpu.parallel.mesh import place_train_state
 
-        params, opt_state = shard_params(params, mesh), shard_params(opt_state, mesh)
-    elif args.zero1:
-        from mem_tpu.parallel.mesh import shard_opt_state_zero1
-
-        params = replicate(params, mesh)
-        opt_state = shard_opt_state_zero1(opt_state, mesh)
-    else:
-        params, opt_state = replicate(params, mesh), replicate(opt_state, mesh)
+    params, opt_state = place_train_state(
+        params, opt_state, mesh, tp=args.tp, zero1=bool(args.zero1))
 
     if args.MAE:
         train_step = make_mae_train_step(model, tx, preproc_train)
@@ -362,8 +355,9 @@ def main(argv=None):
             args.output_dir, {"params": params, "opt_state": opt_state, "epoch": 0}
         )
         if payload is not None:
-            params = replicate(payload["params"], mesh)
-            opt_state = replicate(payload["opt_state"], mesh)
+            params, opt_state = place_train_state(
+                payload["params"], payload["opt_state"], mesh,
+                tp=args.tp, zero1=bool(args.zero1))
 
     run = maybe_wandb(bool(args.wandb), project="mem_pretraining",
                       group=f"{args.expweek}_{args.expname}")

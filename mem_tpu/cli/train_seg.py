@@ -82,6 +82,12 @@ def get_args(argv=None):
                         "per round (speed mode; marginal op distribution "
                         "unchanged). 0 = per-sample ops, reference semantics")
     p.add_argument("--slice_max_evs", type=int, default=180000)
+    p.add_argument("--ratio_jitter", type=int, default=1,
+                   help="mmseg Resize ratio_range (1.0, 1.01) + RandomCrop "
+                        "back to 440x640 (dsec.py:13); 0 disables")
+    p.add_argument("--compact_wire", type=int, default=1,
+                   help="ship events as int16 [x, y, p] (t is unused by the "
+                        "seg raster). 0 = full f32 (N, 4) wire format")
     p.add_argument("--output_dir", type=str, default="./seg_out")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=4)
@@ -138,10 +144,13 @@ def main(argv=None):
     train_it = SegBatchIterator(train_pairs, SegPipelineConfig(
         batch_size=local_bs, is_train=True, max_evs=args.slice_max_evs,
         seed=args.seed, shard_id=jax.process_index(), num_shards=nproc,
+        compact_wire=bool(args.compact_wire),
+        ratio_range=(1.0, 1.01) if args.ratio_jitter else None,
     ))
     val_it = SegBatchIterator(val_pairs, SegPipelineConfig(
         batch_size=local_bs, is_train=False, max_evs=args.slice_max_evs,
         seed=args.seed, shard_id=jax.process_index(), num_shards=nproc,
+        compact_wire=bool(args.compact_wire),
     ))
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32

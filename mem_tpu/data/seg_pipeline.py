@@ -7,21 +7,32 @@ SliceRandomMaxEvs(180000) as a host memcpy, pad, and sample per-item
 randomness. All raster/augment compute happens on chip
 (``seg_preprocess_batch``):
 
-  voxelize 440x640 (uint8 counts) -> RemoveHotPixelsEvs (count scale) ->
-  NormalizeEvs (/max * 255) -> ToUint8 -> RandAugment(mag 10, photometric
-  only) -> random horizontal flip (image + label) -> float32 0..255
-  (the mmseg Normalize step is mean 0 / std 1, i.e. identity — the network
-  consumes 0..255 inputs; dsec.py:1-24).
+  voxelize 440x640 (uint8 counts) -> Resize ratio_range (1.0, 1.01) +
+  RandomCrop back to 440x640, fused as one fixed-shape window resample ->
+  RemoveHotPixelsEvs (count scale) -> NormalizeEvs (/max * 255) -> ToUint8 ->
+  RandAugment(mag 10, photometric only) -> random horizontal flip
+  (image + label) -> float32 0..255 (the mmseg Normalize step is
+  mean 0 / std 1, i.e. identity — the network consumes 0..255 inputs;
+  dsec.py:1-24).
 
-Design deviation (documented): the reference's Resize with ratio_range
-(1.0, 1.01) — a <=1% random rescale immediately followed by RandomCrop back
-to (440, 640) — is omitted (identity at the default setting's scale).
+The ratio_range jitter (dsec.py:13, mmseg Resize with ratio_range
+(1.0, 1.01) + RandomCrop(440, 640)) runs on chip as a single center-aligned
+bilinear window resample: resize-to-(round(H r), round(W r))-then-crop-at-
+(oy, ox) equals sampling output pixel (i, j) at input coordinate
+((i + oy + 0.5)/r_h - 0.5, (j + ox + 0.5)/r_w - 0.5) — a fixed-shape
+two-banded interpolation matrix per axis applied as MXU matmuls (labels ride
+the same matrices' nearest-neighbor variant). Ratios/offsets are sampled on
+the host per sample like all other randomness. Two sub-pixel deviations vs
+mmcv (documented): the reference crops AFTER RandAugment (photometric ops
+commute per-pixel except equalize's histogram, which here sees the cropped
+canvas), and cv2's INTER_NEAREST label resize is corner-aligned while ours
+is center-aligned (<=1-pixel at r <= 1.01).
 """
 from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Iterator, List, Tuple
+from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -73,6 +84,9 @@ class SegPipelineConfig:
     # int16 [x, y, p] wire format (t is dead: the seg raster never builds a
     # time surface) — 2.7x less host->device traffic (see data/pipeline.py)
     compact_wire: bool = True
+    # mmseg Resize ratio_range (dsec.py:13) + RandomCrop back to (H, W);
+    # None disables (eval pipelines are single-scale identity, dsec.py:32-34)
+    ratio_range: Optional[Tuple[float, float]] = (1.0, 1.01)
 
 
 class SegBatchIterator:
@@ -98,13 +112,23 @@ class SegBatchIterator:
             ev = ev[start : start + cap]
             n = cap
         label = load_seg_label(ann_path)
-        return {
+        item = {
             "events": ev,
             "n_valid": np.int32(n),
             "label": label,
             "flip": np.bool_(self.cfg.is_train and rng.random() < self.cfg.flip_prob),
             "aug_seed": rng.integers(0, 2**31 - 1, dtype=np.int64).astype(np.uint32),
         }
+        if self.cfg.is_train and self.cfg.ratio_range is not None:
+            # mmseg random_sample_ratio + rescale_size int(x * r + 0.5)
+            # (transforms.py Resize) then RandomCrop offset in [0, margin]
+            r = rng.uniform(*self.cfg.ratio_range)
+            hs, ws = int(SEG_H * r + 0.5), int(SEG_W * r + 0.5)
+            oy = int(rng.integers(0, hs - SEG_H + 1))
+            ox = int(rng.integers(0, ws - SEG_W + 1))
+            item["resize_jitter"] = np.array(
+                [hs / SEG_H, ws / SEG_W, oy, ox], np.float32)
+        return item
 
     def batches(self, start_iter: int = 0) -> Iterator[dict]:
         cfg = self.cfg
@@ -149,12 +173,49 @@ class SegBatchIterator:
             "flip": np.stack([it["flip"] for it in items]),
             "aug_seed": np.stack([it["aug_seed"] for it in items]),
         }
+        if "resize_jitter" in items[0]:
+            batch["resize_jitter"] = np.stack(
+                [it["resize_jitter"] for it in items])
         if self.cfg.compact_wire:
             batch["events_xyp"] = np.ascontiguousarray(
                 events[..., [0, 1, 3]]).astype(np.int16)
         else:
             batch["events"] = events
         return batch
+
+
+def _interp_matrices(n: int, r, o, nearest: bool):
+    """(n, n) resample matrix M with out = M @ in for one axis: output cell i
+    samples input coordinate (i + o + 0.5)/r - 0.5 (center-aligned = "resize
+    by r then crop at offset o"), edge-replicated. Bilinear rows have two
+    banded weights; nearest rows are one-hot. Applied as MXU matmuls — the
+    gather formulation serializes on TPU (cf. the rel-pos one-hot rewrite,
+    models/vit.py)."""
+    cc = (jnp.arange(n, dtype=jnp.float32) + o + 0.5) / r - 0.5
+    cc = jnp.clip(cc, 0.0, n - 1.0)
+    if nearest:
+        return jax.nn.one_hot(jnp.round(cc).astype(jnp.int32), n)
+    c0 = jnp.floor(cc)
+    w = cc - c0
+    c0i = c0.astype(jnp.int32)
+    c1i = jnp.minimum(c0i + 1, n - 1)
+    return (jax.nn.one_hot(c0i, n) * (1.0 - w)[:, None]
+            + jax.nn.one_hot(c1i, n) * w[:, None])
+
+
+def apply_resize_jitter(img, labels, rj):
+    """Fused mmseg Resize(ratio_range) + RandomCrop on the rasterized image
+    (bilinear) and labels (nearest). ``rj``: (B, 4) [r_h, r_w, oy, ox]."""
+    H, W = img.shape[1], img.shape[2]
+    ay = jax.vmap(lambda p: _interp_matrices(H, p[0], p[2], False))(rj)
+    ax = jax.vmap(lambda p: _interp_matrices(W, p[1], p[3], False))(rj)
+    img = jnp.einsum("bij,bjxc->bixc", ay, img)
+    img = jnp.einsum("bwx,bixc->biwc", ax, img)
+    py = jax.vmap(lambda p: _interp_matrices(H, p[0], p[2], True))(rj)
+    px = jax.vmap(lambda p: _interp_matrices(W, p[1], p[3], True))(rj)
+    lab = jnp.einsum("bij,bjx->bix", py, labels.astype(jnp.float32))
+    lab = jnp.einsum("bwx,bix->biw", px, lab)
+    return img, jnp.round(lab).astype(labels.dtype)
 
 
 def seg_preprocess_batch(batch: dict, is_train: bool, rand_aug: bool = True,
@@ -174,6 +235,11 @@ def seg_preprocess_batch(batch: dict, is_train: bool, rand_aug: bool = True,
         time_surface=False, wrap_uint8=True,
     ).astype(jnp.float32)                                # counts 0..255
 
+    labels = batch["label"]
+    if is_train and "resize_jitter" in batch:
+        # reference order: Resize rides before RemoveHotPixels (dsec.py:13-15)
+        img, labels = apply_resize_jitter(img, labels, batch["resize_jitter"])
+
     img = I.remove_hot_pixels(img, 10.0)                 # RemoveHotPixelsEvs
 
     # NormalizeEvs: joint max over all channels -> scale to 0..255
@@ -181,7 +247,6 @@ def seg_preprocess_batch(batch: dict, is_train: bool, rand_aug: bool = True,
     m = jax.lax.optimization_barrier(jnp.max(img, axis=(1, 2, 3), keepdims=True))
     img = img / jnp.where(m > 0, m, 1.0) * 255.0
 
-    labels = batch["label"]
     if is_train:
         u8 = img.astype(jnp.uint8)                       # ToUnit8Evs
         keys = jax.vmap(jax.random.key)(batch["aug_seed"].astype(jnp.uint32))

@@ -114,6 +114,22 @@ def shard_opt_state_zero1(opt_state, mesh: Mesh, axis_name: str = "data"):
     )
 
 
+def place_train_state(params, opt_state, mesh: Mesh, tp: int = 1, zero1: bool = False):
+    """Place (params, opt_state) on the mesh under the active parallelism
+    config: TP shards both by tp_param_specs; ZeRO-1 replicates params and
+    shards the optimizer moments; plain DP replicates both.
+
+    Used at init AND after checkpoint restore — restoring with a plain
+    ``replicate`` would silently drop the ZeRO-1/TP sharding and re-inflate
+    per-chip optimizer HBM in exactly the configs that needed it.
+    """
+    if tp > 1:
+        return shard_params(params, mesh), shard_params(opt_state, mesh)
+    if zero1:
+        return replicate(params, mesh), shard_opt_state_zero1(opt_state, mesh)
+    return replicate(params, mesh), replicate(opt_state, mesh)
+
+
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data", axis_pos: int = 0):
     """Place a host-global batch sharded over the mesh on dimension
     ``axis_pos`` (0 for plain (B, ...) batches; 1 for grad-accumulation

@@ -333,7 +333,11 @@ def _adamp_project(p, g, perturb, delta: float = 0.1, eps: float = 1e-8):
                * jnp.sqrt(jnp.sum(y * y, axis=axes)) + eps)
         return jnp.abs(num / den)
 
-    ch_axes = tuple(range(1, p.ndim))
+    # clovaai groups the channel view by torch dim 0 = OUTPUT channels
+    # (weight.view(out, -1)); in flax layout — (kh, kw, in, out) convs,
+    # (in, out) dense — the output-channel axis is the LAST one, so the
+    # per-channel reduction runs over all axes except -1.
+    ch_axes = tuple(range(p.ndim - 1))
     dim_ch = 1
     for a in ch_axes:
         dim_ch *= p.shape[a]
@@ -421,6 +425,24 @@ def scheduled_adamp(
     return optax.GradientTransformation(init, update)
 
 
+def _add_scheduled_decay(wd_schedule, wd_mask_tree):
+    """``optax.add_decayed_weights`` with a step-indexed wd schedule, for
+    optimizers (lamb) whose decay must ride between the statistics and a
+    later rescaling stage rather than through ``_scheduled_stats``."""
+
+    def init(params):
+        del params
+        return jnp.zeros([], jnp.int32)
+
+    def update(updates, count, params):
+        wd = wd_schedule(count)
+        new = jax.tree.map(lambda u, p, m: u + wd * m * p,
+                           updates, params, wd_mask_tree)
+        return new, count + 1
+
+    return optax.GradientTransformation(init, update)
+
+
 class LookaheadState(NamedTuple):
     count: jnp.ndarray
     slow: optax.Params
@@ -492,6 +514,7 @@ def create_optimizer(
     """
     lr_scales = build_lr_scale_tree(params, layer_decay, num_layers)
     wd_masks = build_wd_mask_tree(params)
+    explicit_wd_schedule = wd_schedule is not None
     if wd_schedule is None:
         wd_schedule = (lambda step: weight_decay) if weight_decay else None
     opt_lower = opt.lower()
@@ -503,8 +526,10 @@ def create_optimizer(
         "fusedadamw": "adamw", "fusedlamb": "lamb",
         "fusednovograd": "nvnovograd",
     }
-    if opt_name == "fusednovograd" and opt_betas == (0.9, 0.95):
-        opt_betas = (0.95, 0.98)  # FusedNovoGrad default (optim_factory.py:173)
+    # NOTE: the reference's `opt_args.setdefault('betas', (0.95, 0.98))` for
+    # FusedNovoGrad (optim_factory.py:173) is dead code — optim_factory.py:121
+    # hard-sets betas=[0.9, 0.95] before the switch, so the reference actually
+    # runs FusedNovoGrad with (0.9, 0.95). We match that (accidental) behavior.
     opt_name = fused_alias.get(opt_name, opt_name)
 
     def build(name):
@@ -589,6 +614,16 @@ def create_optimizer(
                 lr_inside_momentum=momentum,
             )
         if name in ("novograd", "nvnovograd"):
+            if explicit_wd_schedule:
+                import warnings
+
+                warnings.warn(
+                    "novograd applies weight decay inside the normalized "
+                    "update (optax.scale_by_novograd); the cosine "
+                    "--weight_decay_end schedule cannot be threaded there "
+                    "and the CONSTANT --weight_decay is used instead",
+                    stacklevel=2,
+                )
             return _scheduled_stats(
                 optax.scale_by_novograd(b1=opt_betas[0], b2=opt_betas[1],
                                         eps=opt_eps,
@@ -597,13 +632,16 @@ def create_optimizer(
                 decoupled_wd=False, clip_grad=clip_grad,
             )
         if name == "lamb":
+            # decay must sit between the Adam stats and the trust-ratio
+            # scaling; thread the wd schedule (incl. --weight_decay_end
+            # cosine) through a step-indexed add_decayed_weights
+            decay = (_add_scheduled_decay(wd_schedule, wd_masks)
+                     if wd_schedule is not None else optax.identity())
             return _scheduled_stats(
                 optax.chain(
                     optax.scale_by_adam(b1=opt_betas[0], b2=opt_betas[1],
                                         eps=opt_eps),
-                    optax.add_decayed_weights(
-                        weight_decay,
-                        mask=jax.tree.map(lambda m: bool(m), wd_masks)),
+                    decay,
                     optax.scale_by_trust_ratio(),
                 ),
                 lr_schedule, None, lr_scales, wd_masks,

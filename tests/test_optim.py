@@ -245,18 +245,20 @@ def test_adamp_unprojected_matches_adamw(rng):
 
 def test_adamp_projection_removes_radial_component(rng):
     """For a scale-invariant-looking param (g orthogonal to p per channel)
-    the projected update must have no radial component: dot(p_row,
-    update_row) ~ 0 while the unprojected Adam step would not."""
+    the projected update must have no radial component: dot(p_col,
+    update_col) ~ 0 while the unprojected Adam step would not. The channel
+    group is the OUTPUT channel = the LAST axis in flax (in, out) layout
+    (clovaai groups by torch dim 0 = out channels)."""
     from mem_tpu.train.optim import _adamp_project
 
-    p = rng.standard_normal((4, 16)).astype(np.float32)
-    # per-row orthogonal gradient
-    g = rng.standard_normal((4, 16)).astype(np.float32)
-    g -= (np.sum(g * p, -1, keepdims=True) / np.sum(p * p, -1, keepdims=True)) * p
-    perturb = rng.standard_normal((4, 16)).astype(np.float32)
+    p = rng.standard_normal((16, 4)).astype(np.float32)  # (in, out) dense
+    # per-output-channel (column) orthogonal gradient
+    g = rng.standard_normal((16, 4)).astype(np.float32)
+    g -= (np.sum(g * p, 0, keepdims=True) / np.sum(p * p, 0, keepdims=True)) * p
+    perturb = rng.standard_normal((16, 4)).astype(np.float32)
     out, fired = _adamp_project(jnp.asarray(p), jnp.asarray(g), jnp.asarray(perturb))
     assert float(fired) == 1.0
-    radial = np.sum(np.asarray(out) * p, axis=-1) / np.linalg.norm(p, axis=-1)
+    radial = np.sum(np.asarray(out) * p, axis=0) / np.linalg.norm(p, axis=0)
     np.testing.assert_allclose(radial, 0.0, atol=1e-4)
     # and a non-orthogonal gradient must NOT fire
     _, fired2 = _adamp_project(jnp.asarray(p), jnp.asarray(p + 0.01 * g),
@@ -321,3 +323,29 @@ def test_hotpix_topk_mode(rng):
     assert out[0, 0, 0] == 0 and out[1, 1, 2] == 0
     assert out[0, 0, 2] == 0 and out[1, 1, 0] == 0  # both planes zeroed
     assert (out[..., 0] >= 0).sum() > 0
+
+
+def test_lamb_honors_wd_schedule(rng):
+    """--weight_decay_end cosine schedules must reach lamb's decay stage
+    (it rides between the Adam stats and the trust-ratio scaling): a
+    zero-schedule run must differ from a constant-wd run, and the
+    constant schedule must equal the constant weight_decay path."""
+    from mem_tpu.train.optim import create_optimizer
+
+    w = rng.standard_normal((8, 4)).astype(np.float32)
+    g = rng.standard_normal((8, 4)).astype(np.float32)
+
+    def run(**kw):
+        params = {"w": jnp.asarray(w)}
+        tx = create_optimizer(params, lambda s: 0.01, opt="lamb", **kw)
+        state = tx.init(params)
+        for _ in range(3):
+            up, state = tx.update({"w": jnp.asarray(g)}, state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, up)
+        return np.asarray(params["w"])
+
+    const = run(weight_decay=0.1)
+    sched_const = run(wd_schedule=lambda s: 0.1, weight_decay=0.1)
+    sched_zero = run(wd_schedule=lambda s: 0.0)
+    np.testing.assert_allclose(const, sched_const, atol=1e-7)
+    assert np.abs(const - sched_zero).max() > 1e-4

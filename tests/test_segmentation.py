@@ -237,3 +237,90 @@ def test_run_ss_orchestration(synth_seg_dataset, tmp_path):
     assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
     assert os.path.isdir(expdir / "seg" / "checkpoint-final")
     assert "mIoU" in r.stdout  # per-class table printed by test_seg
+
+
+def test_resize_jitter_matches_resize_then_crop_oracle(rng):
+    """The fused window resample (apply_resize_jitter) equals the mmseg
+    semantics it replaces — full resize to (round(H r), round(W r)) with
+    center-aligned bilinear (nearest for labels), then crop at (oy, ox)
+    (dsec.py:13 Resize ratio_range + RandomCrop) — computed here by a plain
+    numpy oracle over the full scaled canvas."""
+    from mem_tpu.data.seg_pipeline import apply_resize_jitter
+
+    H, W = 44, 64
+
+    def oracle(img, label, r_h, r_w, oy, ox):
+        oy, ox = int(oy), int(ox)
+        hs, ws = int(round(H * r_h)), int(round(W * r_w))
+        # f32 coordinate math, matching the device kernel (nearest-neighbor
+        # ties at exactly-.5 coordinates are precision-sensitive)
+        yy = np.clip((np.arange(hs, dtype=np.float32) + np.float32(0.5))
+                     / np.float32(r_h) - np.float32(0.5), 0, H - 1)
+        xx = np.clip((np.arange(ws, dtype=np.float32) + np.float32(0.5))
+                     / np.float32(r_w) - np.float32(0.5), 0, W - 1)
+        y0 = np.floor(yy).astype(int); wy = yy - y0
+        y1 = np.minimum(y0 + 1, H - 1)
+        x0 = np.floor(xx).astype(int); wx = xx - x0
+        x1 = np.minimum(x0 + 1, W - 1)
+        a = img[y0] * (1 - wy)[:, None, None] + img[y1] * wy[:, None, None]
+        big = (a[:, x0] * (1 - wx)[None, :, None]
+               + a[:, x1] * wx[None, :, None])
+        ly = np.clip(np.round(yy), 0, H - 1).astype(int)
+        lx = np.clip(np.round(xx), 0, W - 1).astype(int)
+        lab_big = label[ly][:, lx]
+        return big[oy:oy + H, ox:ox + W], lab_big[oy:oy + H, ox:ox + W]
+
+    B = 3
+    img = rng.random((B, H, W, 3)).astype(np.float32) * 255
+    label = rng.integers(0, 11, (B, H, W)).astype(np.int32)
+    rj = np.zeros((B, 4), np.float32)
+    # sample 0: identity (r=1, o=0) must pass through exactly
+    rj[0] = [1.0, 1.0, 0, 0]
+    for b in range(1, B):
+        r = rng.uniform(1.0, 1.25)  # wider than prod (1.01) to stress it
+        hs, ws = int(H * r + 0.5), int(W * r + 0.5)
+        rj[b] = [hs / H, ws / W,
+                 rng.integers(0, hs - H + 1), rng.integers(0, ws - W + 1)]
+
+    got_img, got_lab = jax.jit(apply_resize_jitter)(
+        jnp.asarray(img), jnp.asarray(label), jnp.asarray(rj))
+    np.testing.assert_allclose(np.asarray(got_img[0]), img[0], atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(got_lab[0]), label[0])
+    for b in range(1, B):
+        want_img, want_lab = oracle(img[b], label[b], *rj[b])
+        np.testing.assert_allclose(np.asarray(got_img[b]), want_img,
+                                   atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(got_lab[b]), want_lab)
+
+
+def test_seg_iterator_emits_resize_jitter_only_for_train(tmp_path):
+    from mem_tpu.data.seg_pipeline import (SegBatchIterator,
+                                           SegPipelineConfig, SEG_H, SEG_W)
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    (tmp_path / "imgs/train/s").mkdir(parents=True)
+    (tmp_path / "anns/train/s").mkdir(parents=True)
+    for i in range(2):
+        ev = np.zeros((100, 4), np.float32)
+        ev[:, 0] = rng.integers(0, SEG_W, 100)
+        ev[:, 1] = rng.integers(0, SEG_H, 100)
+        ev[:, 3] = rng.integers(0, 2, 100)
+        np.save(tmp_path / f"imgs/train/s/{i}.npy", ev)
+        Image.fromarray(rng.integers(0, 11, (SEG_H, SEG_W), dtype=np.uint8)
+                        ).save(tmp_path / f"anns/train/s/{i}.png")
+
+    from mem_tpu.data.seg_pipeline import scan_seg_pairs
+
+    pairs = scan_seg_pairs(str(tmp_path), "imgs/train", "anns/train")
+    train = SegBatchIterator(pairs, SegPipelineConfig(batch_size=2))
+    b = next(iter(train.batches()))
+    rj = b["resize_jitter"]
+    assert rj.shape == (2, 4)
+    assert (rj[:, :2] >= 1.0).all() and (rj[:, :2] <= 1.02).all()
+    hs = np.round(rj[:, 0] * SEG_H)
+    assert (rj[:, 2] <= hs - SEG_H).all() and (rj[:, 2] >= 0).all()
+
+    ev_it = SegBatchIterator(pairs, SegPipelineConfig(batch_size=2,
+                                                      is_train=False))
+    assert "resize_jitter" not in next(iter(ev_it.eval_batches()))
