@@ -286,13 +286,10 @@ def main(argv=None):
             if stopper.requested:
                 break
         if stopper.requested:
-            if jax.process_index() == 0:
-                save_checkpoint(args.output_dir, epoch, {
-                    "params": jax.tree.map(np.asarray, params),
-                    "opt_state": jax.tree.map(np.asarray, opt_state),
-                    "ema": jax.tree.map(np.asarray, ema_params),
-                    "epoch": epoch - 1, "best_acc": best_acc,
-                })
+            save_checkpoint(args.output_dir, epoch, {
+                "params": params, "opt_state": opt_state, "ema": ema_params,
+                "epoch": epoch - 1, "best_acc": best_acc,
+            })
             print(f"preempted at epoch {epoch}: checkpoint saved; exiting")
             return
         sps = steps_per_epoch * args.batch_size / (time.time() - t0)
@@ -309,18 +306,12 @@ def main(argv=None):
 
         if stats["acc1"] > best_acc:
             best_acc = stats["acc1"]
-            if jax.process_index() == 0:
-                save_checkpoint(args.output_dir, "best", {
-                    "params": jax.tree.map(np.asarray, params),
-                    "epoch": epoch, "acc1": stats["acc1"],
-                })
-        if jax.process_index() == 0 and (
-            (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
-        ):
+            save_checkpoint(args.output_dir, "best", {
+                "params": params, "epoch": epoch, "acc1": stats["acc1"],
+            })
+        if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
             save_checkpoint(args.output_dir, epoch, {
-                "params": jax.tree.map(np.asarray, params),
-                "opt_state": jax.tree.map(np.asarray, opt_state),
-                "ema": jax.tree.map(np.asarray, ema_params),
+                "params": params, "opt_state": opt_state, "ema": ema_params,
                 "epoch": epoch, "best_acc": best_acc,
             })
 

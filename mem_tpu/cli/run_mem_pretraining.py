@@ -424,12 +424,10 @@ def main(argv=None):
         if stopper.requested:
             # SIGTERM: save a resumable checkpoint tagged with the current
             # epoch (auto-resume restarts this epoch) and exit 0 for requeue
-            if jax.process_index() == 0:
-                save_checkpoint(args.output_dir, epoch, {
-                    "params": jax.tree.map(np.asarray, params),
-                    "opt_state": jax.tree.map(np.asarray, opt_state),
-                    "epoch": epoch - 1,
-                })
+            # every process calls save — orbax coordinates multi-host writes
+            save_checkpoint(args.output_dir, epoch, {
+                "params": params, "opt_state": opt_state, "epoch": epoch - 1,
+            })
             print(f"preempted at epoch {epoch}: checkpoint saved; exiting")
             return
         sps = steps_per_epoch * args.batch_size / (time.time() - t0)
@@ -437,12 +435,9 @@ def main(argv=None):
               f"({sps / jax.device_count():.1f}/chip)")
 
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
-            if jax.process_index() == 0:
-                save_checkpoint(args.output_dir, epoch, {
-                    "params": jax.tree.map(np.asarray, params),
-                    "opt_state": jax.tree.map(np.asarray, opt_state),
-                    "epoch": epoch,
-                })
+            save_checkpoint(args.output_dir, epoch, {
+                "params": params, "opt_state": opt_state, "epoch": epoch,
+            })
             if eval_step is not None:
                 vlog = MetricLogger()
                 first = True
@@ -456,10 +451,9 @@ def main(argv=None):
                     first = False
                 print(f"* eval: {vlog}")
 
-    if jax.process_index() == 0:
-        save_checkpoint(args.output_dir, "final", {
-            "params": jax.tree.map(np.asarray, params), "epoch": args.epochs - 1,
-        })
+    save_checkpoint(args.output_dir, "final", {
+        "params": params, "epoch": args.epochs - 1,
+    })
 
 
 if __name__ == "__main__":

@@ -244,13 +244,11 @@ def main(argv=None):
         if it >= args.max_iters:
             break
         if stopper.requested:
-            if jax.process_index() == 0:
-                save_checkpoint(args.output_dir, it, {
-                    "params": jax.tree.map(np.asarray, params),
-                    "batch_stats": jax.tree.map(np.asarray, batch_stats),
-                    "opt_state": jax.tree.map(np.asarray, opt_state),
-                    "epoch": it,  # resume continues at this iteration
-                })
+            save_checkpoint(args.output_dir, it, {
+                "params": params, "batch_stats": batch_stats,
+                "opt_state": opt_state,
+                "epoch": it,  # resume continues at this iteration
+            })
             print(f"preempted at iter {it}: checkpoint saved; exiting")
             return
         key, sk = jax.random.split(key)
@@ -269,22 +267,18 @@ def main(argv=None):
             stats = evaluate()
             print(f"* iter {it}: mIoU {stats['mIoU']:.4f} aAcc {stats['aAcc']:.4f} "
                   f"mDice {stats['mDice']:.4f}")
-        if (it + 1) % args.save_interval == 0 and jax.process_index() == 0:
+        if (it + 1) % args.save_interval == 0:
             save_checkpoint(args.output_dir, it, {
-                "params": jax.tree.map(np.asarray, params),
-                "batch_stats": jax.tree.map(np.asarray, batch_stats),
-                "opt_state": jax.tree.map(np.asarray, opt_state),
-                "epoch": it + 1,
+                "params": params, "batch_stats": batch_stats,
+                "opt_state": opt_state, "epoch": it + 1,
             })
 
     stats = evaluate()
     print(f"final mIoU {stats['mIoU']:.4f}")
-    if jax.process_index() == 0:
-        save_checkpoint(args.output_dir, "final", {
-            "params": jax.tree.map(np.asarray, params),
-            "batch_stats": jax.tree.map(np.asarray, batch_stats),
-            "epoch": args.max_iters,
-        })
+    save_checkpoint(args.output_dir, "final", {
+        "params": params, "batch_stats": batch_stats,
+        "epoch": args.max_iters,
+    })
 
 
 if __name__ == "__main__":

@@ -162,21 +162,19 @@ def main(argv=None):
             if stopper.requested:
                 break
         if stopper.requested:
-            if jax.process_index() == 0:
-                save_checkpoint(args.output_dir, epoch, {
-                    "params": jax.tree.map(np.asarray, params),
-                    "opt_state": jax.tree.map(np.asarray, opt_state),
-                    "epoch": epoch - 1,
-                    "lr": sched.lr, "temp": sched.temp,
-                    "global_step": sched.global_step,
-                    "hparams": {
-                        "input_H": args.input_H, "input_W": args.input_W,
-                        "num_tokens": args.num_tokens, "emb_dim": args.emb_dim,
-                        "num_layers": args.num_layers,
-                        "num_resnet_blocks": args.num_resnet_blocks,
-                        "hidden_dim": args.hidden_dim, "loss": args.loss,
-                    },
-                })
+            save_checkpoint(args.output_dir, epoch, {
+                "params": params, "opt_state": opt_state,
+                "epoch": epoch - 1,
+                "lr": sched.lr, "temp": sched.temp,
+                "global_step": sched.global_step,
+                "hparams": {
+                    "input_H": args.input_H, "input_W": args.input_W,
+                    "num_tokens": args.num_tokens, "emb_dim": args.emb_dim,
+                    "num_layers": args.num_layers,
+                    "num_resnet_blocks": args.num_resnet_blocks,
+                    "hidden_dim": args.hidden_dim, "loss": args.loss,
+                },
+            })
             print(f"preempted at epoch {epoch}: checkpoint saved; exiting")
             return
         sps = train_it.steps_per_epoch() * args.batch_size / (time.time() - t0)
@@ -195,12 +193,9 @@ def main(argv=None):
                 run.log({"test_loss": vlog.meters["loss"].global_avg,
                          "codebook_usage": len(used) / args.num_tokens, "epoch": epoch})
 
-        if jax.process_index() == 0 and (
-            (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs
-        ):
+        if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
             save_checkpoint(args.output_dir, epoch, {
-                "params": jax.tree.map(np.asarray, params),
-                "opt_state": jax.tree.map(np.asarray, opt_state),
+                "params": params, "opt_state": opt_state,
                 "epoch": epoch,
                 "lr": sched.lr, "temp": sched.temp, "global_step": sched.global_step,
                 "hparams": {
@@ -212,18 +207,17 @@ def main(argv=None):
                 },
             })
 
-    if jax.process_index() == 0:
-        save_checkpoint(args.output_dir, "final", {
-            "params": jax.tree.map(np.asarray, params),
-            "epoch": args.epochs - 1,
-            "hparams": {
-                "input_H": args.input_H, "input_W": args.input_W,
-                "num_tokens": args.num_tokens, "emb_dim": args.emb_dim,
-                "num_layers": args.num_layers,
-                "num_resnet_blocks": args.num_resnet_blocks,
-                "hidden_dim": args.hidden_dim, "loss": args.loss,
-            },
-        })
+    save_checkpoint(args.output_dir, "final", {
+        "params": params,
+        "epoch": args.epochs - 1,
+        "hparams": {
+            "input_H": args.input_H, "input_W": args.input_W,
+            "num_tokens": args.num_tokens, "emb_dim": args.emb_dim,
+            "num_layers": args.num_layers,
+            "num_resnet_blocks": args.num_resnet_blocks,
+            "hidden_dim": args.hidden_dim, "loss": args.loss,
+        },
+    })
 
 
 if __name__ == "__main__":

@@ -131,15 +131,31 @@ def place_train_state(params, opt_state, mesh: Mesh, tp: int = 1, zero1: bool = 
 
 
 def shard_batch(batch, mesh: Mesh, axis_name: str = "data", axis_pos: int = 0):
-    """Place a host-global batch sharded over the mesh on dimension
-    ``axis_pos`` (0 for plain (B, ...) batches; 1 for grad-accumulation
-    batches folded as (update_freq, B, ...))."""
+    """Place a host batch sharded over the mesh on dimension ``axis_pos``
+    (0 for plain (B, ...) batches; 1 for grad-accumulation batches folded as
+    (update_freq, B, ...)).
+
+    Single-process: the host batch is the global batch — plain device_put.
+    Multi-process (``jax.distributed.initialize``'d): each process ingests
+    its OWN shard (``PipelineConfig.shard_id/num_shards``), so the host
+    batch here is process-local; the global array is assembled with
+    ``jax.make_array_from_process_local_data`` (the data axis spans all
+    processes — reference analogue: DistributedSampler shards + DDP,
+    run_mem_pretraining.py:307-320)."""
+    nproc = jax.process_count()
 
     def put(x):
         dims = [None] * np.ndim(x)
         if np.ndim(x) > axis_pos:
             dims[axis_pos] = axis_name
-        return jax.device_put(x, NamedSharding(mesh, P(*dims)))
+        sharding = NamedSharding(mesh, P(*dims))
+        if nproc > 1 and np.ndim(x) > axis_pos:
+            x = np.asarray(x)
+            gshape = list(x.shape)
+            gshape[axis_pos] *= nproc
+            return jax.make_array_from_process_local_data(
+                sharding, x, tuple(gshape))
+        return jax.device_put(x, sharding)
 
     return jax.tree.map(put, batch)
 

@@ -55,10 +55,18 @@ def save_checkpoint(
     path = _path(output_dir, tag)
     arrays, meta = _split_meta(payload)
     ckptr = ocp.StandardCheckpointer()
-    arrays = jax.tree.map(np.asarray, arrays)
-    ckptr.save(path, arrays, force=True)
+    if jax.process_count() > 1:
+        # multi-host: EVERY process must call save — orbax coordinates the
+        # distributed write (each process persists its addressable shards;
+        # the primary host commits the metadata). Converting to numpy here
+        # would fail: globally-sharded arrays are not fully addressable
+        # from one process.
+        ckptr.save(path, arrays, force=True)
+    else:
+        arrays = jax.tree.map(np.asarray, arrays)
+        ckptr.save(path, arrays, force=True)
     ckptr.wait_until_finished()
-    if meta:
+    if meta and jax.process_index() == 0:
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f)
     return path

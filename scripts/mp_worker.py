@@ -1,0 +1,173 @@
+"""Multi-process DP worker: the real fused MEM pretrain step over a device
+mesh that SPANS OS processes (``jax.distributed.initialize`` + Gloo CPU
+collectives), exercising everything the single-process virtual mesh cannot:
+cross-process gradient psum, per-process shard ingest, orbax multi-host
+checkpointing, and global-array assembly from process-local batches.
+
+Reference analogue: the torchrun/NCCL process-group rendezvous + DDP +
+DistributedSampler stack (mem/utils.py:264-294, run_mem_pretraining.py:
+307-320, 365-367) — done the JAX way: one ``jax.distributed.initialize``,
+one mesh over all processes' devices, XLA/Gloo collectives.
+
+Usage (launched by tests/test_multiprocess.py and the dryrun mp leg):
+    python scripts/mp_worker.py <pid> <nproc> <port> <workdir> <data_dir>
+
+Process-count invariance: per-process shard ingest draws rows
+``shuffled_idx[pid::nproc]`` from the SAME seeded shuffle, so for
+batch == dataset size the union of all processes' rows is the same sample
+SET as the single-process batch; per-sample randomness is keyed by
+(seed, epoch, dataset index) and on-chip RNG is partitionable — the global
+computation is identical up to collective reduction order, so final params
+must agree with the 1-process run to float tolerance. The worker writes
+``params_p{pid}.npz`` + ``ok_p{pid}.json`` for the launcher to compare.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def make_tiny_dataset(root: str, n_samples: int = 8, n_classes: int = 2,
+                      seed: int = 3) -> str:
+    """8 caltech-like raw (N, 4) [x, y, t, p] float npy samples on disk."""
+    rng = np.random.default_rng(seed)
+    per = n_samples // n_classes
+    for c in range(n_classes):
+        d = os.path.join(root, f"class{c}")
+        os.makedirs(d, exist_ok=True)
+        for i in range(per):
+            n = int(rng.integers(150, 256))
+            ev = np.zeros((n, 4))
+            ev[:, 0] = rng.integers(0, 48, n)
+            ev[:, 1] = rng.integers(0, 48, n)
+            ev[:, 2] = np.sort(rng.random(n))
+            ev[:, 3] = rng.choice([-1.0, 1.0], n)
+            np.save(os.path.join(d, f"s{i}.npy"), ev)
+    return root
+
+
+def build_tiny(jnp):
+    """Tiny flagship-config model family (mirrors dryrun_multichip shapes)."""
+    from mem_tpu.data.device_pipeline import PreprocConfig
+    from mem_tpu.models import create_model
+    from mem_tpu.models.discrete_vae import DiscreteVAE
+
+    HW, patch = 32, 8
+    grid = HW // patch
+    model = create_model(
+        "pt_vit", vocab_size=64, img_size=(HW, HW), patch_size=(patch, patch),
+        embed_dim=64, depth=2, num_heads=2, dtype=jnp.float32,
+        num_masked_tokens=grid * grid // 2,
+    )
+    vae = DiscreteVAE(input_hw=(HW, HW), num_tokens=64, codebook_dim=8,
+                      num_layers=3, num_resnet_blocks=1, hidden_dim=16)
+    preproc = PreprocConfig(
+        input_h=HW, input_w=HW, canvas_h=64, canvas_w=64,
+        hotpixfilter=True, rand_aug=False, normalize_events=True,
+    )
+    return model, vae, preproc, grid
+
+
+def main() -> None:
+    pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+    workdir, data_dir = sys.argv[4], sys.argv[5]
+
+    import jax
+
+    if nproc > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=nproc, process_id=pid,
+        )
+    assert jax.process_index() == pid and jax.process_count() == nproc
+
+    import jax.numpy as jnp
+
+    from mem_tpu.data.folder import NpyFolder, caltech_npy_loader
+    from mem_tpu.data.pipeline import EventBatchIterator, PipelineConfig
+    from mem_tpu.parallel import get_mesh, replicate, shard_batch
+    from mem_tpu.parallel.mesh import place_train_state
+    from mem_tpu.train.optim import create_optimizer
+    from mem_tpu.train.schedules import as_schedule_fn, cosine_scheduler
+    from mem_tpu.train.steps import make_pretrain_train_step
+    from mem_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    mesh = get_mesh()
+    model, vae, preproc, grid = build_tiny(jnp)
+
+    GB = 8  # global batch == dataset size -> same sample set for any nproc
+    ds = NpyFolder(data_dir, loader=caltech_npy_loader)
+    assert len(ds) == GB, len(ds)
+    it = EventBatchIterator(ds, PipelineConfig(
+        batch_size=GB // nproc, slice_max_evs=256, is_train=True,
+        canvas_h=64, canvas_w=64, masking="block", window_size=(grid, grid),
+        num_mask_patches=grid * grid // 2,
+        min_mask_patches_per_block=1,
+        seed=7, num_workers=0, use_native=False,
+        shard_id=pid, num_shards=nproc,   # per-process shard ingest
+    ))
+
+    # identical init on every process (same key, host-local dummy data)
+    rng = np.random.default_rng(0)
+    dummy = jnp.asarray(rng.random((2, 32, 32, 3)), jnp.float32)
+    dummy_mask = jnp.asarray(np.tile(np.arange(grid * grid) < grid * grid // 2,
+                                     (2, 1)))
+    params = jax.jit(model.init)(jax.random.key(0), dummy, dummy_mask)
+    vae_params = jax.jit(vae.init)(
+        {"params": jax.random.key(1), "gumbel": jax.random.key(2)}, dummy, 1.0)
+
+    lr = cosine_scheduler(1e-3, 1e-5, epochs=4, niter_per_ep=1, warmup_steps=1)
+    tx = create_optimizer(params, as_schedule_fn(lr), weight_decay=0.05,
+                          clip_grad=3.0)
+    opt_state = tx.init(params)
+    params, opt_state = place_train_state(params, opt_state, mesh)
+    vae_params = replicate(vae_params, mesh)
+
+    step = make_pretrain_train_step(model, vae, tx, preproc)
+    losses = []
+    for epoch in range(3):
+        batch = next(it.epoch(epoch))
+        gb = shard_batch(batch, mesh)  # process-local -> global array
+        params, opt_state, m = step(params, opt_state, vae_params, gb,
+                                    jax.random.key(100 + epoch))
+        losses.append(float(m["loss"]))
+        assert np.isfinite(losses[-1]), losses
+
+    def to_np(tree):
+        # replicated arrays: any local shard holds the full value
+        return jax.tree.map(lambda x: np.asarray(x.addressable_data(0)), tree)
+
+    # ---- orbax checkpoint across the multi-process mesh -------------------
+    ckdir = os.path.join(workdir, "ckpt")
+    save_checkpoint(ckdir, 2, {"params": params, "opt_state": opt_state,
+                               "epoch": 2})
+    before = to_np(params)
+    template = {"params": before, "opt_state": to_np(opt_state), "epoch": 0}
+    payload = load_checkpoint(os.path.join(ckdir, "checkpoint-2"), template)
+    for a, b in zip(jax.tree.leaves(payload["params"]),
+                    jax.tree.leaves(before)):
+        np.testing.assert_array_equal(np.asarray(a), b)
+    assert int(np.asarray(payload["epoch"])) == 2
+    # restored state continues training through the same placement path
+    params, opt_state = place_train_state(payload["params"],
+                                          payload["opt_state"], mesh)
+    batch = next(it.epoch(3))
+    params, opt_state, m = step(params, opt_state, vae_params,
+                                shard_batch(batch, mesh), jax.random.key(103))
+    losses.append(float(m["loss"]))
+
+    keys = {jax.tree_util.keystr(k): v for k, v in
+            jax.tree_util.tree_flatten_with_path(to_np(params))[0]}
+    np.savez(os.path.join(workdir, f"params_p{pid}.npz"), **keys)
+    with open(os.path.join(workdir, f"ok_p{pid}.json"), "w") as f:
+        json.dump({"losses": losses, "nproc": nproc,
+                   "global_devices": jax.device_count()}, f)
+    print(f"mp_worker p{pid}/{nproc}: devices={jax.device_count()} "
+          f"losses={['%.4f' % l for l in losses]} OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
