@@ -157,14 +157,23 @@ def main(argv=None):
         rng, jnp.zeros((2, args.input_H, args.input_W, 3 if args.voxel == 0 else args.voxel))
     )
 
-    # load pretrained encoder with checkpoint surgery (utils.py:613-732)
+    # load pretrained encoder with checkpoint surgery (utils.py:613-732);
+    # a .pth/.pt path goes through the torch importer, so reference-trained
+    # (or cli/export_torch-exported) checkpoints finetune directly —
+    # the cross-ecosystem handshake (utils.py:485-537 model_key probe)
     if args.finetune:
-        payload = load_checkpoint(args.finetune)
         from mem_tpu.utils.surgery import surgery_for_finetune
 
-        params = surgery_for_finetune(
-            {"params": payload["params"]["params"]}, params, dst_window=window
-        )
+        if args.finetune.endswith((".pth", ".pt")):
+            from mem_tpu.utils.torch_import import (import_vit_state_dict,
+                                                    load_torch_checkpoint)
+
+            ck = load_torch_checkpoint(args.finetune)
+            sd = next((ck[k] for k in ("model", "module") if k in ck), ck)
+            src = import_vit_state_dict(sd, is_pretrain=True)
+        else:
+            src = {"params": load_checkpoint(args.finetune)["params"]["params"]}
+        params = surgery_for_finetune(src, params, dst_window=window)
         print(f"loaded + adapted pretrain checkpoint {args.finetune}")
 
     n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))

@@ -32,17 +32,22 @@ import numpy as np
 
 def make_tiny_dataset(root: str, n_samples: int = 8, n_classes: int = 2,
                       seed: int = 3) -> str:
-    """8 caltech-like raw (N, 4) [x, y, t, p] float npy samples on disk."""
+    """Caltech-like raw (N, 4) [x, y, t, p] float npy samples on disk.
+    Classes are SEPARABLE (each concentrates its events around a
+    class-specific center) so downstream finetuning has real signal —
+    trajectory-parity runs then compare actual learning curves, not noise."""
     rng = np.random.default_rng(seed)
     per = n_samples // n_classes
+    centers = [(12, 12), (36, 36), (12, 36), (36, 12), (24, 24)]
     for c in range(n_classes):
         d = os.path.join(root, f"class{c}")
         os.makedirs(d, exist_ok=True)
+        cx, cy = centers[c % len(centers)]
         for i in range(per):
             n = int(rng.integers(150, 256))
             ev = np.zeros((n, 4))
-            ev[:, 0] = rng.integers(0, 48, n)
-            ev[:, 1] = rng.integers(0, 48, n)
+            ev[:, 0] = np.clip(rng.normal(cx, 7, n).round(), 0, 47)
+            ev[:, 1] = np.clip(rng.normal(cy, 7, n).round(), 0, 47)
             ev[:, 2] = np.sort(rng.random(n))
             ev[:, 3] = rng.choice([-1.0, 1.0], n)
             np.save(os.path.join(d, f"s{i}.npy"), ev)
