@@ -81,35 +81,22 @@ def main(argv=None):
     scales = [float(s) for s in args.aug_scales.split(",")] if args.aug_test else [1.0]
     flips = [False, True] if (args.aug_test and args.aug_flip) else [False]
 
+    from mem_tpu.models.segmentation import tta_probs
+
+    def apply_fn(x):
+        logits, _ = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=False)
+        return logits
+
     @jax.jit
     def infer(batch):
         """Whole-image inference; with --aug_test, averages softmax
         probabilities over scale x flip passes (mmseg aug_test semantics;
         the wrapper surface is MyMultiScaleFlipAug,
-        EventDataset.py:1050-1141). Each pass resizes the rasterized
-        440x640 image by the ratio, runs the segmentor (which upsamples
-        logits back to its input size), resizes probabilities to the label
-        grid, and un-flips."""
+        EventDataset.py:1050-1141; oracle-tested in
+        tests/test_segmentation.py)."""
         images, labels = seg_preprocess_batch(batch, False)
-        B, H, W, _ = images.shape
-        prob_sum = jnp.zeros((B, H, W, args.num_classes), jnp.float32)
-        for s in scales:
-            sh, sw = int(round(H * s)), int(round(W * s))
-            img_s = images if (sh, sw) == (H, W) else jax.image.resize(
-                images, (B, sh, sw, images.shape[-1]), method="bilinear")
-            for flip in flips:
-                x = img_s[:, :, ::-1] if flip else img_s
-                logits, _ = model.apply(
-                    {"params": params, "batch_stats": batch_stats}, x,
-                    train=False,
-                )
-                prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-                if flip:
-                    prob = prob[:, :, ::-1]
-                if (sh, sw) != (H, W):
-                    prob = jax.image.resize(
-                        prob, (B, H, W, args.num_classes), method="bilinear")
-                prob_sum = prob_sum + prob
+        prob_sum = tta_probs(apply_fn, images, args.num_classes, scales, flips)
         pred = jnp.argmax(prob_sum, axis=-1)
         return pred, confusion_matrix(pred, labels, args.num_classes, IGNORE_INDEX)
 

@@ -259,6 +259,37 @@ def seg_loss(logits, aux, labels, num_classes: int, aux_weight: float = 0.4,
     return ce(logits) + aux_weight * ce(aux)
 
 
+def tta_probs(apply_fn, images, num_classes: int, scales, flips):
+    """Multi-scale / horizontal-flip test-time augmentation: sum of softmax
+    probabilities over every (scale, flip) pass, each resized back to the
+    input grid and un-flipped (mmseg aug_test semantics behind the
+    MyMultiScaleFlipAug wrapper, EventDataset.py:1050-1141 +
+    mmcv_custom/resize_transform.py SETR_Resize).
+
+    ``apply_fn(x) -> logits`` must return per-pixel class logits at x's
+    resolution (EncoderDecoder upsamples internally). ``scales=[1.0]``,
+    ``flips=[False]`` reduces exactly to single-scale inference (the
+    shipped DSEC config, dsec.py:32-34).
+    """
+    B, H, W, _ = images.shape
+    prob_sum = jnp.zeros((B, H, W, num_classes), jnp.float32)
+    for s in scales:
+        sh, sw = int(round(H * s)), int(round(W * s))
+        img_s = images if (sh, sw) == (H, W) else jax.image.resize(
+            images, (B, sh, sw, images.shape[-1]), method="bilinear")
+        for flip in flips:
+            x = img_s[:, :, ::-1] if flip else img_s
+            logits = apply_fn(x)
+            prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            if flip:
+                prob = prob[:, :, ::-1]
+            if (sh, sw) != (H, W):
+                prob = jax.image.resize(
+                    prob, (B, H, W, num_classes), method="bilinear")
+            prob_sum = prob_sum + prob
+    return prob_sum
+
+
 def confusion_matrix(pred, labels, num_classes: int, ignore_index: int = 255):
     """(num_classes, num_classes) confusion counts via one-hot matmul
     (gt rows, pred cols) — the mIoU/mDice/mFscore accumulator."""

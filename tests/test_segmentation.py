@@ -324,3 +324,53 @@ def test_seg_iterator_emits_resize_jitter_only_for_train(tmp_path):
     ev_it = SegBatchIterator(pairs, SegPipelineConfig(batch_size=2,
                                                       is_train=False))
     assert "resize_jitter" not in next(iter(ev_it.eval_batches()))
+
+
+def test_tta_probs_matches_oracle(rng):
+    """tta_probs (mmseg aug_test semantics) vs a hand-computed oracle on a
+    stub segmentor: scales [0.75, 1.0, 1.25] x {plain, flip} — and the
+    single-scale/no-flip configuration must reduce EXACTLY to plain
+    softmax(logits) (the shipped DSEC config, dsec.py:32-34)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mem_tpu.models.segmentation import tta_probs
+
+    B, H, W, C = 2, 16, 24, 5
+    k = jnp.asarray(rng.standard_normal((3, C)), jnp.float32)
+
+    def apply_fn(x):  # any resolution -> per-pixel logits, flip-sensitive
+        base = jnp.einsum("bhwc,cd->bhwd", x, k)
+        ramp = jnp.linspace(0.0, 1.0, x.shape[2])[None, None, :, None]
+        return base + ramp  # horizontal ramp breaks flip symmetry
+
+    images = jnp.asarray(rng.random((B, H, W, 3)), jnp.float32)
+
+    # single scale, no flip == plain inference
+    single = tta_probs(apply_fn, images, C, [1.0], [False])
+    np.testing.assert_allclose(
+        np.asarray(single),
+        np.asarray(jax.nn.softmax(apply_fn(images), axis=-1)), atol=1e-6)
+
+    # full TTA vs oracle
+    scales, flips = [0.75, 1.0, 1.25], [False, True]
+    got = np.asarray(tta_probs(apply_fn, images, C, scales, flips))
+    want = np.zeros_like(got)
+    for s in scales:
+        sh, sw = int(round(H * s)), int(round(W * s))
+        xs = images if (sh, sw) == (H, W) else jax.image.resize(
+            images, (B, sh, sw, 3), method="bilinear")
+        for fl in flips:
+            x = xs[:, :, ::-1] if fl else xs
+            p = jax.nn.softmax(apply_fn(x).astype(jnp.float32), -1)
+            if fl:
+                p = p[:, :, ::-1]
+            if (sh, sw) != (H, W):
+                p = jax.image.resize(p, (B, H, W, C), method="bilinear")
+            want += np.asarray(p)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # each pass contributes a probability simplex -> sum over classes = #passes
+    np.testing.assert_allclose(got.sum(-1), len(scales) * len(flips),
+                               rtol=1e-5)
+    # TTA must actually differ from single-scale for this flip-sensitive net
+    assert np.abs(got / 6.0 - np.asarray(single)).max() > 1e-3
