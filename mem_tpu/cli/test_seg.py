@@ -52,6 +52,9 @@ def get_args(argv=None):
                    help="comma-separated scale ratios for --aug_test")
     p.add_argument("--aug_flip", type=int, default=1,
                    help="include horizontally flipped passes in --aug_test")
+    p.add_argument("--presort_y", type=int, default=1,
+                   help="host-presort events by y for the row-tiled "
+                        "wide-canvas histogram")
     return p.parse_args(argv)
 
 
@@ -62,6 +65,7 @@ def main(argv=None):
     pairs = scan_seg_pairs(args.data_root, args.img_dir, args.ann_dir)
     it = SegBatchIterator(pairs, SegPipelineConfig(
         batch_size=args.batch_size, is_train=False, max_evs=args.slice_max_evs,
+        presort_y=bool(args.presort_y),
     ))
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -95,7 +99,8 @@ def main(argv=None):
         the wrapper surface is MyMultiScaleFlipAug,
         EventDataset.py:1050-1141; oracle-tested in
         tests/test_segmentation.py)."""
-        images, labels = seg_preprocess_batch(batch, False)
+        images, labels = seg_preprocess_batch(
+            batch, False, y_sorted=bool(args.presort_y))
         prob_sum = tta_probs(apply_fn, images, args.num_classes, scales, flips)
         pred = jnp.argmax(prob_sum, axis=-1)
         return pred, confusion_matrix(pred, labels, args.num_classes, IGNORE_INDEX)

@@ -85,6 +85,9 @@ def get_args(argv=None):
     p.add_argument("--ratio_jitter", type=int, default=1,
                    help="mmseg Resize ratio_range (1.0, 1.01) + RandomCrop "
                         "back to 440x640 (dsec.py:13); 0 disables")
+    p.add_argument("--presort_y", type=int, default=1,
+                   help="host-presort events by y (feeds the row-tiled "
+                        "wide-canvas histogram without its on-chip sort)")
     p.add_argument("--compact_wire", type=int, default=1,
                    help="ship events as int16 [x, y, p] (t is unused by the "
                         "seg raster). 0 = full f32 (N, 4) wire format")
@@ -97,10 +100,10 @@ def get_args(argv=None):
 
 
 def make_seg_steps(model, tx, num_classes: int, rand_aug: bool,
-                   rand_aug_batch_ops: bool = False):
+                   rand_aug_batch_ops: bool = False, y_sorted: bool = False):
     def train_step(params, batch_stats, opt_state, batch, rng):
         images, labels = seg_preprocess_batch(batch, True, rand_aug,
-                                              rand_aug_batch_ops)
+                                              rand_aug_batch_ops, y_sorted)
 
         def loss_fn(p):
             (logits, aux), new_state = model.apply(
@@ -118,7 +121,8 @@ def make_seg_steps(model, tx, num_classes: int, rand_aug: bool,
         }
 
     def eval_step(params, batch_stats, batch):
-        images, labels = seg_preprocess_batch(batch, False)
+        images, labels = seg_preprocess_batch(batch, False,
+                                              y_sorted=y_sorted)
         logits, _ = model.apply(
             {"params": params, "batch_stats": batch_stats}, images, train=False
         )
@@ -145,12 +149,14 @@ def main(argv=None):
         batch_size=local_bs, is_train=True, max_evs=args.slice_max_evs,
         seed=args.seed, shard_id=jax.process_index(), num_shards=nproc,
         compact_wire=bool(args.compact_wire),
+        presort_y=bool(args.presort_y),
         ratio_range=(1.0, 1.01) if args.ratio_jitter else None,
     ))
     val_it = SegBatchIterator(val_pairs, SegPipelineConfig(
         batch_size=local_bs, is_train=False, max_evs=args.slice_max_evs,
         seed=args.seed, shard_id=jax.process_index(), num_shards=nproc,
         compact_wire=bool(args.compact_wire),
+        presort_y=bool(args.presort_y),
     ))
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -205,7 +211,7 @@ def main(argv=None):
 
     train_step, eval_step = make_seg_steps(
         model, tx, args.num_classes, bool(args.rand_aug),
-        bool(args.rand_aug_batch_ops),
+        bool(args.rand_aug_batch_ops), y_sorted=bool(args.presort_y),
     )
 
     start_iter = 0

@@ -202,6 +202,7 @@ def voxelize_fused(
     sample_H: jnp.ndarray | None = None,
     time_surface: bool = False,
     wrap_uint8: bool = True,
+    y_sorted: bool = False,
 ) -> jnp.ndarray:
     """Batched fused augmentation + rasterization, fully on chip.
 
@@ -222,6 +223,12 @@ def voxelize_fused(
       sample_W / sample_H: (B,) int32 per-sample logical extents for datasets
         with variable sensor crops (used by x-flip ``x <- W-1-x`` and the
         shift bounds); defaults to the static W/H.
+      y_sorted: caller promises each sample's VALID events arrive sorted by
+        y (the seg pipeline's host presort) — wide canvases then skip the
+        on-chip packed-key sort ahead of the tiled kernel. Safe to leave
+        False; setting it wrongly costs performance, never correctness
+        (tile skipping is conservative). Note time/x flips preserve y
+        order; y-shifts (classification only) would break it.
 
     Returns (B, H, W, 3) uint8.
     """
@@ -261,11 +268,19 @@ def voxelize_fused(
 
     if _use_pallas_hist():
         # Pallas chunked-accumulator histogram: one-hot factors built in
-        # VMEM, (H, 2W) accumulator resident across the chunk loop. Honest
-        # device-time comparison at (B=64, 30k, 256²): 4.1 ms vs 6.0 ms for
-        # the XLA one-hot contraction (which materializes ~2 GB of one-hots
-        # in HBM) and 37.5 ms for a scatter formulation (docs/PERF.md).
-        from mem_tpu.ops.voxelize_pallas import voxelize_pallas_planes
+        # VMEM with single int8 compares (polarity/validity folded into one
+        # column index), int8 MXU matmuls with exact int32 counts — 1.79 ms
+        # for B=64 x 30k @ 256² vs 6.0 ms for the XLA one-hot contraction
+        # and 37.5 ms for a scatter formulation. Wide canvases (DSEC
+        # 440x640) route through the y-sorted row-tiled kernel: 3.06 ms
+        # presorted / 4.68 ms incl. on-chip sort vs 10.25 ms dense
+        # (docs/PERF.md round 3).
+        from mem_tpu.ops.voxelize_pallas import (
+            WIDE_CANVAS_CELLS,
+            hist_planes_cols,
+            hist_planes_cols_sorted,
+            pack_cols,
+        )
 
         in_b = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
         ok = valid & in_b
@@ -273,10 +288,13 @@ def voxelize_fused(
         wneg = jnp.where(ok & (ps == -1), 1.0, 0.0)
         xs_c = jnp.clip(xs, 0, W - 1)
         ys_c = jnp.clip(ys, 0, H - 1)
-        planes = voxelize_pallas_planes(
-            xs_c, ys_c, wpos, wneg, H, W,
-            interpret=jax.default_backend() != "tpu",
-        )
+        interpret = jax.default_backend() != "tpu"
+        col, ysf = pack_cols(xs_c, ys_c, wpos, wneg, H, W)
+        if H * 2 * W >= WIDE_CANVAS_CELLS and 2 * W < 4096:
+            planes = hist_planes_cols_sorted(
+                col, ysf, H, W, presorted=y_sorted, interpret=interpret)
+        else:
+            planes = hist_planes_cols(col, ysf, H, W, interpret=interpret)
         pos, neg = planes[..., :W], planes[..., W:]
         if wrap_uint8:
             pos, neg = jnp.mod(pos, 256.0), jnp.mod(neg, 256.0)

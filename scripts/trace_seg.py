@@ -38,11 +38,15 @@ def build(B=8, N=180000, batch_ops=True):
         "aug_seed": np.arange(B, dtype=np.uint32),
     }
     batch["events"][..., 3] = rng.choice([-1.0, 1.0], (B, N))
+    # production default: host presort by y (SegPipelineConfig.presort_y)
+    order = np.argsort(batch["events"][..., 1], axis=1)
+    batch["events"] = np.take_along_axis(batch["events"], order[..., None], axis=1)
     mesh = get_mesh()
     jb = shard_batch(batch, mesh)
 
     from mem_tpu.data.seg_pipeline import seg_preprocess_batch
-    imgs, _ = jax.jit(lambda b: seg_preprocess_batch(b, True, True, batch_ops))(jb)
+    imgs, _ = jax.jit(lambda b: seg_preprocess_batch(b, True, True, batch_ops,
+                                                     True))(jb)
     import functools
     variables = jax.jit(functools.partial(model.init, train=True))(
         {"params": jax.random.key(0), "dropout": jax.random.key(1)}, imgs,
@@ -60,7 +64,8 @@ def build(B=8, N=180000, batch_ops=True):
     params, batch_stats, opt_state = (replicate(params, mesh),
                                       replicate(batch_stats, mesh),
                                       replicate(opt_state, mesh))
-    train_step, _ = make_seg_steps(model, tx, 11, True, batch_ops)
+    train_step, _ = make_seg_steps(model, tx, 11, True, batch_ops,
+                                   y_sorted=True)
     return train_step, params, batch_stats, opt_state, jb
 
 
