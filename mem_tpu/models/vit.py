@@ -38,12 +38,33 @@ QKV_WEIGHT_SLICE = True
 # differs.
 LN_FAST = True
 
+# Pad the attention sequence 197 -> 256 inside the flat fused path (keys
+# masked with -1e9 bias columns, query rows sliced off): aligns the kernel's
+# N to 2x128 lanes at +30% attention FLOPs. Measured on the grad phase —
+# see docs/PERF.md round 3.
+PAD_ATTN = False
+
+# Long-sequence (seg backbone N=1025) flat attention: same flat-GEMM feeds,
+# heads lane-sliced inside grid-(B,) fwd / row-blocked bwd kernels
+# (fused_attention_flat_long). Toggle for A/B measurement.
+FLAT_ATTN_LONG = True
+
 # Flat-layout fused attention for head-blocked-eligible shapes: q/k/v stay
 # (B, N, C) from full-speed flat GEMMs (178 vs 88 TF/s for bhnd-layout
 # einsums) and the per-head slicing happens on VMEM tiles inside the Pallas
 # kernel; the output proj is a flat GEMM again. False = bhnd einsums + the
 # (B,H,N,D)-consuming kernel.
 FLAT_ATTN = True
+
+# Pallas fused MLP (fc1 -> gelu -> fc2 with the gelu epilogue in VMEM and a
+# single h residual write, ops/mlp.py). MEASURED NEGATIVE on the ViT-B/197
+# grad phase (docs/PERF.md round 3): fwd kernel 1.63 ms/block == XLA's
+# fused fwd, but the backward (even as a single Pallas pass with VMEM
+# weight-grad accumulation) runs 43 ms vs XLA's ~39 — the bound is gelu/
+# gelu' VPU transcendentals serializing against the MXU, not the HBM
+# epilogue the round-2 notes suspected. Kernels stay validated for
+# memory-bound regimes; default OFF.
+FUSED_MLP = False
 
 # Selective MLP rematerialization: wrap each Mlp in jax.checkpoint with the
 # dots_saveable policy — fc1/fc2 GEMM outputs are saved, the gelu output is
@@ -183,6 +204,23 @@ class RelativePositionBias(nn.Module):
         return jnp.concatenate([top, bottom], axis=1)
 
 
+class _DenseParams(nn.Module):
+    """Declares Dense-shaped params (kernel, bias) without binding them to
+    nn.Dense's call path — the fused MLP kernel and the plain path share
+    the same parameter tree (fc1/kernel etc., checkpoint-compatible)."""
+
+    in_features: int
+    features: int
+    kernel_init: callable
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init,
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
@@ -194,21 +232,28 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(
-            self.hidden_dim,
-            dtype=self.dtype,
-            kernel_init=trunc_normal_init(self.init_std, self.trunc_sigmas),
+        w1, b1 = _DenseParams(
+            x.shape[-1], self.hidden_dim,
+            trunc_normal_init(self.init_std, self.trunc_sigmas),
             name="fc1",
-        )(x)
-        x = nn.gelu(x, approximate=False)
-        x = nn.Dense(
-            self.out_dim,
-            dtype=self.dtype,
-            kernel_init=trunc_normal_init(
-                self.init_std * self.fc2_scale, self.trunc_sigmas
-            ),
+        )()
+        w2, b2 = _DenseParams(
+            self.hidden_dim, self.out_dim,
+            trunc_normal_init(self.init_std * self.fc2_scale,
+                              self.trunc_sigmas),
             name="fc2",
-        )(x)
+        )()
+
+        from mem_tpu.ops import mlp as _fm
+
+        is_cpu = jax.devices()[0].platform == "cpu"
+        if FUSED_MLP and self.dropout == 0.0 and (not is_cpu or _fm.FORCE):
+            return _fm.mlp_fused(x, w1, b1, w2, b2, is_cpu)
+
+        dt = self.dtype
+        x = jnp.dot(x.astype(dt), w1.astype(dt)) + b1.astype(dt)
+        x = nn.gelu(x, approximate=False)
+        x = jnp.dot(x, w2.astype(dt)) + b2.astype(dt)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return x
 
@@ -298,7 +343,8 @@ class Attention(nn.Module):
             and 8 <= N <= 1056  # fwd holds 3 N^2 f32 tiles in VMEM; bwd row-blocks above N=448
         )
 
-        if use_fused and FLAT_ATTN and _fa._hb_eligible(self.num_heads, N):
+        flat_ok = _fa._hb_eligible(self.num_heads, N) or FLAT_ATTN_LONG
+        if use_fused and FLAT_ATTN and flat_ok:
             # flat path: three (B*N, C) @ (C, C) GEMMs (full MXU speed), head
             # slicing inside the kernel, flat GEMM proj — no bhnd layout ever
             w = qkv_w.astype(self.dtype)
@@ -314,9 +360,28 @@ class Attention(nn.Module):
                 bias = jnp.zeros((self.num_heads, N, N), jnp.float32)
             from mem_tpu.ops.attention import fused_attention_flat
 
-            out = fused_attention_flat(
-                q, k, v, bias.astype(jnp.float32), float(scale), is_cpu
-            )
+            pad_n = (-N) % 128 if PAD_ATTN else 0
+            if pad_n:
+                q = jnp.pad(q, ((0, 0), (0, pad_n), (0, 0)))
+                k = jnp.pad(k, ((0, 0), (0, pad_n), (0, 0)))
+                v = jnp.pad(v, ((0, 0), (0, pad_n), (0, 0)))
+                bias = jnp.pad(bias.astype(jnp.float32),
+                               ((0, 0), (0, pad_n), (0, pad_n)),
+                               constant_values=0.0)
+                # padded KEY columns must never win the softmax
+                bias = bias.at[:, :, N:].set(-1e9)
+            if _fa._hb_eligible(self.num_heads, N):
+                out = fused_attention_flat(
+                    q, k, v, bias.astype(jnp.float32), float(scale), is_cpu
+                )
+            else:
+                from mem_tpu.ops.attention import fused_attention_flat_long
+
+                out = fused_attention_flat_long(
+                    q, k, v, bias.astype(jnp.float32), float(scale), is_cpu
+                )
+            if pad_n:
+                out = out[:, :N]
             out = nn.Dense(
                 self.dim,
                 dtype=self.dtype,

@@ -232,6 +232,157 @@ def _fa_flat_bwd(scale, interpret, res, do):
 fused_attention_flat.defvjp(_fa_flat_fwd, _fa_flat_bwd)
 
 
+def _fwd_flat_long_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, H, D):
+    """Flat-layout forward for long sequences (seg backbone N=1025): one
+    grid instance per batch element, heads unrolled as static lane slices —
+    the feeding qkv GEMMs stay flat (178 vs 88 TF/s for bhnd einsums)."""
+    qv = q_ref[0]
+    kv = k_ref[0]
+    vv = v_ref[0]
+    for h in range(H):
+        lo = h * D
+        q = qv[:, lo:lo + D]
+        k = kv[:, lo:lo + D]
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = s + b_ref[h]
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(vv.dtype), vv[:, lo:lo + D],
+                    preferred_element_type=jnp.float32)
+        o_ref[0, :, lo:lo + D] = o.astype(o_ref.dtype)
+
+
+def _bwd_flat_long_kernel(q_ref, k_ref, v_ref, b_ref, do_ref,
+                          dq_ref, dkp_ref, dvp_ref, db_ref,
+                          *, scale, H, D, n_real):
+    """Flat row-blocked backward, grid (QB, B) with b trailing: ONE softmax
+    recompute per (q-block, b); dq written per instance, dk/dv as per-q-block
+    flat partials summed outside, db accumulated over the trailing batch
+    axis. Key columns >= n_real are masked (rows padded to QBLK)."""
+    b_idx = pl.program_id(1)
+
+    @pl.when(b_idx == 0)
+    def _():
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    qv = q_ref[0]                                       # (QBLK, C)
+    kv = k_ref[0]                                       # (Np, C)
+    vv = v_ref[0]
+    dov = do_ref[0]
+    for h in range(H):
+        lo = h * D
+        q = qv[:, lo:lo + D]
+        k = kv[:, lo:lo + D]
+        v = vv[:, lo:lo + D]
+        do = dov[:, lo:lo + D]
+
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+        s = s + b_ref[h]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_real, s, -jnp.inf)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+        dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+        delta = jnp.sum(dp * p, axis=-1, keepdims=True)
+        ds = p * (dp - delta)
+        dsc = ds.astype(q.dtype)
+
+        dq_ref[0, :, lo:lo + D] = (
+            jnp.dot(dsc, k, preferred_element_type=jnp.float32) * scale
+        ).astype(dq_ref.dtype)
+        dkp_ref[0, 0, :, lo:lo + D] = (
+            jnp.dot(dsc.T, q, preferred_element_type=jnp.float32) * scale
+        ).astype(dkp_ref.dtype)
+        dvp_ref[0, 0, :, lo:lo + D] = jnp.dot(
+            p.astype(do.dtype).T, do, preferred_element_type=jnp.float32
+        ).astype(dvp_ref.dtype)
+        db_ref[h] += ds
+
+
+def _fa_flat_long_fwd(q, k, v, bias, scale, interpret):
+    B, N, C = q.shape
+    H = bias.shape[0]
+    D = C // H
+    spec = pl.BlockSpec((1, N, C), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((H, N, N), lambda b: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_flat_long_kernel, scale=scale, H=H, D=D),
+        grid=(B,),
+        in_specs=[spec, spec, spec, bspec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((B, N, C), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=110 * 1024 * 1024,  # (H, N, N) f32 bias resident
+        ),
+        interpret=interpret,
+    )(q, k, v, bias)
+    return out, (q, k, v, bias)
+
+
+def _fa_flat_long_bwd(scale, interpret, res, do):
+    q, k, v, bias = res
+    B, N, C = q.shape
+    H = bias.shape[0]
+    D = C // H
+    Np = -(-N // QBLK) * QBLK
+    pad = Np - N
+    qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    dop = jnp.pad(do, ((0, 0), (0, pad), (0, 0)))
+    bp = jnp.pad(bias, ((0, 0), (0, pad), (0, pad)))
+    QB = Np // QBLK
+
+    qspec = pl.BlockSpec((1, QBLK, C), lambda qb, b: (b, qb, 0),
+                         memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((1, Np, C), lambda qb, b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    brow = pl.BlockSpec((H, QBLK, Np), lambda qb, b: (0, qb, 0),
+                        memory_space=pltpu.VMEM)
+    part = pl.BlockSpec((1, 1, Np, C), lambda qb, b: (qb, b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    dq, dkp, dvp, db = pl.pallas_call(
+        functools.partial(_bwd_flat_long_kernel, scale=scale, H=H, D=D,
+                          n_real=N),
+        grid=(QB, B),  # db accumulates over the trailing batch axis
+        in_specs=[qspec, full, full, brow, qspec],
+        out_specs=(qspec, part, part, brow),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Np, C), q.dtype),
+            jax.ShapeDtypeStruct((QB, B, Np, C), k.dtype),
+            jax.ShapeDtypeStruct((QB, B, Np, C), v.dtype),
+            jax.ShapeDtypeStruct((H, Np, Np), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, bp, dop)
+    dk = jnp.sum(dkp.astype(jnp.float32), axis=0).astype(k.dtype)
+    dv = jnp.sum(dvp.astype(jnp.float32), axis=0).astype(v.dtype)
+    return (dq[:, :N], dk[:, :N], dv[:, :N], db[:, :N, :N])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_attention_flat_long(q, k, v, bias, scale: float,
+                              interpret: bool = False):
+    """Flat-layout attention for long sequences (N > head-blocked bias
+    budget): q, k, v (B, N, H*D); bias (H, N, N) f32. Heads are static lane
+    slices inside the kernels, so qkv/proj GEMMs stay in the fast flat
+    layout end to end (round-3 verdict attempt iii)."""
+    return _fa_flat_long_fwd(q, k, v, bias, scale, interpret)[0]
+
+
+fused_attention_flat_long.defvjp(_fa_flat_long_fwd, _fa_flat_long_bwd)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale):
     q = q_ref[0, 0]
     k = k_ref[0, 0]

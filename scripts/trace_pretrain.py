@@ -188,6 +188,12 @@ def main():
     if "flat" in kv:
         import mem_tpu.models.vit as _vit
         _vit.FLAT_ATTN = bool(int(kv["flat"]))
+    if "pad_attn" in kv:
+        import mem_tpu.models.vit as _vit
+        _vit.PAD_ATTN = bool(int(kv["pad_attn"]))
+    if "fused_mlp" in kv:
+        import mem_tpu.models.vit as _vit
+        _vit.FUSED_MLP = bool(int(kv["fused_mlp"]))
     if kv.get("mode") == "phases":
         phases(bool(int(kv.get("batch_ops", 1))),
                bool(int(kv.get("gathered", 1))), int(kv.get("B", 128)))

@@ -73,6 +73,9 @@ def main():
     kv = dict(a.split("=") for a in sys.argv[1:])
     B = int(kv.get("B", 8))
     nsteps = int(kv.get("steps", 3))
+    if "flat_long" in kv:
+        import mem_tpu.models.vit as _vit
+        _vit.FLAT_ATTN_LONG = bool(int(kv["flat_long"]))
     step, p, bs, o, jb = build(B, batch_ops=bool(int(kv.get("batch_ops", 1))))
     p, bs, o, m = step(p, bs, o, jb, jax.random.key(2))
     jax.block_until_ready(m)

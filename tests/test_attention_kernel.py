@@ -141,3 +141,43 @@ def test_fused_attention_per_head_path(rng, monkeypatch):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=3e-5, err_msg=f"d{name}"
         )
+
+
+def test_flat_long_matches_reference(rng):
+    """fused_attention_flat_long (grid-(B,) fwd, row-blocked flat bwd) ==
+    the einsum reference, values and all gradients (interpret mode)."""
+    from mem_tpu.ops.attention import fused_attention_flat_long
+
+    B, N, H, D = 2, 300, 2, 8  # N > QBLK so the bwd row-blocks + pads
+    C = H * D
+    scale = D ** -0.5
+    q = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, N, C)), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((H, N, N)) * 0.1, jnp.float32)
+
+    def ref(q, k, v, bias):
+        qh = q.reshape(B, N, H, D).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, N, H, D).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, N, H, D).transpose(0, 2, 1, 3)
+        s = jnp.einsum("bhnd,bhmd->bhnm", qh * scale, kh) + bias[None]
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhnm,bhmd->bhnd", p, vh)
+        return o.transpose(0, 2, 1, 3).reshape(B, N, C)
+
+    got = jax.jit(lambda *a: fused_attention_flat_long(*a, scale, True))(
+        q, k, v, bias)
+    want = ref(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def loss_f(*a):
+        return jnp.sum(fused_attention_flat_long(*a, scale, True) ** 2)
+
+    def loss_r(*a):
+        return jnp.sum(ref(*a) ** 2)
+
+    gf = jax.jit(jax.grad(loss_f, argnums=(0, 1, 2, 3)))(q, k, v, bias)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3))(q, k, v, bias)
+    for a, b, nm in zip(gf, gr, "q k v bias".split()):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=5e-4, err_msg=nm)
