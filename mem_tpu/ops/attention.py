@@ -326,6 +326,12 @@ def _fa_flat_long_fwd(q, k, v, bias, scale, interpret):
 
 
 def _fa_flat_long_bwd(scale, interpret, res, do):
+    # Tiling note: padding N to the QBLK grain looks wasteful (1025 ->
+    # 1280 at QBLK=256, 1.56x the real N^2 work) and a tighter 128-grain
+    # variant (Np=1152, QBLK=384) was tried — MEASURED WORSE: attn kernel
+    # family 24.3 -> 26.0 ms/step on the seg trace (fewer, larger
+    # instances pipeline worse than the extra padded FLOPs cost; the
+    # D=64 contraction keeps the MXU at half-depth either way).
     q, k, v, bias = res
     B, N, C = q.shape
     H = bias.shape[0]
