@@ -51,17 +51,6 @@ def _gelu_kernel(h):
     return 0.5 * h * (1.0 + _erf_poly(h * (1.0 / jnp.sqrt(2.0))))
 
 
-def _gelu_exact(h):
-    return 0.5 * h * (1.0 + jax.lax.erf(h / jnp.sqrt(2.0).astype(h.dtype)))
-
-
-def _gelu_grad_exact(h):
-    # d/dh [h * Phi(h)] = Phi(h) + h * phi(h)
-    phi = jnp.exp(-0.5 * h * h) * (1.0 / jnp.sqrt(2.0 * jnp.pi)).astype(h.dtype)
-    cdf = 0.5 * (1.0 + jax.lax.erf(h / jnp.sqrt(2.0).astype(h.dtype)))
-    return cdf + h * phi
-
-
 def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, h_ref):
     h = jnp.dot(x_ref[...], w1_ref[...], preferred_element_type=jnp.float32)
     h = h + b1_ref[...].astype(jnp.float32)
