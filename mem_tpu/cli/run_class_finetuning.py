@@ -24,7 +24,8 @@ from mem_tpu.train.mixup import make_mixup
 from mem_tpu.train.optim import create_optimizer
 from mem_tpu.train.schedules import as_schedule_fn, cosine_scheduler
 from mem_tpu.train.steps import make_finetune_eval_step, make_finetune_train_step
-from mem_tpu.utils.checkpoint import auto_resume, load_checkpoint, save_checkpoint
+from mem_tpu.utils.checkpoint import (auto_resume, load_checkpoint,
+                                       save_checkpoint, wait_for_saves)
 from mem_tpu.utils.config import ConfigArgumentParser
 from mem_tpu.data.prefetch import device_prefetch, prefetch
 from mem_tpu.utils.metrics import MetricLogger, maybe_wandb
@@ -295,6 +296,7 @@ def main(argv=None):
             if stopper.requested:
                 break
         if stopper.requested:
+            wait_for_saves()
             save_checkpoint(args.output_dir, epoch, {
                 "params": params, "opt_state": opt_state, "ema": ema_params,
                 "epoch": epoch - 1, "best_acc": best_acc,
@@ -319,11 +321,13 @@ def main(argv=None):
                 "params": params, "epoch": epoch, "acc1": stats["acc1"],
             })
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
+            # non-blocking: the persist overlaps the next epoch
             save_checkpoint(args.output_dir, epoch, {
                 "params": params, "opt_state": opt_state, "ema": ema_params,
                 "epoch": epoch, "best_acc": best_acc,
-            })
+            }, block=False)
 
+    wait_for_saves()
     print(f"best acc1: {best_acc:.2f}")
 
 

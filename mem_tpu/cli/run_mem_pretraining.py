@@ -35,7 +35,8 @@ from mem_tpu.train.steps import (
     make_pretrain_eval_step,
     make_pretrain_train_step,
 )
-from mem_tpu.utils.checkpoint import auto_resume, load_checkpoint, save_checkpoint
+from mem_tpu.utils.checkpoint import (auto_resume, load_checkpoint,
+                                       save_checkpoint, wait_for_saves)
 from mem_tpu.utils.config import ConfigArgumentParser
 from mem_tpu.data.prefetch import device_prefetch, prefetch
 from mem_tpu.utils.metrics import MetricLogger, TensorboardLogger, maybe_wandb
@@ -425,6 +426,7 @@ def main(argv=None):
             # SIGTERM: save a resumable checkpoint tagged with the current
             # epoch (auto-resume restarts this epoch) and exit 0 for requeue
             # every process calls save — orbax coordinates multi-host writes
+            wait_for_saves()
             save_checkpoint(args.output_dir, epoch, {
                 "params": params, "opt_state": opt_state, "epoch": epoch - 1,
             })
@@ -435,9 +437,10 @@ def main(argv=None):
               f"({sps / jax.device_count():.1f}/chip)")
 
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
+            # non-blocking: the persist overlaps the next epoch / eval
             save_checkpoint(args.output_dir, epoch, {
                 "params": params, "opt_state": opt_state, "epoch": epoch,
-            })
+            }, block=False)
             if eval_step is not None:
                 vlog = MetricLogger()
                 first = True
@@ -451,6 +454,7 @@ def main(argv=None):
                     first = False
                 print(f"* eval: {vlog}")
 
+    wait_for_saves()
     save_checkpoint(args.output_dir, "final", {
         "params": params, "epoch": args.epochs - 1,
     })

@@ -32,7 +32,8 @@ from mem_tpu.models.segmentation import (
 )
 from mem_tpu.parallel import get_mesh, init_distributed, replicate, shard_batch
 from mem_tpu.train.optim import build_lr_scale_tree, build_wd_mask_tree, scheduled_adamw
-from mem_tpu.utils.checkpoint import auto_resume, load_checkpoint, save_checkpoint
+from mem_tpu.utils.checkpoint import (auto_resume, load_checkpoint,
+                                       save_checkpoint, wait_for_saves)
 from mem_tpu.utils.config import ConfigArgumentParser
 from mem_tpu.data.prefetch import device_prefetch, prefetch
 from mem_tpu.utils.metrics import MetricLogger
@@ -250,6 +251,7 @@ def main(argv=None):
         if it >= args.max_iters:
             break
         if stopper.requested:
+            wait_for_saves()
             save_checkpoint(args.output_dir, it, {
                 "params": params, "batch_stats": batch_stats,
                 "opt_state": opt_state,
@@ -274,13 +276,15 @@ def main(argv=None):
             print(f"* iter {it}: mIoU {stats['mIoU']:.4f} aAcc {stats['aAcc']:.4f} "
                   f"mDice {stats['mDice']:.4f}")
         if (it + 1) % args.save_interval == 0:
+            # non-blocking: the persist overlaps subsequent iterations
             save_checkpoint(args.output_dir, it, {
                 "params": params, "batch_stats": batch_stats,
                 "opt_state": opt_state, "epoch": it + 1,
-            })
+            }, block=False)
 
     stats = evaluate()
     print(f"final mIoU {stats['mIoU']:.4f}")
+    wait_for_saves()
     save_checkpoint(args.output_dir, "final", {
         "params": params, "batch_stats": batch_stats,
         "epoch": args.max_iters,

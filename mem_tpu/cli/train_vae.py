@@ -22,7 +22,7 @@ from mem_tpu.models.discrete_vae import DiscreteVAE
 from mem_tpu.parallel import get_mesh, init_distributed, replicate, shard_batch
 from mem_tpu.train.schedules import VaeAnnealState
 from mem_tpu.train.steps import make_vae_eval_step, make_vae_train_step
-from mem_tpu.utils.checkpoint import auto_resume, save_checkpoint
+from mem_tpu.utils.checkpoint import auto_resume, save_checkpoint, wait_for_saves
 from mem_tpu.utils.config import ConfigArgumentParser
 from mem_tpu.data.prefetch import device_prefetch, prefetch
 from mem_tpu.utils.metrics import MetricLogger, maybe_wandb
@@ -162,6 +162,7 @@ def main(argv=None):
             if stopper.requested:
                 break
         if stopper.requested:
+            wait_for_saves()
             save_checkpoint(args.output_dir, epoch, {
                 "params": params, "opt_state": opt_state,
                 "epoch": epoch - 1,
@@ -194,6 +195,7 @@ def main(argv=None):
                          "codebook_usage": len(used) / args.num_tokens, "epoch": epoch})
 
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
+            # non-blocking: the persist overlaps the next epoch
             save_checkpoint(args.output_dir, epoch, {
                 "params": params, "opt_state": opt_state,
                 "epoch": epoch,
@@ -205,8 +207,9 @@ def main(argv=None):
                     "num_resnet_blocks": args.num_resnet_blocks,
                     "hidden_dim": args.hidden_dim, "loss": args.loss,
                 },
-            })
+            }, block=False)
 
+    wait_for_saves()
     save_checkpoint(args.output_dir, "final", {
         "params": params,
         "epoch": args.epochs - 1,

@@ -42,30 +42,64 @@ def _split_meta(payload):
     return arrays, meta
 
 
+_ASYNC_CKPTR = None
+
+
+def _async_checkpointer():
+    """Singleton AsyncCheckpointer: device->host fetch and disk write run
+    on a background thread; training continues during the persist (the
+    reference blocks its loop on torch.save — mem/utils.py:425-447)."""
+    global _ASYNC_CKPTR
+    if _ASYNC_CKPTR is None:
+        _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _ASYNC_CKPTR
+
+
+def wait_for_saves() -> None:
+    """Join any in-flight async save. Call before process exit, pruning,
+    or reading back a just-written checkpoint."""
+    if _ASYNC_CKPTR is not None:
+        _ASYNC_CKPTR.wait_until_finished()
+
+
 def save_checkpoint(
     output_dir: str,
     tag,
     payload: Dict[str, Any],
+    block: bool = True,
 ) -> str:
     """payload: pytree dict, e.g. {params, opt_state, epoch, hparams}.
     Array leaves go through orbax; string-bearing subtrees (hparams) are
-    written to a meta.json sidecar."""
+    written to a meta.json sidecar.
+
+    ``block=False`` queues the persist on a background thread (orbax
+    AsyncCheckpointer; commit is atomic — ``latest_checkpoint`` can never
+    observe a half-written directory) and returns immediately. Used for
+    periodic epoch saves; final/best/preemption saves stay synchronous.
+    """
     import json
 
     path = _path(output_dir, tag)
     arrays, meta = _split_meta(payload)
-    ckptr = ocp.StandardCheckpointer()
-    if jax.process_count() > 1:
-        # multi-host: EVERY process must call save — orbax coordinates the
-        # distributed write (each process persists its addressable shards;
-        # the primary host commits the metadata). Converting to numpy here
-        # would fail: globally-sharded arrays are not fully addressable
-        # from one process.
-        ckptr.save(path, arrays, force=True)
+    if not block:
+        ckptr = _async_checkpointer()
+        ckptr.wait_until_finished()      # at most one save in flight
+        # hand orbax the live (possibly device) arrays: the host fetch
+        # itself happens on the background thread
+        ckptr.save(path, args=ocp.args.StandardSave(arrays), force=True)
     else:
-        arrays = jax.tree.map(np.asarray, arrays)
-        ckptr.save(path, arrays, force=True)
-    ckptr.wait_until_finished()
+        ckptr = ocp.StandardCheckpointer()
+        if jax.process_count() > 1:
+            # multi-host: EVERY process must call save — orbax coordinates
+            # the distributed write (each process persists its addressable
+            # shards; the primary host commits the metadata). Converting to
+            # numpy here would fail: globally-sharded arrays are not fully
+            # addressable from one process.
+            ckptr.save(path, arrays, force=True)
+        else:
+            arrays = jax.tree.map(np.asarray, arrays)
+            ckptr.save(path, arrays, force=True)
+        ckptr.wait_until_finished()
     if meta and jax.process_index() == 0:
         with open(path + ".meta.json", "w") as f:
             json.dump(meta, f)

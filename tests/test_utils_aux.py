@@ -97,3 +97,27 @@ def test_step_timer_excludes_warmup():
     time.sleep(0.05)
     rate = t.step()
     assert rate is not None and 0 < rate < 10 / 0.04
+
+
+def test_async_checkpoint_donation_safe(tmp_path):
+    """block=False must copy the data before returning (the train loops
+    DONATE the state into the next step right after queueing the save) and
+    the committed checkpoint must round-trip; meta.json sidecar included."""
+    import jax.numpy as jnp
+
+    from mem_tpu.utils.checkpoint import (latest_checkpoint, load_checkpoint,
+                                          save_checkpoint, wait_for_saves)
+
+    d = str(tmp_path / "ck")
+    x = jnp.arange(8192.0).reshape(64, 128)
+    want = np.asarray(x).copy()
+    save_checkpoint(d, 3, {"params": {"w": x}, "epoch": 3,
+                           "hparams": {"loss": "mse"}}, block=False)
+    x.delete()  # simulate donation of the source buffer
+    wait_for_saves()
+    path = latest_checkpoint(d)
+    assert path.endswith("checkpoint-3")
+    out = load_checkpoint(path)
+    np.testing.assert_array_equal(np.asarray(out["params"]["w"]), want)
+    assert int(np.asarray(out["epoch"])) == 3
+    assert out["hparams"]["loss"] == "mse"
