@@ -370,7 +370,9 @@ class Attention(nn.Module):
                                constant_values=0.0)
                 # padded KEY columns must never win the softmax
                 bias = bias.at[:, :, N:].set(-1e9)
-            if _fa._hb_eligible(self.num_heads, N):
+            # route on the PADDED length: the kernels see N + pad_n, so the
+            # head-blocked VMEM bias budget must be checked against it
+            if _fa._hb_eligible(self.num_heads, N + pad_n):
                 out = fused_attention_flat(
                     q, k, v, bias.astype(jnp.float32), float(scale), is_cpu
                 )

@@ -51,11 +51,12 @@ def _gelu_kernel(h):
     return 0.5 * h * (1.0 + _erf_poly(h * (1.0 / jnp.sqrt(2.0))))
 
 
-def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, h_ref):
+def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, h_ref=None):
     h = jnp.dot(x_ref[...], w1_ref[...], preferred_element_type=jnp.float32)
     h = h + b1_ref[...].astype(jnp.float32)
-    hb = h.astype(h_ref.dtype)
-    h_ref[...] = hb                      # the single residual write
+    hb = h.astype(o_ref.dtype)
+    if h_ref is not None:
+        h_ref[...] = hb                  # the single residual write
     # gelu from the SAME bf16 value the backward will read, so fwd/bwd agree
     g = _gelu_kernel(hb.astype(jnp.float32))
     o = jnp.dot(g.astype(w2_ref.dtype), w2_ref[...],
@@ -63,16 +64,26 @@ def _fwd_kernel(x_ref, w1_ref, b1_ref, w2_ref, b2_ref, o_ref, h_ref):
     o_ref[...] = (o + b2_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _mlp_fwd_2d(x, w1, b1, w2, b2, interpret=False):
-    """x (R, C) bf16; returns (out (R, C), h (R, Hd)) bf16."""
+@functools.partial(jax.jit, static_argnames=("interpret", "save_h"))
+def _mlp_fwd_2d(x, w1, b1, w2, b2, interpret=False, save_h=True):
+    """x (R, C) bf16; returns (out (R, C), h (R, Hd)) bf16 — or
+    (out, None) with ``save_h=False`` (the primal/inference path: no
+    autodiff residual, so the (R, Hd) HBM write is skipped entirely)."""
     rows, C = x.shape
     Hd = w1.shape[1]
     pad = (-rows) % ROW_TILE
     xp = jnp.pad(x, ((0, pad), (0, 0))) if pad else x
     rp = rows + pad
 
-    out, h = pl.pallas_call(
+    out_specs = [pl.BlockSpec((ROW_TILE, C), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((rp, C), x.dtype)]
+    if save_h:
+        out_specs.append(pl.BlockSpec((ROW_TILE, Hd), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((rp, Hd), x.dtype))
+
+    res = pl.pallas_call(
         _fwd_kernel,
         grid=(rp // ROW_TILE,),
         in_specs=[
@@ -83,16 +94,8 @@ def _mlp_fwd_2d(x, w1, b1, w2, b2, interpret=False):
             pl.BlockSpec((Hd, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=[
-            pl.BlockSpec((ROW_TILE, C), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_TILE, Hd), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((rp, C), x.dtype),
-            jax.ShapeDtypeStruct((rp, Hd), x.dtype),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             # w1+w2 resident (9 MB bf16) + tiles: just over the 16 MB
@@ -106,7 +109,10 @@ def _mlp_fwd_2d(x, w1, b1, w2, b2, interpret=False):
         ),
         interpret=interpret,
     )(xp, w1, b1[None, :], w2, b2[None, :])
-    return out[:rows], h[:rows]
+    if save_h:
+        out, h = res
+        return out[:rows], h[:rows]
+    return res[0][:rows], None
 
 
 def _bwd_kernel(do_ref, h_ref, x_ref, w1_ref, w2_ref,
@@ -201,7 +207,7 @@ def mlp_fused(x, w1, b1, w2, b2, interpret=False):
     out, _ = _mlp_fwd_2d(
         x.reshape(-1, x.shape[-1]),
         w1.astype(x.dtype), b1.astype(x.dtype),
-        w2.astype(x.dtype), b2.astype(x.dtype), interpret)
+        w2.astype(x.dtype), b2.astype(x.dtype), interpret, save_h=False)
     return out.reshape(x.shape)
 
 

@@ -275,12 +275,7 @@ def voxelize_fused(
         # 440x640) route through the y-sorted row-tiled kernel: 3.06 ms
         # presorted / 4.68 ms incl. on-chip sort vs 10.25 ms dense
         # (docs/PERF.md round 3).
-        from mem_tpu.ops.voxelize_pallas import (
-            WIDE_CANVAS_CELLS,
-            hist_planes_cols,
-            hist_planes_cols_sorted,
-            pack_cols,
-        )
+        from mem_tpu.ops.voxelize_pallas import voxelize_pallas_planes
 
         in_b = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
         ok = valid & in_b
@@ -289,12 +284,11 @@ def voxelize_fused(
         xs_c = jnp.clip(xs, 0, W - 1)
         ys_c = jnp.clip(ys, 0, H - 1)
         interpret = jax.default_backend() != "tpu"
-        col, ysf = pack_cols(xs_c, ys_c, wpos, wneg, H, W)
-        if H * 2 * W >= WIDE_CANVAS_CELLS and 2 * W < 4096:
-            planes = hist_planes_cols_sorted(
-                col, ysf, H, W, presorted=y_sorted, interpret=interpret)
-        else:
-            planes = hist_planes_cols(col, ysf, H, W, interpret=interpret)
+        # dense-vs-sorted routing lives in voxelize_pallas_planes (single
+        # home for the WIDE_CANVAS_CELLS / key-width thresholds)
+        planes = voxelize_pallas_planes(
+            xs_c, ys_c, wpos, wneg, H, W, interpret=interpret,
+            y_sorted=y_sorted)
         pos, neg = planes[..., :W], planes[..., W:]
         if wrap_uint8:
             pos, neg = jnp.mod(pos, 256.0), jnp.mod(neg, 256.0)

@@ -201,7 +201,8 @@ def pack_cols(xs, ys, wpos, wneg, H, W):
     return col, ys
 
 
-@functools.partial(jax.jit, static_argnames=("H", "W", "chunk", "interpret"))
+@functools.partial(jax.jit, static_argnames=("H", "W", "chunk", "interpret",
+                                             "y_sorted"))
 def voxelize_pallas_planes(
     xs: jnp.ndarray,      # (B, N) int32, clamped to [0, W)
     ys: jnp.ndarray,      # (B, N) int32, clamped to [0, H)
@@ -211,12 +212,17 @@ def voxelize_pallas_planes(
     W: int,
     chunk: int = DEFAULT_CHUNK,
     interpret: bool = False,
+    y_sorted: bool = False,
 ) -> jnp.ndarray:
     """Returns (B, H, 2W) f32 count planes [pos | neg] (compat wrapper over
-    :func:`hist_planes_cols`; wide canvases route through the sorted path)."""
+    :func:`hist_planes_cols`; wide canvases route through the sorted path).
+    This is the ONE home of the dense-vs-sorted routing rule — callers
+    (voxelize_fused included) must not re-derive it. ``y_sorted`` promises
+    events are already host-presorted by y (skips the on-chip sort)."""
     col, ysf = pack_cols(xs, ys, wpos, wneg, H, W)
     if H * 2 * W >= WIDE_CANVAS_CELLS and 2 * W < 4096:
         return hist_planes_cols_sorted(col, ysf, H, W, chunk=chunk,
+                                       presorted=y_sorted,
                                        interpret=interpret)
     return hist_planes_cols(col, ysf, H, W, chunk=chunk, interpret=interpret)
 

@@ -46,9 +46,14 @@ _ASYNC_CKPTR = None
 
 
 def _async_checkpointer():
-    """Singleton AsyncCheckpointer: device->host fetch and disk write run
-    on a background thread; training continues during the persist (the
-    reference blocks its loop on torch.save — mem/utils.py:425-447)."""
+    """Singleton AsyncCheckpointer. SAFETY INVARIANT: ``save()`` BLOCKS
+    until the device->host copy completes — only the disk write runs on
+    the background thread. That blocking copy is what makes it safe for
+    callers to donate the saved arrays into the next train step right
+    after queueing (regression-tested in tests/test_utils_aux.py). The
+    win vs the sync path is overlapping the serialization/disk write
+    with training (the reference blocks its whole loop on torch.save —
+    mem/utils.py:425-447)."""
     global _ASYNC_CKPTR
     if _ASYNC_CKPTR is None:
         _ASYNC_CKPTR = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
@@ -72,10 +77,11 @@ def save_checkpoint(
     Array leaves go through orbax; string-bearing subtrees (hparams) are
     written to a meta.json sidecar.
 
-    ``block=False`` queues the persist on a background thread (orbax
+    ``block=False`` returns once the blocking device->host copy is done
+    and lets the disk write proceed on a background thread (orbax
     AsyncCheckpointer; commit is atomic — ``latest_checkpoint`` can never
-    observe a half-written directory) and returns immediately. Used for
-    periodic epoch saves; final/best/preemption saves stay synchronous.
+    observe a half-written directory). Used for periodic epoch saves;
+    final/best/preemption saves stay synchronous.
     """
     import json
 
@@ -84,8 +90,8 @@ def save_checkpoint(
     if not block:
         ckptr = _async_checkpointer()
         ckptr.wait_until_finished()      # at most one save in flight
-        # hand orbax the live (possibly device) arrays: the host fetch
-        # itself happens on the background thread
+        # hand orbax the live (possibly device) arrays; save() returns
+        # after the blocking D2H copy, so donating them right after is safe
         ckptr.save(path, args=ocp.args.StandardSave(arrays), force=True)
     else:
         ckptr = ocp.StandardCheckpointer()
