@@ -62,8 +62,12 @@ FLAT_ATTN = True
 # fused fwd, but the backward (even as a single Pallas pass with VMEM
 # weight-grad accumulation) runs 43 ms vs XLA's ~39 — the bound is gelu/
 # gelu' VPU transcendentals serializing against the MXU, not the HBM
-# epilogue the round-2 notes suspected. Kernels stay validated for
-# memory-bound regimes; default OFF.
+# epilogue the round-2 notes suspected. Also NEGATIVE for serving even
+# with the fwd-only save_h=False kernel (beats XLA's MLP fusion 3.24 vs
+# 4.08 ms/block at B=256 but the step regresses 98.5 -> 108.4 ms: the
+# XLA fusion was carrying the LN/residual/convert epilogues — see
+# docs/PERF.md round 3). Kernels stay validated for memory-bound
+# regimes; default OFF.
 FUSED_MLP = False
 
 # Selective MLP rematerialization: wrap each Mlp in jax.checkpoint with the
