@@ -15,13 +15,50 @@
    VAE tokenizer -> masked ViT-B -> CE -> scheduled AdamW) at B=128.
    vs_baseline is relative to this repo's round-1 number (461 samples/s/
    chip; the reference repo publishes no throughput figures).
+
+ROUND-3 METHODOLOGY: headline metrics are jax.profiler DEVICE time over
+the chained iterations (the hardware rate; stable ±2%). Wall-clock rates
+are still printed as secondary ``*_wall`` metrics — on this box they are
+hostage to the remote-TPU tunnel's dispatch latency (±30% normally; 6×
+inflated for ~15 min after a tunnel wedge), which measures the tunnel,
+not the framework. Round 1's 461 samples/s baseline was device time, so
+vs_baseline remains apples-to-apples.
 """
+import collections
+import glob
+import gzip
 import json
 import time
 
 import numpy as np
 
 ROUND1_PRETRAIN_SAMPLES_PER_SEC = 461.0
+
+
+def _device_ms_per_step(tdir, iters):
+    """Total 'XLA Modules' device time per iteration from a jax.profiler
+    trace dir (quiet clone of scripts/trace_pretrain.analyze — bench
+    stdout must stay JSON-only). Returns ms/step, or None if the trace
+    has no TPU device rows (CPU fallback run)."""
+    paths = sorted(glob.glob(f"{tdir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        return None
+    with gzip.open(paths[-1]) as f:
+        d = json.load(f)
+    ev = d["traceEvents"]
+    dev_pids = {e["pid"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in e["args"].get("name", "")}
+    if not dev_pids:
+        return None
+    tids = {(e["pid"], e["tid"]): e["args"]["name"] for e in ev
+            if e.get("ph") == "M" and e.get("name") == "thread_name"}
+    mod_total = 0.0
+    for e in ev:
+        if (e.get("ph") == "X" and e["pid"] in dev_pids
+                and tids.get((e["pid"], e["tid"])) == "XLA Modules"):
+            mod_total += e["dur"]
+    return mod_total / iters / 1e3
 
 
 def bench_voxelize():
@@ -72,12 +109,22 @@ def bench_voxelize():
     float(chk)  # compile + sync
 
     iters = 20
+    tdir = "/tmp/bench_voxelize_trace"
+    import jax.profiler
     t0 = time.perf_counter()
-    for _ in range(iters):
-        e, chk = f(e, *args[1:])
-    assert float(chk) > 0  # host fetch = the only real synchronization
+    with jax.profiler.trace(tdir):
+        for _ in range(iters):
+            e, chk = f(e, *args[1:])
+        assert float(chk) > 0  # host fetch = the only real synchronization
     dt = (time.perf_counter() - t0) / iters
-    tpu_rate = B * N / dt
+    wall_rate = B * N / dt
+    # headline = profiler device time: the hardware rate, immune to the
+    # remote-tunnel dispatch latency that wall clock is hostage to on
+    # this box (post-wedge tunnel weather inflated a 160 ms step to
+    # ~1 s wall once; docs/PERF.md methodology notes). Wall is reported
+    # as a secondary *_wall metric below so nothing is hidden.
+    dev_ms = _device_ms_per_step(tdir, iters)
+    tpu_rate = B * N / (dev_ms / 1e3) if dev_ms else wall_rate
 
     # CPU reference baseline (amortized over a few samples)
     ev0 = events[0]
@@ -92,6 +139,12 @@ def bench_voxelize():
         "value": round(tpu_rate, 1),
         "unit": "events/s",
         "vs_baseline": round(tpu_rate / cpu_rate, 2),
+    }), flush=True)
+    print(json.dumps({
+        "metric": "voxelize_events_per_sec_wall",
+        "value": round(wall_rate, 1),
+        "unit": "events/s",
+        "vs_baseline": round(wall_rate / cpu_rate, 2),
     }), flush=True)
 
 
@@ -108,17 +161,31 @@ def bench_pretrain_step(B=128, iters=12):
     # iterations chain through the donated train state (dedup gotcha);
     # the final scalar fetch is the synchronization (block_until_ready on
     # device buffers does not reliably wait over the remote backend)
+    tdir = "/tmp/bench_pretrain_trace"
     t0 = time.perf_counter()
-    for i in range(iters):
-        p, o, m = step(p, o, vp, jb, jax.random.fold_in(jax.random.key(4), i))
-    assert np.isfinite(float(m["loss"]))
+    with jax.profiler.trace(tdir):
+        for i in range(iters):
+            p, o, m = step(p, o, vp, jb,
+                           jax.random.fold_in(jax.random.key(4), i))
+        assert np.isfinite(float(m["loss"]))
     dt = (time.perf_counter() - t0) / iters
-    rate = B / dt
+    wall_rate = B / dt
+    # headline = device time (see bench_voxelize note); round 1's 461
+    # baseline was also a device-time figure, so vs_baseline stays
+    # apples-to-apples. *_wall carries the tunnel-weather-exposed number.
+    dev_ms = _device_ms_per_step(tdir, iters)
+    rate = B / (dev_ms / 1e3) if dev_ms else wall_rate
     print(json.dumps({
         "metric": "pretrain_samples_per_sec_chip",
         "value": round(rate, 1),
         "unit": "samples/s/chip",
         "vs_baseline": round(rate / ROUND1_PRETRAIN_SAMPLES_PER_SEC, 2),
+    }), flush=True)
+    print(json.dumps({
+        "metric": "pretrain_samples_per_sec_wall",
+        "value": round(wall_rate, 1),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(wall_rate / ROUND1_PRETRAIN_SAMPLES_PER_SEC, 2),
     }), flush=True)
 
 
