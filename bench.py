@@ -162,9 +162,15 @@ def bench_pretrain_step(B=128, iters=12):
     # the final scalar fetch is the synchronization (block_until_ready on
     # device buffers does not reliably wait over the remote backend)
     tdir = "/tmp/bench_pretrain_trace"
+    # bump aug_seed per iteration (device-side): preprocessing randomness
+    # (incl. the batch-op RandAugment op choice) derives from aug_seed, so
+    # a frozen batch would pin the op pair and bias the average by ±5 ms
+    # (op costs span 0.33-14.6 ms; scripts/trace_pretrain.py note)
+    bump = jax.jit(lambda b: {**b, "aug_seed": b["aug_seed"] + 1})
     t0 = time.perf_counter()
     with jax.profiler.trace(tdir):
         for i in range(iters):
+            jb = bump(jb)
             p, o, m = step(p, o, vp, jb,
                            jax.random.fold_in(jax.random.key(4), i))
         assert np.isfinite(float(m["loss"]))

@@ -21,6 +21,13 @@ import jax.numpy as jnp
 
 MASK_RATIO = 0.5  # reference modeling_mae.py:19
 
+# Route _TimmBlock attention through the flat-layout Pallas kernels
+# (ops/attention.py) instead of the bhnd einsum chain. Same softmax(qk)v
+# math; the flat layout keeps the qkv/proj GEMMs in the fast (B*N, C)
+# shape and never materializes a (B, H, N, N) f32 score tensor in HBM
+# (docs/PERF.md round-3 MAE section for the A/B).
+FLAT_ATTN = True
+
 
 def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = True) -> np.ndarray:
     """Fixed 2-D sin-cos position embedding (modeling_mae.py:82-97 lineage)."""
@@ -57,11 +64,24 @@ class _TimmBlock(nn.Module):
         B, N, C = h.shape
         hd = self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, kernel_init=nn.initializers.xavier_uniform(), name="qkv")(h)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        attn = jnp.einsum("bnhd,bmhd->bhnm", q * hd**-0.5, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        o = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
+        if FLAT_ATTN:
+            # Dense(3C) columns are [q|k|v], each flat head-major (H*hd) —
+            # exactly the layout the flat kernels lane-slice per head.
+            from mem_tpu.ops import attention as _fa
+
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            bias = jnp.zeros((self.num_heads, N, N), jnp.float32)
+            is_cpu = jax.devices()[0].platform == "cpu"
+            fn = (_fa.fused_attention_flat
+                  if _fa._hb_eligible(self.num_heads, N)
+                  else _fa.fused_attention_flat_long)
+            o = fn(q, k, v, bias, float(hd**-0.5), is_cpu)
+        else:
+            qkv = qkv.reshape(B, N, 3, self.num_heads, hd)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            attn = jnp.einsum("bnhd,bmhd->bhnm", q * hd**-0.5, k, preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            o = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
         o = nn.Dense(self.dim, dtype=self.dtype, kernel_init=nn.initializers.xavier_uniform(), name="proj")(o)
         x = x + o
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)

@@ -215,18 +215,29 @@ def _autocontrast(img_f, _):
 def _equalize(img_f, _):
     """Per-channel histogram equalization (torchvision LUT semantics).
 
-    TPU-native: the histogram is a broadcast-compare reduction (no scatter),
-    and the LUT application is a one-hot matmul ridden on the MXU (bf16 0/1
-    one-hots, f32 accumulation; LUT values <= 255 are exact in bf16) — a
-    vmapped ``bincount``+gather was measured 30x slower.
+    TPU-native via RADIX-16 one-hots: each uint8 value splits into 4-bit
+    hi/lo nibbles, whose 16-wide one-hots are 16x smaller than a 256-wide
+    one-hot. The histogram is the MXU outer product hist[h,l] = HI^T @ LO
+    and the LUT apply is the bilinear form out[p] = (HI @ lutm) . LO —
+    so the (HW, 256, C) one-hot (which XLA materialized in HBM because
+    both hist and apply consumed it: 100 MB/image, 38.2 ms/batch at
+    B=128) never exists. Measured 4.9 ms/batch, bit-exact (counts and
+    LUT values <= 2^24 are exact in the bf16-operand/f32-accum einsums).
+    A vmapped ``bincount``+gather was measured 30x slower still (TPU
+    small-table gathers serialize: 425 ms/batch).
     """
     u8 = img_f.astype(jnp.int32)                         # (H, W, C)
     H, W, C = u8.shape
     pix = u8.reshape(H * W, C)
-    levels = jnp.arange(256, dtype=jnp.int32)
-    # hist[k, c] = #pixels of channel c with value k
-    onehot = (pix[:, None, :] == levels[None, :, None])   # (HW, 256, C)
-    hist = jnp.sum(onehot, axis=0, dtype=jnp.int32)       # (256, C)
+    hi = pix >> 4                                         # (HW, C) in [0,16)
+    lo = pix & 15
+    r16 = jnp.arange(16, dtype=jnp.int32)
+    HI = (hi[:, None, :] == r16[None, :, None]).astype(jnp.bfloat16)
+    LO = (lo[:, None, :] == r16[None, :, None]).astype(jnp.bfloat16)
+    # hist[h, l, c] = #pixels of channel c with value 16h + l
+    hist = jnp.einsum("phc,plc->hlc", HI, LO,
+                      preferred_element_type=jnp.float32)
+    hist = jnp.round(hist).astype(jnp.int32).reshape(256, C)
 
     nz = hist > 0
     last_idx = 255 - jnp.argmax(nz[::-1], axis=0)         # (C,)
@@ -236,11 +247,11 @@ def _equalize(img_f, _):
     lut = jnp.clip(
         jnp.concatenate([jnp.zeros((1, C), lut.dtype), lut])[:-1], 0, 255
     )                                                     # (256, C)
-    # apply LUT: out[p, c] = sum_k onehot[p, k, c] * lut[k, c]
-    out = jnp.einsum(
-        "pkc,kc->pc", onehot.astype(jnp.bfloat16), lut.astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    ).reshape(H, W, C)
+    lutm = lut.reshape(16, 16, C).astype(jnp.bfloat16)    # values <= 255 exact
+    # out[p, c] = sum_{h,l} HI[p,h,c] lutm[h,l,c] LO[p,l,c]
+    out = jnp.einsum("phc,hlc->plc", HI, lutm,
+                     preferred_element_type=jnp.float32)
+    out = jnp.sum(out * LO.astype(jnp.float32), axis=1).reshape(H, W, C)
     return jnp.where(step[None, None] == 0, img_f, out)
 
 

@@ -209,8 +209,16 @@ def main():
     jax.block_until_ready(m)
     p, o, m = step(p, o, vp, jb, jax.random.key(5))
     jax.block_until_ready(m)
+    # Vary aug_seed per traced step (device-side bump, no host transfer):
+    # preprocessing randomness — including which 2 RandAugment ops the
+    # batch-op switch picks — derives from aug_seed, and feeding the same
+    # batch every step would freeze the op choice on one arbitrary pair
+    # (op costs range 0.33..14.6 ms, so the frozen pair biases the step
+    # time by up to ±5 ms vs the true average).
+    bump = jax.jit(lambda b: {**b, "aug_seed": b["aug_seed"] + 1})
     with jax.profiler.trace(tdir):
         for i in range(nsteps):
+            jb = bump(jb)
             p, o, m = step(p, o, vp, jb, jax.random.fold_in(jax.random.key(4), i))
         jax.block_until_ready(m)
     print(f"traced {nsteps} steps -> {tdir}")
