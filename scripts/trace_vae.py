@@ -63,8 +63,12 @@ def main():
     p, o, m = step(p, o, jb, jax.random.key(3), lr, temp, clip)
     jax.block_until_ready(m)
     tdir = kv.get("dir", "/tmp/trace_vae")
+    # vary aug_seed per step so the batch-op RandAugment op choice is
+    # sampled, not frozen on one arbitrary pair (scripts/trace_pretrain.py)
+    bump = jax.jit(lambda b: {**b, "aug_seed": b["aug_seed"] + 1})
     with jax.profiler.trace(tdir):
         for i in range(nsteps):
+            jb = bump(jb)
             p, o, m = step(p, o, jb, jax.random.fold_in(jax.random.key(4), i),
                            lr, temp, clip)
         jax.block_until_ready(m)
