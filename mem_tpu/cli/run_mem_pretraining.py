@@ -62,7 +62,7 @@ def get_args(argv=None):
     p.add_argument("--min_mask_patches_per_block", type=int, default=16)
     p.add_argument("--mask_pool_size", type=int, default=4096,
                    help=">0: pre-generate a mask pool instead of per-sample "
-                        "BEiT rejection loops (host-CPU relief; +30-45% "
+                        "BEiT rejection loops (host-CPU relief; +30-45%% "
                         "loader throughput, docs/PERF.md). 0 = fresh mask "
                         "per sample (the reference's behavior)")
     p.add_argument("--drop_path", "--pt_dropout", type=float, default=0.1)

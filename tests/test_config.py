@@ -114,3 +114,37 @@ def test_nargs_config_key(tmp_path):
     args = p.parse_args(["--config", str(conf)])
     assert args.opt_betas == [0.9, 0.999]
     assert args.scales == [1, 2, 3]
+
+
+def test_every_cli_help_renders():
+    """--help must render on every CLI entry point.
+
+    Regression: an unescaped '%' in a help string is interpolated by
+    argparse's printf-style formatting ('+30-45% loader' parses as the
+    '% lo' spec) and crashes --help with a TypeError (found round 3).
+    """
+    import contextlib
+    import importlib
+    import inspect
+    import io
+    import sys
+    from unittest import mock
+
+    import pytest
+
+    mains = ["make_subsets", "export_torch"]
+    get_args = ["process_dataset", "run_class_finetuning",
+                "run_mem_pretraining", "test_seg", "train_seg", "train_vae"]
+    for name in mains + get_args:
+        mod = importlib.import_module(f"mem_tpu.cli.{name}")
+        fn = mod.main if name in mains else mod.get_args
+        takes_argv = len(inspect.signature(fn).parameters) > 0
+        with contextlib.redirect_stdout(io.StringIO()) as buf:
+            with pytest.raises(SystemExit) as ei:
+                if takes_argv:
+                    fn(["--help"])
+                else:
+                    with mock.patch.object(sys, "argv", [name, "--help"]):
+                        fn()
+        assert ei.value.code == 0, name
+        assert "usage" in buf.getvalue().lower(), name
