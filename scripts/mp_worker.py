@@ -89,6 +89,22 @@ def main() -> None:
         )
     assert jax.process_index() == pid and jax.process_count() == nproc
 
+    def barrier(name: str, timeout_ms: int = 600_000) -> None:
+        """Coordination-service barrier (RPC, not a Gloo collective).
+
+        Gloo's key-value exchange during context init has a fixed ~30 s
+        timeout; on a loaded single-core box the processes can drift apart
+        by more than that during imports/jit compiles (observed: cold
+        compile cache + a full pytest run starved worker 1 long enough for
+        worker 0's first collective to time out). Re-aligning via the
+        coordination service immediately before the first device_put that
+        spans the mesh keeps the Gloo init inside its window.
+        """
+        if nproc > 1:
+            from jax._src.distributed import global_state
+
+            global_state.client.wait_at_barrier(name, timeout_ms)
+
     import jax.numpy as jnp
 
     from mem_tpu.data.folder import NpyFolder, caltech_npy_loader
@@ -128,6 +144,9 @@ def main() -> None:
     tx = create_optimizer(params, as_schedule_fn(lr), weight_decay=0.05,
                           clip_grad=3.0)
     opt_state = tx.init(params)
+    # align processes after the heavy import/compile phase, right before the
+    # first cross-process device_put (which triggers the Gloo context init)
+    barrier("pre_place")
     params, opt_state = place_train_state(params, opt_state, mesh)
     vae_params = replicate(vae_params, mesh)
 

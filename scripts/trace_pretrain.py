@@ -67,7 +67,7 @@ def build(batch_ops=True, gathered=True, B=128, N=30000):
     return step, params, os_, vp, jb
 
 
-def analyze(tdir, nsteps):
+def analyze(tdir, nsteps, quiet=False):
     path = sorted(glob.glob(f"{tdir}/plugins/profile/*/*.trace.json.gz"))[-1]
     with gzip.open(path) as f:
         d = json.load(f)
@@ -87,11 +87,12 @@ def analyze(tdir, nsteps):
             mod_total += e["dur"]
         elif kind == "XLA Ops":
             ops[e["name"]] += e["dur"]
-    print(f"device module time: {mod_total / nsteps / 1e3:.1f} ms/step "
-          f"(over {nsteps} steps)")
-    print("top ops (us total over all steps):")
-    for name, dur in ops.most_common(25):
-        print(f"  {dur/nsteps:9.0f} us/step  {name[:100]}")
+    if not quiet:
+        print(f"device module time: {mod_total / nsteps / 1e3:.1f} ms/step "
+              f"(over {nsteps} steps)")
+        print("top ops (us total over all steps):")
+        for name, dur in ops.most_common(25):
+            print(f"  {dur/nsteps:9.0f} us/step  {name[:100]}")
     return mod_total / nsteps / 1e3
 
 
