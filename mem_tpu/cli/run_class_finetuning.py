@@ -100,6 +100,10 @@ def get_args(argv=None):
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--auto_resume", type=int, default=1)
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--int8", type=int, default=0,
+                   help="W8A8 int8 GEMMs on eval/serving forwards "
+                        "(mem_tpu/ops/quant.py; ~2x MXU rate on v5e). "
+                        "Eval-only — training steps ignore the flag.")
     p.add_argument("--wandb", type=int, default=0)
     p.add_argument("--dtype", type=str, default="bfloat16")
     return p.parse_args(argv)
@@ -107,6 +111,10 @@ def get_args(argv=None):
 
 def main(argv=None):
     args = get_args(argv)
+    if args.int8:
+        from mem_tpu.models import vit as _vit
+
+        _vit.INT8_GEMM = True
     init_distributed()
     os.makedirs(args.output_dir, exist_ok=True)
     mesh = get_mesh()

@@ -52,6 +52,9 @@ def get_args(argv=None):
                    help="comma-separated scale ratios for --aug_test")
     p.add_argument("--aug_flip", type=int, default=1,
                    help="include horizontally flipped passes in --aug_test")
+    p.add_argument("--int8", type=int, default=0,
+                   help="W8A8 int8 GEMMs in the backbone forward "
+                        "(mem_tpu/ops/quant.py; ~2x MXU rate on v5e)")
     p.add_argument("--presort_y", type=int, default=1,
                    help="host-presort events by y for the row-tiled "
                         "wide-canvas histogram")
@@ -60,6 +63,10 @@ def get_args(argv=None):
 
 def main(argv=None):
     args = get_args(argv)
+    if args.int8:
+        from mem_tpu.models import vit as _vit
+
+        _vit.INT8_GEMM = True
     mesh = get_mesh()
 
     pairs = scan_seg_pairs(args.data_root, args.img_dir, args.ann_dir)

@@ -70,6 +70,17 @@ FLAT_ATTN = True
 # regimes; default OFF.
 FUSED_MLP = False
 
+# W8A8 int8 GEMMs for SERVING forwards (ops/quant.py): per-output-channel
+# int8 weights + dynamic per-token int8 activations, int32 MXU accumulation.
+# The v5e MXU runs int8 at ~2x the bf16 rate (measured 342.6 vs 174.6
+# T(FL)OP/s; scripts/exp_int8_matmul.py), and the serving forward is
+# GEMM-dominated (~92% of ViT-B/197 FLOPs), so this trades ~1/255
+# quantization noise for a large step win. Honored ONLY on deterministic
+# (eval/serving) forwards — jnp.round has zero gradient, so training paths
+# ignore the flag. Default OFF; enable per-run (e.g. trace_infer int8=1,
+# run_class_finetuning --eval --int8).
+INT8_GEMM = False
+
 # Selective MLP rematerialization: wrap each Mlp in jax.checkpoint with the
 # dots_saveable policy — fc1/fc2 GEMM outputs are saved, the gelu output is
 # recomputed in backward. MEASURED WORSE on the v5e ViT-B/197 grad step
@@ -254,6 +265,20 @@ class Mlp(nn.Module):
         if FUSED_MLP and self.dropout == 0.0 and (not is_cpu or _fm.FORCE):
             return _fm.mlp_fused(x, w1, b1, w2, b2, is_cpu)
 
+        if INT8_GEMM and deterministic:
+            from mem_tpu.ops.quant import dense_w8a8
+
+            h = dense_w8a8(x, w1, b1, out_dtype=self.dtype)
+            h = nn.gelu(h, approximate=False)
+            # fc2 stays bf16: its input is the (rows, 4C) gelu output, and
+            # the dynamic-quant absmax+round pass over that tensor costs as
+            # much HBM traffic as the int8 GEMM saves (measured net-zero:
+            # bf16 fc2 2.30 ms vs int8 1.17 + ~1.2 ms quant at B=256 ViT-B
+            # serving shapes). int8 pays off only where the GEMM input is
+            # C-wide (qkv/proj/fc1).
+            dt = self.dtype
+            return jnp.dot(h.astype(dt), w2.astype(dt)) + b2.astype(dt)
+
         dt = self.dtype
         x = jnp.dot(x.astype(dt), w1.astype(dt)) + b1.astype(dt)
         x = nn.gelu(x, approximate=False)
@@ -351,10 +376,25 @@ class Attention(nn.Module):
         if use_fused and FLAT_ATTN and flat_ok:
             # flat path: three (B*N, C) @ (C, C) GEMMs (full MXU speed), head
             # slicing inside the kernel, flat GEMM proj — no bhnd layout ever
-            w = qkv_w.astype(self.dtype)
-            q = jnp.dot(x, w[:, :all_head_dim])
-            k = jnp.dot(x, w[:, all_head_dim : 2 * all_head_dim])
-            v = jnp.dot(x, w[:, 2 * all_head_dim :])
+            int8 = INT8_GEMM and deterministic
+            if int8:
+                from mem_tpu.ops.quant import (
+                    dense_w8a8, dense_w8a8_prequant, quantize_activation)
+
+                # quantize the shared activation ONCE for all three slices
+                xq, rs = quantize_activation(x)
+                q = dense_w8a8_prequant(
+                    xq, rs, qkv_w[:, :all_head_dim], None, self.dtype)
+                k = dense_w8a8_prequant(
+                    xq, rs, qkv_w[:, all_head_dim : 2 * all_head_dim],
+                    None, self.dtype)
+                v = dense_w8a8_prequant(
+                    xq, rs, qkv_w[:, 2 * all_head_dim :], None, self.dtype)
+            else:
+                w = qkv_w.astype(self.dtype)
+                q = jnp.dot(x, w[:, :all_head_dim])
+                k = jnp.dot(x, w[:, all_head_dim : 2 * all_head_dim])
+                v = jnp.dot(x, w[:, 2 * all_head_dim :])
             if self.qkv_bias:
                 q_bias = self.param("q_bias", nn.initializers.zeros, (all_head_dim,))
                 v_bias = self.param("v_bias", nn.initializers.zeros, (all_head_dim,))
@@ -388,14 +428,23 @@ class Attention(nn.Module):
                 )
             if pad_n:
                 out = out[:, :N]
-            out = nn.Dense(
-                self.dim,
-                dtype=self.dtype,
-                kernel_init=trunc_normal_init(
-                    self.init_std * self.proj_scale, self.trunc_sigmas
-                ),
-                name="proj",
-            )(out)
+            if int8:
+                pw, pb = _DenseParams(
+                    all_head_dim, self.dim,
+                    trunc_normal_init(self.init_std * self.proj_scale,
+                                      self.trunc_sigmas),
+                    name="proj",
+                )()
+                out = dense_w8a8(out, pw, pb, out_dtype=self.dtype)
+            else:
+                out = nn.Dense(
+                    self.dim,
+                    dtype=self.dtype,
+                    kernel_init=trunc_normal_init(
+                        self.init_std * self.proj_scale, self.trunc_sigmas
+                    ),
+                    name="proj",
+                )(out)
             out = nn.Dropout(self.proj_dropout, deterministic=deterministic)(out)
             return out
 
@@ -430,10 +479,23 @@ class Attention(nn.Module):
         if QKV_WEIGHT_SLICE:
             # three GEMMs against compile-time weight slices — avoids the
             # post-GEMM (B, N, 3, H, d) extraction shuffles
-            w = qkv_w.astype(self.dtype)
-            q = jnp.dot(x, w[:, :all_head_dim])
-            k = jnp.dot(x, w[:, all_head_dim : 2 * all_head_dim])
-            v = jnp.dot(x, w[:, 2 * all_head_dim :])
+            if INT8_GEMM and deterministic:
+                from mem_tpu.ops.quant import (
+                    dense_w8a8_prequant, quantize_activation)
+
+                xq, rs = quantize_activation(x)
+                q = dense_w8a8_prequant(
+                    xq, rs, qkv_w[:, :all_head_dim], None, self.dtype)
+                k = dense_w8a8_prequant(
+                    xq, rs, qkv_w[:, all_head_dim : 2 * all_head_dim],
+                    None, self.dtype)
+                v = dense_w8a8_prequant(
+                    xq, rs, qkv_w[:, 2 * all_head_dim :], None, self.dtype)
+            else:
+                w = qkv_w.astype(self.dtype)
+                q = jnp.dot(x, w[:, :all_head_dim])
+                k = jnp.dot(x, w[:, all_head_dim : 2 * all_head_dim])
+                v = jnp.dot(x, w[:, 2 * all_head_dim :])
             if self.qkv_bias:
                 q_bias = self.param("q_bias", nn.initializers.zeros, (all_head_dim,))
                 v_bias = self.param("v_bias", nn.initializers.zeros, (all_head_dim,))
@@ -462,14 +524,25 @@ class Attention(nn.Module):
         attn = nn.Dropout(self.attn_dropout, deterministic=deterministic)(attn)
         out = jnp.einsum("bhnm,bmhd->bnhd", attn.astype(self.dtype), v)
         out = out.reshape(B, N, all_head_dim)
-        out = nn.Dense(
-            self.dim,
-            dtype=self.dtype,
-            kernel_init=trunc_normal_init(
-                self.init_std * self.proj_scale, self.trunc_sigmas
-            ),
-            name="proj",
-        )(out)
+        if INT8_GEMM and deterministic:
+            from mem_tpu.ops.quant import dense_w8a8 as _dq
+
+            pw, pb = _DenseParams(
+                all_head_dim, self.dim,
+                trunc_normal_init(self.init_std * self.proj_scale,
+                                  self.trunc_sigmas),
+                name="proj",
+            )()
+            out = _dq(out, pw, pb, out_dtype=self.dtype)
+        else:
+            out = nn.Dense(
+                self.dim,
+                dtype=self.dtype,
+                kernel_init=trunc_normal_init(
+                    self.init_std * self.proj_scale, self.trunc_sigmas
+                ),
+                name="proj",
+            )(out)
         out = nn.Dropout(self.proj_dropout, deterministic=deterministic)(out)
         return out
 

@@ -135,7 +135,13 @@ def main():
     kv = dict(a.split("=") for a in sys.argv[1:])
     mode = kv.get("mode", "cls")
     nsteps = int(kv.get("steps", 4))
-    tdir = kv.get("dir", f"/tmp/trace_infer_{mode}")
+    if int(kv.get("int8", 0)):
+        from mem_tpu.models import vit as _vit
+
+        _vit.INT8_GEMM = True
+        print("int8: W8A8 GEMMs enabled (vit.INT8_GEMM)")
+    tdir = kv.get("dir", f"/tmp/trace_infer_{mode}_i8" if int(kv.get("int8", 0))
+                  else f"/tmp/trace_infer_{mode}")
     if mode == "cls":
         cls(int(kv.get("B", 256)), nsteps, tdir)
     else:
