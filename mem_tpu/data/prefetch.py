@@ -16,27 +16,49 @@ _SENTINEL = object()
 
 def prefetch(it: Iterable, depth: int = 2) -> Iterator:
     """Wrap an iterator, materializing up to ``depth`` items ahead in a
-    daemon thread. Exceptions propagate to the consumer."""
+    daemon thread. Exceptions propagate to the consumer.
+
+    The worker shuts down when the CONSUMER stops, too: abandoning the
+    generator early (a ``break`` out of the epoch loop, an exception, or an
+    iter-based loop over an INFINITE source like train_seg's
+    ``batches()``) triggers GeneratorExit cleanup, which signals the worker
+    instead of leaving it blocked on ``q.put`` for the life of the process
+    (observed as accumulated leaked threads across a long pytest run)."""
     q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def put_until_stopped(item) -> bool:
+        """True if delivered; False if the consumer signalled shutdown."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
+                if not put_until_stopped(item):
+                    return
         except BaseException as e:  # propagate into the consuming thread
-            q.put(("__prefetch_error__", e))
-        finally:
-            q.put(_SENTINEL)
+            put_until_stopped(("__prefetch_error__", e))
+            return
+        put_until_stopped(_SENTINEL)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _SENTINEL:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] == "__prefetch_error__":
+                raise item[1]
+            yield item
+    finally:
+        stop.set()
 
 
 def device_prefetch(it: Iterable, put_fn, depth: int = 1) -> Iterator:

@@ -276,16 +276,23 @@ class DiscreteVAE(nn.Module):
             return jnp.mean(1.0 - jnp.sum(tn * rn, axis=-1))
         raise ValueError(self.loss_type)
 
-    def __call__(self, img, temperature: float = 0.9, rng=None, return_recons: bool = False):
+    def __call__(self, img, temperature: float = 0.9, rng=None, return_recons: bool = False,
+                 gumbel_noise=None):
         """Training forward: returns loss (and optionally the reconstruction).
 
         ``rng`` is the Gumbel-noise key; defaults to the module's 'gumbel'
-        RNG collection.
+        RNG collection. ``gumbel_noise`` optionally injects the pre-drawn
+        (B, h, w, num_tokens) noise array instead (used by the
+        trajectory-parity harness to feed IDENTICAL noise to this model and
+        its torch twin, scripts/parity_trajectory.py).
         """
         logits = self.encode_logits(img)
-        if rng is None:
-            rng = self.make_rng("gumbel")
-        g = jax.random.gumbel(rng, logits.shape, dtype=jnp.float32)
+        if gumbel_noise is not None:
+            g = gumbel_noise.astype(jnp.float32)
+        else:
+            if rng is None:
+                rng = self.make_rng("gumbel")
+            g = jax.random.gumbel(rng, logits.shape, dtype=jnp.float32)
         # barriered softmax: over the 8192-way vocab, XLA's fused
         # reduce-broadcast re-reads every row 64x (ops/softmax.py — 21x win)
         soft = softmax_lastdim((logits.astype(jnp.float32) + g) / temperature)

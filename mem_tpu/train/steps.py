@@ -34,16 +34,23 @@ from mem_tpu.train.optim import grad_global_norm
 # VAE stage (train_vae.py:304-399)
 # ---------------------------------------------------------------------------
 
-def make_vae_train_step(vae, tx_factory, preproc: PreprocConfig):
+def make_vae_train_step(vae, tx_factory, preproc: PreprocConfig,
+                        inject_noise: bool = False):
     """tx_factory: lr -> optax tx is inlined via passing lr as an argument;
     we use a fixed Adam and scale updates by lr/base_lr trick-free: the
     optimizer here is plain Adam whose lr is injected per call (the VAE's
-    ExponentialLR decays once per epoch — see VaeAnnealState)."""
+    ExponentialLR decays once per epoch — see VaeAnnealState).
+
+    ``inject_noise=True`` reinterprets the step's ``rng`` argument as a
+    pre-drawn (B, h, w, num_tokens) Gumbel-noise ARRAY (trajectory-parity
+    harness: both this step and the torch twin consume identical noise)."""
 
     def step(params, opt_state, batch, rng, lr, temp, clip):
         images = preprocess_batch(batch, preproc, is_train=True)
 
         def loss_fn(p):
+            if inject_noise:
+                return vae.apply(p, images, temp, gumbel_noise=rng)
             return vae.apply(p, images, temp, rngs={"gumbel": rng})
 
         loss, grads = jax.value_and_grad(loss_fn)(params)

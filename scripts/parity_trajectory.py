@@ -88,6 +88,88 @@ def make_iterator(data_dir: str, is_train: bool, masking: bool, seed=7):
     ))
 
 
+def run_vae(epochs: int, data_dir: str):
+    """Stage 0 — discrete-VAE tokenizer training parity. Both sides start
+    from the SAME torch init (import_vae_state_dict, the parity-tested
+    torch->flax path), consume identical preprocessed images AND identical
+    pre-drawn Gumbel noise (make_vae_train_step(inject_noise=True) /
+    vae_loss_torch), and step Adam with the reference's coupled
+    per-10k-steps LR-decay + temperature-anneal quirk (one shared
+    VaeAnnealState drives both)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import torch
+
+    from mem_tpu.data.device_pipeline import preprocess_batch
+    from mem_tpu.models.discrete_vae import DiscreteVAE
+    from mem_tpu.train.schedules import VaeAnnealState
+    from mem_tpu.train.steps import make_vae_train_step
+    from mem_tpu.utils.torch_import import import_vae_state_dict
+
+    from torch_twin import build_torch_vae, vae_loss_torch
+
+    preproc, _, _ = build_jax_stack(jnp)
+    it = make_iterator(data_dir, True, masking=False)
+
+    VL = 3  # vae num_layers -> token grid (IMG/2^3)^2
+    torch.manual_seed(42)
+    enc, dec, codebook = build_torch_vae(
+        num_tokens=VOCAB, codebook_dim=8, num_layers=VL, R=1, hidden=16)
+    sd = {f"encoder.{k}": v for k, v in enc.state_dict().items()}
+    sd.update({f"decoder.{k}": v for k, v in dec.state_dict().items()})
+    sd["codebook.weight"] = codebook.weight.detach()
+    vae = DiscreteVAE(input_hw=(IMG, IMG), num_tokens=VOCAB, codebook_dim=8,
+                      num_layers=VL, num_resnet_blocks=1, hidden_dim=16)
+    params = jax.tree.map(
+        jnp.asarray, import_vae_state_dict(sd, num_layers=VL,
+                                           num_resnet_blocks=1))
+
+    tx = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = tx.init(params)
+    jstep = make_vae_train_step(vae, tx, preproc, inject_noise=True)
+    tparams = (list(enc.parameters()) + list(dec.parameters())
+               + list(codebook.parameters()))
+    topt = torch.optim.Adam(tparams, lr=1.0, betas=(0.9, 0.999), eps=1e-8)
+    prep = jax.jit(lambda b: preprocess_batch(b, preproc, is_train=True))
+
+    sched = VaeAnnealState(1e-3, 0.99)          # reference anneal quirk
+    clip = 1e-2                                  # train_vae.py grad clip
+    hw = IMG // 2**VL
+    nrng = np.random.default_rng(123)
+    curves = {"loss_jax": [], "loss_torch": []}
+    for epoch in range(epochs):
+        for i, batch in enumerate(it.epoch(epoch)):
+            jb = jax.tree.map(jnp.asarray, batch)
+            images = np.asarray(prep(jb))
+            u = nrng.random((images.shape[0], hw, hw, VOCAB)) * (1 - 2e-12) + 1e-12
+            g = (-np.log(-np.log(u))).astype(np.float32)
+
+            params, opt_state, m = jstep(
+                params, opt_state, jb, jnp.asarray(g),
+                jnp.float32(sched.lr), jnp.float32(sched.temp),
+                jnp.float32(clip))
+
+            timg = torch.from_numpy(images.transpose(0, 3, 1, 2).copy())
+            tnoise = torch.from_numpy(g.transpose(0, 3, 1, 2).copy())
+            loss_t = vae_loss_torch(enc, dec, codebook, timg, tnoise,
+                                    sched.temp, VOCAB)
+            topt.zero_grad()
+            loss_t.backward()
+            torch.nn.utils.clip_grad_norm_(tparams, clip)
+            for gparam in topt.param_groups:
+                gparam["lr"] = sched.lr
+            topt.step()
+            sched.after_step(i)
+
+            curves["loss_jax"].append(float(m["loss"]))
+            curves["loss_torch"].append(float(loss_t.detach()))
+        print(f"[vae e{epoch}] jax loss {curves['loss_jax'][-1]:.6f} "
+              f"torch {curves['loss_torch'][-1]:.6f} "
+              f"lr {sched.lr:.2e} temp {sched.temp:.4f}", flush=True)
+    return curves
+
+
 def run_pretrain(epochs: int, data_dir: str):
     import jax
     import jax.numpy as jnp
@@ -296,15 +378,18 @@ def main(argv=None):
         train_dir = make_dataset(os.path.join(tmp, "train"), seed=3)
         val_dir = make_dataset(os.path.join(tmp, "val"), seed=11)
 
+        vae_c = run_vae(args.epochs, train_dir)
         pt_params, _, pre = run_pretrain(args.epochs, train_dir)
         ft = run_finetune(args.epochs, train_dir, pt_params, val_dir)
 
+    s_vae = summarize("vae", vae_c)
     s_pre, s_ft = summarize("pretrain", pre), summarize("finetune", ft)
     acc_d = float(np.abs(np.asarray(pre["acc_jax"])
                          - np.asarray(pre["acc_torch"])).max())
     top1_d = float(np.abs(np.asarray(ft["top1_jax"])
                           - np.asarray(ft["top1_torch"])).max())
-    result = {"pretrain": s_pre, "finetune": s_ft,
+    result = {"vae": s_vae, "pretrain": s_pre, "finetune": s_ft,
+              "vae_curves": vae_c,
               "pretrain_curves": pre, "finetune_curves": ft,
               "max_mlm_acc_delta": acc_d, "max_top1_delta_pts": top1_d,
               "epochs": args.epochs}
@@ -329,6 +414,7 @@ def _onset(curves, thresh=1e-4):
 def write_parity_md(path, r):
     pre, ft = r["pretrain"], r["finetune"]
     pc, fc = r["pretrain_curves"], r["finetune_curves"]
+    vae_s, vc = r.get("vae"), r.get("vae_curves")
     ep = r["epochs"]
     spe_p = pre["steps"] // ep
     spe_f = ft["steps"] // ep
@@ -341,17 +427,40 @@ def write_parity_md(path, r):
             out.append("| " + " | ".join(row) + " |")
         return "\n".join(out)
 
+    vae_md = ""
+    if vae_s is not None:
+        spe_v = vae_s["steps"] // ep
+        vae_md = f"""## Stage 0 — discrete-VAE tokenizer training (Gumbel softmax, Adam)
+
+JAX: `make_vae_train_step` (the production fused step, Gumbel noise
+injected). Torch twin: `torch_twin.build_torch_vae` + `vae_loss_torch`
+(MSE + 1e-10·KL-sum quirk) + torch.optim.Adam, both driven by ONE shared
+`VaeAnnealState` (the reference's per-10k-steps LR-decay/temp-anneal quirk,
+train_vae.py:342-353) and identical pre-drawn Gumbel noise per step.
+
+| epoch | loss (jax) | loss (torch) |
+|---|---|---|
+{rows(vc, spe_v, ['loss_jax', 'loss_torch'])}
+
+- steps: {vae_s['steps']}; final loss {vae_s['final_loss_jax']:.6f} (jax) vs \
+{vae_s['final_loss_torch']:.6f} (torch)
+- max |Δloss| {vae_s['max_abs_loss_delta']:.2e} \
+(mean rel {vae_s['mean_rel_loss_delta']:.2e}, max rel {vae_s['max_rel_loss_delta']:.2e})
+
+"""
+
     with open(path, "w") as f:
         f.write(f"""# PARITY — matched training trajectories vs a pure-torch oracle
 
 Generated by `scripts/parity_trajectory.py --epochs {ep}` (see its module
 docstring for the exact setup). Both frameworks start from IDENTICAL
-weights (flax init -> `export_vit_params` -> torch twin), consume
-byte-identical preprocessed images and masks, and step equivalent
+weights (flax init -> `export_vit_params` -> torch twin; torch init ->
+`import_vae_state_dict` -> flax for the VAE), consume byte-identical
+preprocessed images, masks and Gumbel noise, and step equivalent
 optimizers on the same schedules; curves below are per-epoch (last step of
 each epoch). CI runs a 3-epoch version (tests/test_parity_trajectory.py).
 
-## Stage A — MEM pretraining (frozen VAE tokenizer, masked CE)
+{vae_md}## Stage A — MEM pretraining (frozen VAE tokenizer, masked CE)
 
 JAX: `make_pretrain_train_step` (the production fused step). Torch twin:
 `scripts/torch_twin.py` TwinPtViT + torch.optim.AdamW((0.9, 0.95)), per-step
@@ -400,6 +509,7 @@ trajectory, (b) statistically indistinguishable curves after onset.
 
 | stage | first step with rel Δloss > 1e-4 | steps total |
 |---|---|---|
+{f"| vae | {_onset(vc)} | {vae_s['steps']} |" if vae_s is not None else ""}
 | pretrain | {_onset(pc)} | {pre['steps']} |
 | finetune | {_onset(fc)} | {ft['steps']} |
 
@@ -410,6 +520,10 @@ trajectory, (b) statistically indistinguishable curves after onset.
   same TRAINING DYNAMICS, not just matching single forwards. Early-step
   agreement at ~1e-7 rel rules out any systematic mismatch; later deltas
   are float-chaos, bounded by the identical top-1/mlm_acc envelopes above.
+- The VAE stage additionally pins the Gumbel-softmax sampling path, the
+  KL-sum quirk, the deconv decoder (incl. the custom reverse-free VJP on
+  the JAX side), plain-Adam dynamics and the per-10k LR/temperature anneal
+  — all three reference training stages now have trajectory-level parity.
 - RandAugment/mixup are off: their parity is statistical by design
   (different RNG streams; SURVEY §7) — module-level distribution tests
   cover them (tests/test_rand_augment.py, tests/test_update_freq.py).

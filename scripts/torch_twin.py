@@ -246,6 +246,27 @@ def build_torch_vae(num_tokens=32, codebook_dim=8, num_layers=2, R=1,
             nn.Embedding(num_tokens, codebook_dim))
 
 
+def vae_loss_torch(enc, dec, codebook, img, noise, temp, num_tokens,
+                   kl_w=1e-10):
+    """DiscreteVAE training-loss oracle (vae_model.py:186-208 semantics,
+    matching mem_tpu.models.discrete_vae.DiscreteVAE.__call__ with injected
+    Gumbel noise): softmax((logits + g)/temp) @ codebook -> decoder -> MSE
+    + kl_w * sum(q * (log q - log uniform)) (the batchmean quirk keeps the
+    KL a plain SUM — see the flax module docstring).
+
+    img: (B, C, H, W); noise: (B, num_tokens, h, w) — the SAME array the
+    flax side consumes (transposed from its NHWC layout)."""
+    logits = enc(img)                                   # (B, T, h, w)
+    soft = torch.softmax((logits.float() + noise) / temp, dim=1)
+    z = torch.einsum("bthw,td->bdhw", soft, codebook.weight)
+    out = dec(z)
+    recon = F.mse_loss(out.float(), img.float())
+    log_qy = torch.log_softmax(logits.float(), dim=1)
+    log_uniform = math.log(1.0 / num_tokens)
+    kl = (log_qy.exp() * (log_qy - log_uniform)).sum()
+    return recon + kl_w * kl
+
+
 def masked_ce_torch(logits, labels, mask):
     """masked_cross_entropy oracle (engine_for_pretraining.py:147-152,
     232-234): CE + mlm accuracy at masked positions."""

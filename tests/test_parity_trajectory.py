@@ -23,6 +23,12 @@ def result(tmp_path_factory):
                  str(tmp / "r.json")])
 
 
+def test_vae_trajectory_matches_torch(result):
+    s = result["vae"]
+    assert s["steps"] >= 6
+    assert s["max_rel_loss_delta"] < 1e-4, s
+
+
 def test_pretrain_trajectory_matches_torch(result):
     s = result["pretrain"]
     assert s["steps"] >= 6
