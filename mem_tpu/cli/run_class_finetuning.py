@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import math
 import os
+import sys
 import time
 
 import numpy as np
@@ -99,6 +100,11 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--auto_resume", type=int, default=1)
+    p.add_argument("--rss_restart_gb", type=float, default=0,
+                   help="memory-recycle watchdog: when host RSS exceeds this "
+                        "many GB at an epoch boundary, save a resumable "
+                        "checkpoint and exit with code 3 so "
+                        "scripts/run_resilient.sh relaunches (0 = off)")
     p.add_argument("--eval", action="store_true")
     p.add_argument("--int8", type=int, default=0,
                    help="W8A8 int8 GEMMs on eval/serving forwards "
@@ -272,7 +278,8 @@ def main(argv=None):
                       group=f"{args.expweek}_{args.expname}")
     key = jax.random.key(args.seed + jax.process_index() + 2)
 
-    from mem_tpu.utils.preemption import GracefulShutdown
+    from mem_tpu.utils.preemption import (RESTART_EXIT_CODE, GracefulShutdown,
+                                          rss_gb, rss_recycle_due)
 
     stopper = GracefulShutdown()
     for epoch in range(start_epoch, args.epochs):
@@ -334,6 +341,17 @@ def main(argv=None):
                 "params": params, "opt_state": opt_state, "ema": ema_params,
                 "epoch": epoch, "best_acc": best_acc,
             }, block=False)
+
+        if rss_recycle_due(args.rss_restart_gb) and epoch + 1 < args.epochs:
+            wait_for_saves()
+            save_checkpoint(args.output_dir, epoch, {
+                "params": params, "opt_state": opt_state, "ema": ema_params,
+                "epoch": epoch, "best_acc": best_acc,
+            })
+            print(f"rss {rss_gb():.1f} GB > {args.rss_restart_gb} GB: "
+                  f"recycling process (exit {RESTART_EXIT_CODE}); "
+                  f"auto_resume continues at epoch {epoch + 1}", flush=True)
+            sys.exit(RESTART_EXIT_CODE)
 
     wait_for_saves()
     print(f"best acc1: {best_acc:.2f}")

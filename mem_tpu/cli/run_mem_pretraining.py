@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import math
 import os
+import sys
 import time
 
 import numpy as np
@@ -127,6 +128,13 @@ def get_args(argv=None):
                         "~35 ms/step faster at B=128; per-sample parity mode "
                         "with --rand_aug_batch_ops 0 — either way RandAugment "
                         "parity vs the reference is statistical, SURVEY §7)")
+    p.add_argument("--rss_restart_gb", type=float, default=0,
+                   help="memory-recycle watchdog: when host RSS exceeds "
+                        "this many GB at an epoch boundary, save a "
+                        "resumable checkpoint and exit with code 3 so "
+                        "scripts/run_resilient.sh relaunches (quarantines "
+                        "per-transfer host-memory leaks in runtime layers "
+                        "outside this codebase; 0 = off)")
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel degree over a 'model' mesh axis")
     p.add_argument("--zero1", type=int, default=0,
@@ -367,7 +375,8 @@ def main(argv=None):
 
     from mem_tpu.utils.profiling import StepTimer, trace
 
-    from mem_tpu.utils.preemption import GracefulShutdown
+    from mem_tpu.utils.preemption import (RESTART_EXIT_CODE, GracefulShutdown,
+                                          rss_gb, rss_recycle_due)
 
     stopper = GracefulShutdown()
     profiled = False
@@ -453,6 +462,16 @@ def main(argv=None):
                                           batch, epoch)
                     first = False
                 print(f"* eval: {vlog}")
+
+        if rss_recycle_due(args.rss_restart_gb) and epoch + 1 < args.epochs:
+            wait_for_saves()
+            save_checkpoint(args.output_dir, epoch, {
+                "params": params, "opt_state": opt_state, "epoch": epoch,
+            })
+            print(f"rss {rss_gb():.1f} GB > {args.rss_restart_gb} GB: "
+                  f"recycling process (exit {RESTART_EXIT_CODE}); "
+                  f"auto_resume continues at epoch {epoch + 1}", flush=True)
+            sys.exit(RESTART_EXIT_CODE)
 
     wait_for_saves()
     save_checkpoint(args.output_dir, "final", {

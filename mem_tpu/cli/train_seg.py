@@ -9,6 +9,7 @@ initializes from a MEM pretraining checkpoint via the same surgery importer.
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 import numpy as np
@@ -96,6 +97,11 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--auto_resume", type=int, default=1)
+    p.add_argument("--rss_restart_gb", type=float, default=0,
+                   help="memory-recycle watchdog: when host RSS exceeds this "
+                        "many GB at a save_interval boundary, save a "
+                        "resumable checkpoint and exit with code 3 so "
+                        "scripts/run_resilient.sh relaunches (0 = off)")
     p.add_argument("--dtype", type=str, default="bfloat16")
     return p.parse_args(argv)
 
@@ -238,7 +244,8 @@ def main(argv=None):
         return seg_metrics(cm)
 
     logger = MetricLogger()
-    from mem_tpu.utils.preemption import GracefulShutdown
+    from mem_tpu.utils.preemption import (RESTART_EXIT_CODE, GracefulShutdown,
+                                          rss_gb, rss_recycle_due)
 
     stopper = GracefulShutdown()
     key = jax.random.key(args.seed + 7)
@@ -281,6 +288,12 @@ def main(argv=None):
                 "params": params, "batch_stats": batch_stats,
                 "opt_state": opt_state, "epoch": it + 1,
             }, block=False)
+            if rss_recycle_due(args.rss_restart_gb) and it + 1 < args.max_iters:
+                wait_for_saves()
+                print(f"rss {rss_gb():.1f} GB > {args.rss_restart_gb} GB: "
+                      f"recycling process (exit {RESTART_EXIT_CODE}); "
+                      f"auto_resume continues at iter {it + 1}", flush=True)
+                sys.exit(RESTART_EXIT_CODE)
 
     stats = evaluate()
     print(f"final mIoU {stats['mIoU']:.4f}")

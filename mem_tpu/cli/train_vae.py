@@ -9,6 +9,7 @@ reference payload; eval every 25 epochs reports recon loss + codebook usage.
 from __future__ import annotations
 
 import os
+import sys
 import time
 
 import numpy as np
@@ -55,6 +56,11 @@ def get_args(argv=None):
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--auto_resume", type=int, default=1)
+    p.add_argument("--rss_restart_gb", type=float, default=0,
+                   help="memory-recycle watchdog: when host RSS exceeds this "
+                        "many GB at an epoch boundary, save a resumable "
+                        "checkpoint and exit with code 3 so "
+                        "scripts/run_resilient.sh relaunches (0 = off)")
     p.add_argument("--eval_freq", type=int, default=25)
     p.add_argument("--wandb", type=int, default=0)
     p.add_argument("--dtype", type=str, default="bfloat16")
@@ -135,7 +141,8 @@ def main(argv=None):
     run = maybe_wandb(bool(args.wandb), project="dalle_train_vae")
     key = jax.random.key(args.seed + jax.process_index())
 
-    from mem_tpu.utils.preemption import GracefulShutdown
+    from mem_tpu.utils.preemption import (RESTART_EXIT_CODE, GracefulShutdown,
+                                          rss_gb, rss_recycle_due)
 
     stopper = GracefulShutdown()
     for epoch in range(start_epoch, args.epochs):
@@ -208,6 +215,25 @@ def main(argv=None):
                     "hidden_dim": args.hidden_dim, "loss": args.loss,
                 },
             }, block=False)
+
+        if rss_recycle_due(args.rss_restart_gb) and epoch + 1 < args.epochs:
+            wait_for_saves()
+            save_checkpoint(args.output_dir, epoch, {
+                "params": params, "opt_state": opt_state, "epoch": epoch,
+                "lr": sched.lr, "temp": sched.temp,
+                "global_step": sched.global_step,
+                "hparams": {
+                    "input_H": args.input_H, "input_W": args.input_W,
+                    "num_tokens": args.num_tokens, "emb_dim": args.emb_dim,
+                    "num_layers": args.num_layers,
+                    "num_resnet_blocks": args.num_resnet_blocks,
+                    "hidden_dim": args.hidden_dim, "loss": args.loss,
+                },
+            })
+            print(f"rss {rss_gb():.1f} GB > {args.rss_restart_gb} GB: "
+                  f"recycling process (exit {RESTART_EXIT_CODE}); "
+                  f"auto_resume continues at epoch {epoch + 1}", flush=True)
+            sys.exit(RESTART_EXIT_CODE)
 
     wait_for_saves()
     save_checkpoint(args.output_dir, "final", {

@@ -24,6 +24,36 @@ from __future__ import annotations
 
 import signal
 
+# Exit code for the RSS-watchdog recycle path: the loop saved a resumable
+# checkpoint and wants to be RELAUNCHED (scripts/run_resilient.sh loops
+# while it sees this code). Distinct from 0 (done / graceful preemption)
+# and 1 (error).
+RESTART_EXIT_CODE = 3
+
+
+def rss_gb() -> float:
+    """Resident set size of this process in GB (psutil)."""
+    import psutil
+
+    return psutil.Process().memory_info().rss / 1e9
+
+
+def rss_recycle_due(limit_gb: float) -> bool:
+    """True when the memory-recycle watchdog should trigger.
+
+    Why this exists: some runtime environments leak host memory per
+    host->device transfer OUTSIDE this codebase's control (measured on this
+    dev box's remote-TPU tunnel client: ~25 MB leaked per ``device_put`` of
+    a 23 MB batch, unconditional — unaffected by ``.delete()``,
+    ``jax.clear_caches()`` or gc; the CPU backend is flat over 60 epochs,
+    so the framework itself does not leak — docs/PERF.md round-3 endurance
+    section). The production-pattern quarantine is checkpoint + process
+    recycle: the loop saves a resumable checkpoint and exits with
+    ``RESTART_EXIT_CODE``; ``scripts/run_resilient.sh`` relaunches, and
+    ``--auto_resume`` continues the run with a fresh process image.
+    """
+    return limit_gb > 0 and rss_gb() > limit_gb
+
 
 class GracefulShutdown:
     """Latches SIGTERM (and optionally SIGINT) into a poll-able flag."""
