@@ -155,15 +155,23 @@ def auto_resume(output_dir: str, template: Dict[str, Any]):
 def prune_checkpoints(output_dir: str, keep_tags=("final", "best")) -> None:
     """Stage-boundary pruning: keep only final/best/latest
     (train-pipeline.sbatch:87-101)."""
+    output_dir = os.path.abspath(output_dir)  # match _path/latest_checkpoint
     latest = latest_checkpoint(output_dir)
     for name in list(os.listdir(output_dir) if os.path.isdir(output_dir) else []):
-        m = re.fullmatch(r"checkpoint-(.+)", name)
+        m = re.fullmatch(r"checkpoint-([^.]+)(\.meta\.json)?", name)
         if not m:
             continue
         tag = m.group(1)
         full = os.path.join(output_dir, name)
-        if tag in keep_tags or full == latest:
+        if tag in keep_tags or _path(output_dir, tag) == latest:
             continue
         import shutil
 
-        shutil.rmtree(full, ignore_errors=True)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            # the .meta.json sidecar of a pruned checkpoint
+            try:
+                os.remove(full)
+            except OSError:
+                pass

@@ -96,10 +96,21 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     restored, start = auto_resume(out, {"params": payload["params"], "epoch": 0})
     assert start == 10
 
-    prune_checkpoints(out)
+    # prune with a RELATIVE output_dir (run-pipeline.sh passes user paths
+    # through verbatim; regression: the keep-latest comparison mixed an
+    # absolute `latest` path with relative joins and deleted the latest)
+    cwd = os.getcwd()
+    os.chdir(os.path.dirname(out))
+    try:
+        prune_checkpoints(os.path.basename(out))
+    finally:
+        os.chdir(cwd)
     names = sorted(os.listdir(out))
     assert "checkpoint-4" not in names
+    assert "checkpoint-4.meta.json" not in names  # sidecar pruned too
     assert "checkpoint-9" in names and "checkpoint-final" in names
+    assert "checkpoint-9.meta.json" in names      # kept checkpoints keep theirs
+    assert "checkpoint-final.meta.json" in names
 
 
 def test_nargs_config_key(tmp_path):
