@@ -223,6 +223,9 @@ class EncoderDecoder(nn.Module):
     num_classes: int = 11
     backbone_cfg: dict = None
     aux_in_index: int = 2
+    head_channels: int = 512
+    aux_channels: int = 256
+    dropout_ratio: float = 0.1
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -231,8 +234,16 @@ class EncoderDecoder(nn.Module):
         cfg = dict(self.backbone_cfg or {})
         cfg.setdefault("dtype", self.dtype)
         feats = EvBEiT(name="backbone", **cfg)(x, train)
-        logits = UPerHead(self.num_classes, dtype=self.dtype, name="decode_head")(feats, train)
-        aux = FCNHead(self.num_classes, dtype=self.dtype, name="auxiliary_head")(feats[self.aux_in_index], train)
+        logits = UPerHead(
+            self.num_classes, channels=self.head_channels,
+            dropout_ratio=self.dropout_ratio, dtype=self.dtype,
+            name="decode_head",
+        )(feats, train)
+        aux = FCNHead(
+            self.num_classes, channels=self.aux_channels,
+            dropout_ratio=self.dropout_ratio, dtype=self.dtype,
+            name="auxiliary_head",
+        )(feats[self.aux_in_index], train)
         return _upsample(logits, H, W), _upsample(aux, H, W)
 
 

@@ -210,6 +210,54 @@ def import_vae_state_dict(sd: Dict, num_layers: int, num_resnet_blocks: int) -> 
     return {"params": p}
 
 
+def export_seg_params(variables: Dict) -> Dict[str, np.ndarray]:
+    """Flax EncoderDecoder tree (params + batch_stats) -> torch state_dict
+    for the seg twin (scripts/torch_twin.py TwinSegEncoderDecoder) — the
+    key-conversion role of the reference's beit2mmseg.py / mmcv_custom
+    checkpoint prefix rewrite (train_api.py:502-523), in reverse, extended
+    to the FPN necks, ConvModule BNs and their running stats."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    sd: Dict[str, np.ndarray] = {}
+
+    bk = params["backbone"]
+    for name, v in export_vit_params({"params": bk}).items():
+        sd[f"backbone.{name}"] = v
+
+    def put_convT(prefix, p):
+        # flax (kh, kw, I, O) -> torch ConvTranspose2d (I, O, kh, kw)
+        sd[f"{prefix}.weight"] = np.transpose(np.asarray(p["kernel"]), (2, 3, 0, 1))
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    def put_conv(prefix, p):
+        # flax HWIO -> torch Conv2d (O, I, kh, kw)
+        sd[f"{prefix}.weight"] = np.transpose(np.asarray(p["kernel"]), (3, 2, 0, 1))
+        if "bias" in p:
+            sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+    def put_bn(prefix, p, s):
+        sd[f"{prefix}.weight"] = np.asarray(p["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+        sd[f"{prefix}.running_mean"] = np.asarray(s["mean"])
+        sd[f"{prefix}.running_var"] = np.asarray(s["var"])
+
+    bs = stats.get("backbone", {})
+    put_convT("backbone.fpn1_deconv1", bk["fpn1_deconv1"])
+    put_bn("backbone.fpn1_bn", bk["fpn1_bn"], bs["fpn1_bn"])
+    put_convT("backbone.fpn1_deconv2", bk["fpn1_deconv2"])
+    put_convT("backbone.fpn2_deconv", bk["fpn2_deconv"])
+
+    for head in ("decode_head", "auxiliary_head"):
+        hp, hs = params[head], stats.get(head, {})
+        for name, sub in sorted(hp.items()):
+            if name == "conv_seg":
+                put_conv(f"{head}.conv_seg", sub)
+            else:  # ConvModule: conv (no bias) + BN
+                put_conv(f"{head}.{name}.conv", sub["conv"])
+                put_bn(f"{head}.{name}.bn", sub["bn"], hs[name]["bn"])
+    return sd
+
+
 def load_torch_checkpoint(path: str) -> Dict:
     import torch
 

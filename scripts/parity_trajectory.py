@@ -351,6 +351,161 @@ def run_finetune(epochs: int, data_dir: str, pt_params, val_dir: str):
     return curves
 
 
+SEG_NCLS, SEG_DIM, SEG_DEPTH, SEG_B = 3, 32, 2, 4
+
+
+def make_seg_dataset(root: str, n_train: int = 8, n_val: int = 4,
+                     seed: int = 5) -> str:
+    """Synthetic DSEC-like pairs: event .npy (x<640, y<480 incl. the y>=440
+    crop band, p in {0,1}) + label .png with an ignore stripe."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    for split, n in (("train", n_train), ("val", n_val)):
+        os.makedirs(os.path.join(root, "imgs", split, "s"), exist_ok=True)
+        os.makedirs(os.path.join(root, "anns", split, "s"), exist_ok=True)
+        for i in range(n):
+            ne = int(rng.integers(2000, 4000))
+            ev = np.zeros((ne, 4), np.float32)
+            ev[:, 0] = rng.integers(0, 640, ne)
+            ev[:, 1] = rng.integers(0, 480, ne)
+            ev[:, 3] = rng.integers(0, 2, ne)
+            np.save(os.path.join(root, "imgs", split, "s", f"{i:04d}.npy"), ev)
+            lab = rng.integers(0, SEG_NCLS, (440, 640)).astype(np.uint8)
+            lab[:16] = 255
+            Image.fromarray(lab).save(
+                os.path.join(root, "anns", split, "s", f"{i:04d}.png"))
+    return root
+
+
+def run_seg(iters: int, data_root: str):
+    """Stage C — DSEC segmentation training parity (the mIoU-parity leg).
+
+    JAX: the production seg stack end to end — SegBatchIterator (compact
+    wire, ratio_range jitter, y-presort) -> seg_preprocess_batch ->
+    EncoderDecoder (EvBEiT + UPerHead + 0.4-weighted FCN aux, global-batch
+    BatchNorm) -> scheduled AdamW with poly LR (power 1.0, warmup) and
+    backbone layer-decay 0.65 (cli/train_seg.py dynamics =
+    mmcv_custom/train_api.py:405-553). Torch twin: TwinSegEncoderDecoder
+    consuming the identical preprocessed images/labels, stepping
+    torch.optim.AdamW with the same poly schedule and layer-decay groups.
+    RandAugment/dropout/drop-path off (parity flags); final mIoU evaluated
+    on both sides through each framework's eval path (BN running stats
+    accumulated with the flax biased-var convention on both — see
+    torch_twin.TwinBatchNorm2d)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from mem_tpu.cli.train_seg import make_seg_steps, poly_lr_schedule
+    from mem_tpu.data.seg_pipeline import (IGNORE_INDEX, SegBatchIterator,
+                                           SegPipelineConfig, scan_seg_pairs,
+                                           seg_preprocess_batch)
+    from mem_tpu.models.segmentation import (EncoderDecoder, confusion_matrix,
+                                             seg_metrics)
+    from mem_tpu.train.optim import (build_lr_scale_tree, build_wd_mask_tree,
+                                     scheduled_adamw)
+
+    from torch_twin import (TwinSegEncoderDecoder, _flax_seg_path_for,
+                            build_torch_optimizer, load_flax_seg_params,
+                            seg_loss_torch, torch_step)
+
+    train_pairs = scan_seg_pairs(data_root, "imgs/train", "anns/train")
+    val_pairs = scan_seg_pairs(data_root, "imgs/val", "anns/val")
+    train_it = SegBatchIterator(train_pairs, SegPipelineConfig(
+        batch_size=SEG_B, is_train=True, max_evs=4096, seed=13))
+    val_it = SegBatchIterator(val_pairs, SegPipelineConfig(
+        batch_size=SEG_B, is_train=False, max_evs=4096, seed=13))
+
+    out_indices = tuple(max(0, SEG_DEPTH - 4 + k) for k in range(4))
+    model = EncoderDecoder(
+        num_classes=SEG_NCLS,
+        backbone_cfg=dict(img_size=64, patch_size=16, embed_dim=SEG_DIM,
+                          depth=SEG_DEPTH, num_heads=2, drop_path_rate=0.0,
+                          out_indices=out_indices),
+        head_channels=32, aux_channels=16, dropout_ratio=0.0,
+        dtype=jnp.float32,
+    )
+
+    prep_t = jax.jit(lambda b: seg_preprocess_batch(b, True, False, False,
+                                                    y_sorted=True))
+    prep_v = jax.jit(lambda b: seg_preprocess_batch(b, False, y_sorted=True))
+
+    batches = train_it.batches()
+    first = next(batches)
+    imgs0, _ = prep_t(jax.tree.map(jnp.asarray, first))
+    variables = jax.jit(model.init)(jax.random.key(0), imgs0)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    twin = TwinSegEncoderDecoder(
+        num_classes=SEG_NCLS, img_size=64, patch=16, dim=SEG_DIM,
+        depth=SEG_DEPTH, heads=2, out_indices=out_indices,
+        head_channels=32, aux_channels=16)
+    load_flax_seg_params(twin, {"params": params, "batch_stats": batch_stats})
+    twin.train()
+
+    lr0, wd = 1e-3, 0.05
+    lr_fn = poly_lr_schedule(lr0, iters, warmup_iters=max(2, iters // 8))
+    wrapped = {"params": params}
+    tx = scheduled_adamw(
+        lr_fn, (lambda s: wd),
+        build_lr_scale_tree(wrapped, 0.65, SEG_DEPTH)["params"],
+        build_wd_mask_tree(wrapped)["params"],
+        b1=0.9, b2=0.999, eps=1e-8,
+    )
+    opt_state = tx.init(params)
+    train_step, eval_step = make_seg_steps(model, tx, SEG_NCLS,
+                                           rand_aug=False, y_sorted=True)
+    topt = build_torch_optimizer(twin, lr0, wd, betas=(0.9, 0.999),
+                                 layer_decay=0.65, num_layers=SEG_DEPTH,
+                                 path_fn=_flax_seg_path_for)
+
+    curves = {"loss_jax": [], "loss_torch": []}
+    batch = first
+    for step in range(iters):
+        jb = jax.tree.map(jnp.asarray, batch)
+        images, labels = prep_t(jb)
+        images_np, labels_np = np.asarray(images), np.asarray(labels)
+        params, batch_stats, opt_state, m = train_step(
+            params, batch_stats, opt_state, jb, jax.random.key(3000 + step))
+
+        timg = torch.from_numpy(images_np.transpose(0, 3, 1, 2).copy())
+        logits_t, aux_t = twin(timg)
+        loss_t = seg_loss_torch(logits_t, aux_t,
+                                torch.from_numpy(labels_np.astype(np.int64)))
+        torch_step(twin, topt, loss_t, float(lr_fn(step)), wd, clip_grad=None)
+
+        curves["loss_jax"].append(float(m["loss"]))
+        curves["loss_torch"].append(float(loss_t.detach()))
+        if step % max(1, iters // 10) == 0 or step == iters - 1:
+            print(f"[seg it{step}] jax loss {curves['loss_jax'][-1]:.4f} "
+                  f"torch {curves['loss_torch'][-1]:.4f}", flush=True)
+        batch = next(batches)
+
+    # final eval through BOTH eval paths (BN running stats in use)
+    twin.eval()
+    cm_j = np.zeros((SEG_NCLS, SEG_NCLS))
+    cm_t = np.zeros((SEG_NCLS, SEG_NCLS))
+    for vb in val_it.eval_batches():
+        n_real = int(vb.pop("n_real"))
+        w = n_real / vb["label"].shape[0]
+        jb = jax.tree.map(jnp.asarray, vb)
+        cm_j += np.asarray(eval_step(params, batch_stats, jb)) * w
+        imgs_v, labs_v = prep_v(jb)
+        with torch.no_grad():
+            lt, _ = twin(torch.from_numpy(
+                np.asarray(imgs_v).transpose(0, 3, 1, 2).copy()))
+        pred_t = lt.argmax(1).numpy()
+        cm_t += np.asarray(confusion_matrix(
+            jnp.asarray(pred_t), labs_v, SEG_NCLS, IGNORE_INDEX)) * w
+    m_j, m_t = seg_metrics(cm_j), seg_metrics(cm_t)
+    curves["miou_jax"], curves["miou_torch"] = m_j["mIoU"], m_t["mIoU"]
+    curves["aacc_jax"], curves["aacc_torch"] = m_j["aAcc"], m_t["aAcc"]
+    print(f"[seg eval] mIoU {m_j['mIoU']:.4f}/{m_t['mIoU']:.4f} "
+          f"aAcc {m_j['aAcc']:.4f}/{m_t['aAcc']:.4f}", flush=True)
+    return curves
+
+
 def summarize(name, curves):
     lj = np.asarray(curves["loss_jax"])
     lt = np.asarray(curves["loss_torch"])
@@ -368,9 +523,12 @@ def summarize(name, curves):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=20)
+    ap.add_argument("--seg_iters", type=int, default=-1,
+                    help="seg-stage training steps (-1 = 2*epochs, 0 = skip)")
     ap.add_argument("--out", type=str, default="PARITY.md")
     ap.add_argument("--json", type=str, default="parity_trajectory.json")
     args = ap.parse_args(argv)
+    seg_iters = 2 * args.epochs if args.seg_iters < 0 else args.seg_iters
 
     import tempfile
 
@@ -381,6 +539,8 @@ def main(argv=None):
         vae_c = run_vae(args.epochs, train_dir)
         pt_params, _, pre = run_pretrain(args.epochs, train_dir)
         ft = run_finetune(args.epochs, train_dir, pt_params, val_dir)
+        seg = (run_seg(seg_iters, make_seg_dataset(os.path.join(tmp, "dsec")))
+               if seg_iters else None)
 
     s_vae = summarize("vae", vae_c)
     s_pre, s_ft = summarize("pretrain", pre), summarize("finetune", ft)
@@ -393,6 +553,10 @@ def main(argv=None):
               "pretrain_curves": pre, "finetune_curves": ft,
               "max_mlm_acc_delta": acc_d, "max_top1_delta_pts": top1_d,
               "epochs": args.epochs}
+    if seg is not None:
+        result["seg"] = summarize("seg", seg)
+        result["seg_curves"] = seg
+        result["miou_delta"] = abs(seg["miou_jax"] - seg["miou_torch"])
     with open(args.json, "w") as f:
         json.dump(result, f, indent=1)
 
@@ -497,7 +661,40 @@ the SAME BEiT layer-decay scales via the shared layer-id function.
 - max |Δloss| {ft['max_abs_loss_delta']:.2e} \
 (mean rel {ft['mean_rel_loss_delta']:.2e}, max rel {ft['max_rel_loss_delta']:.2e})
 - max |Δtop-1| {r['max_top1_delta_pts']:.1f} pts
+""")
+        seg_s, sc = r.get("seg"), r.get("seg_curves")
+        if seg_s is not None:
+            f.write(f"""
+## Stage C — DSEC segmentation (EvBEiT + UPerNet + FCN aux, poly LR, layer decay 0.65)
 
+JAX: the production seg stack end to end (`cli/train_seg.py` dynamics:
+SegBatchIterator with compact wire + ratio_range jitter + y-presort ->
+`seg_preprocess_batch` -> `EncoderDecoder` with global-batch BN -> scheduled
+AdamW, poly LR power 1.0 with warmup, backbone layer-decay 0.65, CE + 0.4·aux
+with ignore_index — mmcv_custom/train_api.py:405-553). Torch twin:
+`torch_twin.TwinSegEncoderDecoder` on the identical preprocessed
+images/labels through `export_seg_params` (the beit2mmseg key-map role).
+Final mIoU runs through both frameworks' EVAL paths — BN running stats
+accumulated during training on both sides (flax biased-var convention,
+`TwinBatchNorm2d`).
+
+| step | loss (jax) | loss (torch) |
+|---|---|---|
+""")
+            stride = max(1, seg_s["steps"] // 20)
+            for i in list(range(0, seg_s["steps"], stride)) + [seg_s["steps"] - 1]:
+                f.write(f"| {i} | {sc['loss_jax'][i]:.4f} | "
+                        f"{sc['loss_torch'][i]:.4f} |\n")
+            f.write(f"""
+- steps: {seg_s['steps']}; final loss {seg_s['final_loss_jax']:.4f} (jax) vs \
+{seg_s['final_loss_torch']:.4f} (torch)
+- max |Δloss| {seg_s['max_abs_loss_delta']:.2e} \
+(mean rel {seg_s['mean_rel_loss_delta']:.2e}, max rel {seg_s['max_rel_loss_delta']:.2e})
+- eval mIoU {sc['miou_jax']:.4f} (jax) vs {sc['miou_torch']:.4f} (torch) \
+(|Δ| {abs(sc['miou_jax'] - sc['miou_torch']):.2e}); \
+aAcc {sc['aacc_jax']:.4f} vs {sc['aacc_torch']:.4f}
+""")
+        f.write(f"""
 ## Divergence-onset analysis
 
 Float32 trajectories of two INDEPENDENT implementations cannot stay
@@ -512,6 +709,7 @@ trajectory, (b) statistically indistinguishable curves after onset.
 {f"| vae | {_onset(vc)} | {vae_s['steps']} |" if vae_s is not None else ""}
 | pretrain | {_onset(pc)} | {pre['steps']} |
 | finetune | {_onset(fc)} | {ft['steps']} |
+{f"| seg | {_onset(sc)} | {seg_s['steps']} |" if seg_s is not None else ""}
 
 ## What this proves / caveats
 
@@ -522,8 +720,12 @@ trajectory, (b) statistically indistinguishable curves after onset.
   are float-chaos, bounded by the identical top-1/mlm_acc envelopes above.
 - The VAE stage additionally pins the Gumbel-softmax sampling path, the
   KL-sum quirk, the deconv decoder (incl. the custom reverse-free VJP on
-  the JAX side), plain-Adam dynamics and the per-10k LR/temperature anneal
-  — all three reference training stages now have trajectory-level parity.
+  the JAX side), plain-Adam dynamics and the per-10k LR/temperature anneal.
+- The seg stage pins the EvBEiT taps + FPN necks, UPerHead PPM/top-down
+  fusion, the aux-head loss composition, ignore_index CE, poly LR, the
+  0.65 backbone layer decay, and BOTH eval paths (mIoU through batch-norm
+  running statistics) — ALL FOUR reference training stages now have
+  trajectory-level parity.
 - RandAugment/mixup are off: their parity is statistical by design
   (different RNG streams; SURVEY §7) — module-level distribution tests
   cover them (tests/test_rand_augment.py, tests/test_update_freq.py).

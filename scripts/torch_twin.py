@@ -296,7 +296,7 @@ def _flax_path_for(name: str) -> tuple:
 def build_torch_optimizer(twin: nn.Module, base_lr: float, weight_decay: float,
                           betas=(0.9, 0.95), eps=1e-8,
                           layer_decay: Optional[float] = None,
-                          num_layers: int = 12):
+                          num_layers: int = 12, path_fn=None):
     """torch.optim.AdamW with the reference's param-group scheme
     (optim_factory.py:56-95): no-WD for 1-D/bias/skip-list params, per-layer
     ``lr_scale`` groups under BEiT layer decay — layer ids computed by the
@@ -312,12 +312,14 @@ def build_torch_optimizer(twin: nn.Module, base_lr: float, weight_decay: float,
     buckets = {}
     n = num_layers + 2
     vals = layer_decay_values(layer_decay, num_layers) if layer_decay else None
+    if path_fn is None:
+        path_fn = _flax_path_for
     for name, p in twin.named_parameters():
         if not p.requires_grad:
             continue
         no_wd = (p.ndim <= 1 or name.endswith(".bias")
                  or any(s in name for s in skip))
-        lid = get_num_layer_for_vit(_flax_path_for(name), n) if vals is not None else 0
+        lid = get_num_layer_for_vit(path_fn(name), n) if vals is not None else 0
         scale = float(vals[lid]) if vals is not None else 1.0
         key = (no_wd, scale)
         buckets.setdefault(key, []).append(p)
@@ -330,14 +332,209 @@ def build_torch_optimizer(twin: nn.Module, base_lr: float, weight_decay: float,
     return opt
 
 
-def torch_step(twin, opt, loss, lr, wd, clip_grad):
-    """One reference-style update: per-group lr/wd write-in, clip, step."""
+def torch_step(twin, opt, loss, lr, wd, clip_grad=None):
+    """One reference-style update: per-group lr/wd write-in, clip, step.
+    ``clip_grad=None`` skips clipping (the seg stage, like mmseg's default
+    optimizer_config)."""
     for g in opt.param_groups:
         g["lr"] = lr * g.get("lr_scale", 1.0)
         if g.get("wd_on", g["weight_decay"] > 0):
             g["weight_decay"] = wd
     opt.zero_grad()
     loss.backward()
-    torch.nn.utils.clip_grad_norm_(
-        [p for g in opt.param_groups for p in g["params"]], clip_grad)
+    if clip_grad is not None:
+        torch.nn.utils.clip_grad_norm_(
+            [p for g in opt.param_groups for p in g["params"]], clip_grad)
     opt.step()
+
+
+# ---------------------------------------------------------------------------
+# Segmentation twin: EvBEiT + UPerHead + FCNHead (SURVEY §2.5 EvBEiT /
+# mem/semantic_segmentation/backbone/mem.py:277-452 + mmseg heads), matching
+# mem_tpu.models.segmentation.EncoderDecoder module for module. All resizes
+# use F.interpolate(antialias=True) — bit-matched to ops/image_ops.
+# resize_bilinear (tests/test_image_ops.py), and identical to plain
+# align_corners=False bilinear wherever the model upsamples.
+# ---------------------------------------------------------------------------
+
+
+def _interp(x, h, w):
+    if x.shape[2:] == (h, w):
+        return x
+    return F.interpolate(x, (h, w), mode="bilinear", align_corners=False,
+                         antialias=True)
+
+
+class TwinBatchNorm2d(nn.BatchNorm2d):
+    """flax-convention BatchNorm: running stats accumulate the BIASED batch
+    variance (flax.linen.BatchNorm), where stock torch uses the unbiased
+    one. Train-mode normalization is identical either way; the convention
+    only affects the accumulated eval-time stats (documented deviation —
+    negligible at production N = B*H*W, exact parity here)."""
+
+    def forward(self, x):
+        if not self.training:
+            return super().forward(x)
+        mean = x.mean(dim=(0, 2, 3))
+        var = x.var(dim=(0, 2, 3), unbiased=False)
+        with torch.no_grad():
+            m = self.momentum
+            self.running_mean.mul_(1 - m).add_(mean.detach() * m)
+            self.running_var.mul_(1 - m).add_(var.detach() * m)
+            self.num_batches_tracked += 1
+        xhat = (x - mean[None, :, None, None]) / torch.sqrt(
+            var[None, :, None, None] + self.eps)
+        return xhat * self.weight[None, :, None, None] + self.bias[None, :, None, None]
+
+
+class TwinConvModule(nn.Module):
+    """mmseg ConvModule: conv (no bias) + BN + ReLU."""
+
+    def __init__(self, cin, cout, k=3, act=True):
+        super().__init__()
+        self.conv = nn.Conv2d(cin, cout, k, padding=k // 2, bias=False)
+        self.bn = TwinBatchNorm2d(cout, eps=1e-5, momentum=0.1)
+        self.act = act
+
+    def forward(self, x):
+        x = self.bn(self.conv(x))
+        return F.relu(x) if self.act else x
+
+
+class TwinEvBEiT(nn.Module):
+    """Backbone: internal antialiased resize to img_size^2, per-block
+    rel-pos-bias ViT trunk, taps at out_indices, 4 FPN necks."""
+
+    def __init__(self, img_size=64, patch=16, in_chans=3, dim=32, depth=2,
+                 heads=2, mlp_ratio=4.0, init_values=0.1,
+                 out_indices=(0, 0, 0, 1)):
+        super().__init__()
+        grid = img_size // patch
+        self.img_size, self.grid, self.out_indices = img_size, grid, out_indices
+        self.patch_embed = TwinPatchEmbed(patch, in_chans, dim)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.blocks = nn.ModuleList([
+            TwinBlock(dim, heads, mlp_ratio, init_values, window=(grid, grid))
+            for _ in range(depth)
+        ])
+        self.fpn1_deconv1 = nn.ConvTranspose2d(dim, dim, 2, 2)
+        self.fpn1_bn = TwinBatchNorm2d(dim, eps=1e-5, momentum=0.1)
+        self.fpn1_deconv2 = nn.ConvTranspose2d(dim, dim, 2, 2)
+        self.fpn2_deconv = nn.ConvTranspose2d(dim, dim, 2, 2)
+
+    def forward(self, x):  # NCHW float
+        x = _interp(x, self.img_size, self.img_size)
+        tokens = self.patch_embed(x)
+        B = tokens.shape[0]
+        tokens = torch.cat([self.cls_token.expand(B, -1, -1), tokens], 1)
+        feats = []
+        for blk in self.blocks:
+            tokens = blk(tokens)
+            feats.append(tokens)
+        g = self.grid
+        taps = [
+            feats[i][:, 1:, :].reshape(B, g, g, -1).permute(0, 3, 1, 2)
+            for i in self.out_indices
+        ]
+        f1 = self.fpn1_deconv1(taps[0])
+        f1 = F.gelu(self.fpn1_bn(f1))  # exact (erf) gelu, like flax
+        f1 = self.fpn1_deconv2(f1)
+        f2 = self.fpn2_deconv(taps[1])
+        f3 = taps[2]
+        f4 = F.max_pool2d(taps[3], 2)
+        return [f1, f2, f3, f4]
+
+
+class TwinUPerHead(nn.Module):
+    def __init__(self, num_classes, in_dim, channels=32, pool_scales=(1, 2, 3, 6)):
+        super().__init__()
+        self.pool_scales = pool_scales
+        for i in range(len(pool_scales)):
+            setattr(self, f"psp_{i}", TwinConvModule(in_dim, channels, 1))
+        self.psp_bottleneck = TwinConvModule(
+            in_dim + channels * len(pool_scales), channels, 3)
+        for i in range(3):
+            setattr(self, f"lateral_{i}", TwinConvModule(in_dim, channels, 1))
+            setattr(self, f"fpn_{i}", TwinConvModule(channels, channels, 3))
+        self.fpn_bottleneck = TwinConvModule(channels * 4, channels, 3)
+        self.conv_seg = nn.Conv2d(channels, num_classes, 1)
+
+    def forward(self, inputs):  # parity runs: dropout_ratio = 0
+        x = inputs[-1]
+        H, W = x.shape[2:]
+        psp_outs = [x]
+        for i, s in enumerate(self.pool_scales):
+            pooled = F.adaptive_avg_pool2d(x, s)
+            psp_outs.append(_interp(getattr(self, f"psp_{i}")(pooled), H, W))
+        feat = self.psp_bottleneck(torch.cat(psp_outs, 1))
+        laterals = [getattr(self, f"lateral_{i}")(inputs[i]) for i in range(3)]
+        laterals.append(feat)
+        for i in range(len(laterals) - 1, 0, -1):
+            h, w = laterals[i - 1].shape[2:]
+            laterals[i - 1] = laterals[i - 1] + _interp(laterals[i], h, w)
+        fpn_outs = [getattr(self, f"fpn_{i}")(laterals[i]) for i in range(3)]
+        fpn_outs.append(laterals[-1])
+        h0, w0 = fpn_outs[0].shape[2:]
+        fpn_outs = [fpn_outs[0]] + [_interp(f, h0, w0) for f in fpn_outs[1:]]
+        return self.conv_seg(self.fpn_bottleneck(torch.cat(fpn_outs, 1)))
+
+
+class TwinFCNHead(nn.Module):
+    def __init__(self, num_classes, in_dim, channels=16):
+        super().__init__()
+        self.conv0 = TwinConvModule(in_dim, channels, 3)
+        self.conv_seg = nn.Conv2d(channels, num_classes, 1)
+
+    def forward(self, x):
+        return self.conv_seg(self.conv0(x))
+
+
+class TwinSegEncoderDecoder(nn.Module):
+    def __init__(self, num_classes=3, img_size=64, patch=16, dim=32, depth=2,
+                 heads=2, init_values=0.1, out_indices=(0, 0, 0, 1),
+                 head_channels=32, aux_channels=16, aux_in_index=2):
+        super().__init__()
+        self.aux_in_index = aux_in_index
+        self.backbone = TwinEvBEiT(img_size, patch, 3, dim, depth, heads,
+                                   init_values=init_values,
+                                   out_indices=out_indices)
+        self.decode_head = TwinUPerHead(num_classes, dim, head_channels)
+        self.auxiliary_head = TwinFCNHead(num_classes, dim, aux_channels)
+
+    def forward(self, x):  # NCHW -> (logits, aux) at input resolution
+        H, W = x.shape[2:]
+        feats = self.backbone(x)
+        logits = self.decode_head(feats)
+        aux = self.auxiliary_head(feats[self.aux_in_index])
+        return _interp(logits, H, W), _interp(aux, H, W)
+
+
+def seg_loss_torch(logits, aux, labels, aux_weight=0.4, ignore_index=255):
+    """CE (+0.4 aux) with ignore_index, mean over valid pixels — matching
+    mem_tpu.models.segmentation.seg_loss (mmseg CrossEntropyLoss)."""
+    lab = labels.long()
+    main = F.cross_entropy(logits.float(), lab, ignore_index=ignore_index)
+    return main + aux_weight * F.cross_entropy(
+        aux.float(), lab, ignore_index=ignore_index)
+
+
+def load_flax_seg_params(twin: nn.Module, variables: dict) -> None:
+    """Load the flax EncoderDecoder variables (params + batch_stats) through
+    export_seg_params; asserts only rel-pos index buffers stay unmatched."""
+    from mem_tpu.utils.torch_import import export_seg_params
+
+    sd = to_torch_sd(export_seg_params(variables))
+    missing, unexpected = twin.load_state_dict(sd, strict=False)
+    missing = [k for k in missing
+               if not k.endswith(("relative_position_index",
+                                  "num_batches_tracked"))]
+    assert not missing, f"unmapped seg-twin params: {missing}"
+    assert not unexpected, f"unconsumed seg export keys: {unexpected}"
+
+
+def _flax_seg_path_for(name: str) -> tuple:
+    """Seg-twin torch param name -> flax-tree path (layer-decay grouping)."""
+    parts = name.split(".")
+    if len(parts) > 2 and parts[0] == "backbone" and parts[1] == "blocks":
+        parts = ["backbone", "encoder", f"blocks_{parts[2]}"] + parts[3:]
+    return ("params",) + tuple(parts)

@@ -46,3 +46,11 @@ def test_finetune_trajectory_matches_torch(result):
 def test_training_actually_learns(result):
     pre = result["pretrain_curves"]
     assert pre["loss_jax"][-1] < pre["loss_jax"][0] - 0.1
+
+
+def test_seg_trajectory_matches_torch(result):
+    s = result["seg"]
+    assert s["steps"] >= 6
+    assert s["max_rel_loss_delta"] < 1e-3, s
+    # eval parity through BOTH eval paths (BN running stats in use)
+    assert result["miou_delta"] < 1e-6, result["seg_curves"]
