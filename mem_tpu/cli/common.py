@@ -134,6 +134,34 @@ def build_pipeline(
     return folder, EventBatchIterator(folder, cfg)
 
 
+def validate_preproc_args(args) -> None:
+    """The reference's runtime config validation (assert_config,
+    eventvae/train_vae.py:21-38), with actionable messages: input extents,
+    {0,1} flags, the log/gamma mutual exclusion, hotpix/gamma bounds, and
+    the shift-vs-resolution cap. Called by every CLI that takes the shared
+    preprocessing block (the reference only guards the VAE entry point —
+    the same bad flags crash its other stages later and worse)."""
+    def chk(cond, msg):
+        if not cond:
+            raise SystemExit(f"config error: {msg}")
+
+    chk(10 < args.input_H < 1000, f"input_H {args.input_H} not in (10, 1000)")
+    chk(10 < args.input_W < 1000, f"input_W {args.input_W} not in (10, 1000)")
+    for f in ("timesurface", "logtrafo", "gammatrafo", "hotpixfilter"):
+        v = getattr(args, f)
+        chk(v in (0, 1), f"{f} must be 0 or 1, got {v}")
+    chk(not (args.logtrafo and args.gammatrafo),
+        "logtrafo and gammatrafo are mutually exclusive")
+    chk(0 < args.hotpix_num_stds < 30,
+        f"hotpix_num_stds {args.hotpix_num_stds} not in (0, 30)")
+    chk(0 < args.gamma < 5, f"gamma {args.gamma} not in (0, 5)")
+    s = args.max_random_shift_evs
+    chk(0 <= s < 200, f"max_random_shift_evs {s} not in [0, 200)")
+    chk(s / args.input_H < 0.15 and s / args.input_W < 0.15,
+        f"max_random_shift_evs {s} exceeds 15% of the input extent "
+        f"({args.input_H}x{args.input_W})")
+
+
 def add_preprocessing_args(parser) -> None:
     """The shared preprocessing flag block (run_mem_pretraining.py:48-57)."""
     parser.add_argument("--timesurface", type=int, default=0)

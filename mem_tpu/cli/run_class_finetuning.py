@@ -18,7 +18,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mem_tpu.cli.common import add_preprocessing_args, build_preproc, build_pipeline
+from mem_tpu.cli.common import (add_preprocessing_args, build_preproc,
+                                build_pipeline, validate_preproc_args)
 from mem_tpu.models import create_model
 from mem_tpu.parallel import get_mesh, init_distributed, replicate, shard_batch
 from mem_tpu.train.mixup import make_mixup
@@ -95,6 +96,9 @@ def get_args(argv=None):
     p.add_argument("--zero1", type=int, default=0,
                    help="shard optimizer moments over the data axis "
                         "(ZeRO-1 role; see run_mem_pretraining)")
+    p.add_argument("--fsdp", type=int, default=0,
+                   help="fully-sharded data parallelism (ZeRO-3 role; "
+                        "see run_mem_pretraining)")
     p.add_argument("--save_ckpt_freq", "--class_save_ckpt_freq", type=int, default=25)
     p.add_argument("--output_dir", type=str, default="./ft_out")
     p.add_argument("--seed", type=int, default=0)
@@ -106,6 +110,12 @@ def get_args(argv=None):
                         "checkpoint and exit with code 3 so "
                         "scripts/run_resilient.sh relaunches (0 = off)")
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--dump_samples_dir", type=str, default=None,
+                   help="dump the first --dump_samples_n epoch-0 "
+                        "preprocessed samples as channel panels (the "
+                        "reference's DUMB_DATA_HUMAN_CLASSIFIER debug dump, "
+                        "engine_for_finetuning.py:19,60-74)")
+    p.add_argument("--dump_samples_n", type=int, default=64)
     p.add_argument("--int8", type=int, default=0,
                    help="W8A8 int8 GEMMs on eval/serving forwards "
                         "(mem_tpu/ops/quant.py; ~2x MXU rate on v5e). "
@@ -117,6 +127,7 @@ def get_args(argv=None):
 
 def main(argv=None):
     args = get_args(argv)
+    validate_preproc_args(args)
     if args.int8:
         from mem_tpu.models import vit as _vit
 
@@ -232,7 +243,7 @@ def main(argv=None):
     from mem_tpu.parallel.mesh import place_train_state
 
     params, opt_state = place_train_state(
-        params, opt_state, mesh, zero1=bool(args.zero1))
+        params, opt_state, mesh, zero1=bool(args.zero1), fsdp=bool(args.fsdp))
     ema_params = replicate(ema_params, mesh)
 
     mixup_fn = make_mixup(
@@ -257,7 +268,7 @@ def main(argv=None):
         if payload is not None:
             params, opt_state = place_train_state(
                 payload["params"], payload["opt_state"], mesh,
-                zero1=bool(args.zero1))
+                zero1=bool(args.zero1), fsdp=bool(args.fsdp))
             ema_params = replicate(payload["ema"], mesh)
             best_acc = float(payload.get("best_acc", 0.0))
 
@@ -273,6 +284,24 @@ def main(argv=None):
         stats = evaluate(params)
         print(f"* eval acc1 {stats['acc1']:.2f} acc5 {stats['acc5']:.2f}")
         return
+
+    if args.dump_samples_dir and start_epoch == 0 and jax.process_index() == 0:
+        # the reference's DUMB_DATA_HUMAN_CLASSIFIER epoch-0 debug dump
+        # (engine_for_finetuning.py:19,60-74): preprocessed samples as
+        # channel panels for eyeballing the pipeline
+        from mem_tpu.data.device_pipeline import preprocess_batch
+        from mem_tpu.utils.visualize import dump_sample_panels
+
+        dump_prep = jax.jit(lambda b: preprocess_batch(b, preproc_train, True))
+        idx = 0
+        for batch in train_it.epoch(0):
+            imgs = np.asarray(dump_prep(batch))
+            take = min(args.dump_samples_n - idx, imgs.shape[0])
+            idx = dump_sample_panels(args.dump_samples_dir, imgs[:take],
+                                     start=idx)
+            if idx >= args.dump_samples_n:
+                break
+        print(f"dumped {idx} sample panels to {args.dump_samples_dir}")
 
     run = maybe_wandb(bool(args.wandb), project="mem_finetuning_classification",
                       group=f"{args.expweek}_{args.expname}")

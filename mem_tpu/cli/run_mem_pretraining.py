@@ -25,7 +25,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mem_tpu.cli.common import add_preprocessing_args, build_preproc, build_pipeline
+from mem_tpu.cli.common import (add_preprocessing_args, build_preproc,
+                                build_pipeline, validate_preproc_args)
 from mem_tpu.models import create_model
 from mem_tpu.models.discrete_vae import DiscreteVAE
 from mem_tpu.parallel import get_mesh, init_distributed, replicate, shard_batch
@@ -141,6 +142,11 @@ def get_args(argv=None):
                    help="shard optimizer moments over the data axis (ZeRO-1 "
                         "role; 2x-params HBM drops to 2x/N). Numerically "
                         "identical — GSPMD inserts the collectives")
+    p.add_argument("--fsdp", type=int, default=0,
+                   help="fully-sharded data parallelism (ZeRO-3 role): "
+                        "params AND optimizer moments shard over the data "
+                        "axis; GSPMD inserts per-layer all-gathers and "
+                        "gradient reduce-scatters. Numerically identical")
     return p.parse_args(argv)
 
 
@@ -244,6 +250,7 @@ def _dump_recon_panel(args, vae, vae_params, preproc, batch, epoch, tag=None):
 
 def main(argv=None):
     args = get_args(argv)
+    validate_preproc_args(args)
     init_distributed()
     os.makedirs(args.output_dir, exist_ok=True)
     mesh = get_mesh(tp=args.tp)
@@ -346,7 +353,8 @@ def main(argv=None):
     from mem_tpu.parallel.mesh import place_train_state
 
     params, opt_state = place_train_state(
-        params, opt_state, mesh, tp=args.tp, zero1=bool(args.zero1))
+        params, opt_state, mesh, tp=args.tp, zero1=bool(args.zero1),
+        fsdp=bool(args.fsdp))
 
     if args.MAE:
         train_step = make_mae_train_step(model, tx, preproc_train)
@@ -366,7 +374,7 @@ def main(argv=None):
         if payload is not None:
             params, opt_state = place_train_state(
                 payload["params"], payload["opt_state"], mesh,
-                tp=args.tp, zero1=bool(args.zero1))
+                tp=args.tp, zero1=bool(args.zero1), fsdp=bool(args.fsdp))
 
     run = maybe_wandb(bool(args.wandb), project="mem_pretraining",
                       group=f"{args.expweek}_{args.expname}")

@@ -93,6 +93,12 @@ def get_args(argv=None):
     p.add_argument("--compact_wire", type=int, default=1,
                    help="ship events as int16 [x, y, p] (t is unused by the "
                         "seg raster). 0 = full f32 (N, 4) wire format")
+    p.add_argument("--dump_samples_dir", type=str, default=None,
+                   help="dump the first --dump_samples_n preprocessed "
+                        "(image | colorized annotation) panels before "
+                        "training (the reference pipeline's SaveToDisk "
+                        "debug op, EventDataset.py:682-708)")
+    p.add_argument("--dump_samples_n", type=int, default=16)
     p.add_argument("--output_dir", type=str, default="./seg_out")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=4)
@@ -242,6 +248,25 @@ def main(argv=None):
             # drop padded duplicates' contribution approximately by scaling
             cm += np.asarray(out) * (n_real / b["label"].shape[0])
         return seg_metrics(cm)
+
+    if args.dump_samples_dir and start_iter == 0 and jax.process_index() == 0:
+        # the reference seg pipeline's SaveToDisk debug op
+        # (EventDataset.py:682-708): preprocessed image + annotation PNGs
+        from mem_tpu.utils.visualize import dump_sample_panels
+
+        dump_prep = jax.jit(lambda b: seg_preprocess_batch(
+            b, True, bool(args.rand_aug), bool(args.rand_aug_batch_ops),
+            y_sorted=bool(args.presort_y)))
+        idx = 0
+        for b in train_it.batches():
+            di, dl = dump_prep(jax.tree.map(jnp.asarray, b))
+            take = min(args.dump_samples_n - idx, int(di.shape[0]))
+            idx = dump_sample_panels(args.dump_samples_dir,
+                                     np.asarray(di)[:take],
+                                     labels=np.asarray(dl)[:take], start=idx)
+            if idx >= args.dump_samples_n:
+                break
+        print(f"dumped {idx} sample panels to {args.dump_samples_dir}")
 
     logger = MetricLogger()
     from mem_tpu.utils.preemption import (RESTART_EXIT_CODE, GracefulShutdown,

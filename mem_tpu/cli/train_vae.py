@@ -18,7 +18,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from mem_tpu.cli.common import add_preprocessing_args, build_preproc, build_pipeline
+from mem_tpu.cli.common import (add_preprocessing_args, build_preproc,
+                                build_pipeline, validate_preproc_args)
 from mem_tpu.models.discrete_vae import DiscreteVAE
 from mem_tpu.parallel import get_mesh, init_distributed, replicate, shard_batch
 from mem_tpu.train.schedules import VaeAnnealState
@@ -69,6 +70,7 @@ def get_args(argv=None):
 
 def main(argv=None):
     args = get_args(argv)
+    validate_preproc_args(args)
     init_distributed()
     os.makedirs(args.output_dir, exist_ok=True)
 

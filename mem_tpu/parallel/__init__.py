@@ -4,6 +4,9 @@ from mem_tpu.parallel.mesh import (
     shard_batch,
     shard_params,
     shard_opt_state_zero1,
+    shard_fsdp,
+    fsdp_specs,
+    place_train_state,
     replicate,
     unreplicate,
     psum_metrics,

@@ -114,17 +114,63 @@ def shard_opt_state_zero1(opt_state, mesh: Mesh, axis_name: str = "data"):
     )
 
 
-def place_train_state(params, opt_state, mesh: Mesh, tp: int = 1, zero1: bool = False):
+def fsdp_specs(tree, mesh: Mesh, axis_name: str = "data"):
+    """FSDP / ZeRO-3-style PartitionSpec tree: every leaf shards its LARGEST
+    dimension divisible by the axis size (ties -> first such dim);
+    scalars/odd shapes stay replicated.
+
+    The JAX idiom for fully-sharded data parallelism is exactly this one
+    annotation: with params (and optimizer moments) sharded over the same
+    mesh axis as the batch, GSPMD inserts a per-layer all-gather where each
+    weight is consumed in forward/backward and a reduce-scatter for its
+    gradient — the ZeRO-3 schedule, derived by the compiler instead of
+    hand-written bucketing hooks (reference analogue: the DeepSpeed ZeRO
+    scaffolding the reference declares but never enables, SURVEY §2.8).
+
+    Per-chip memory: params + both Adam moments drop to 1/N (vs ZeRO-1's
+    moments-only 1/N), at the cost of gathering each layer's weights on
+    use — the right trade once a model outgrows replicated-params HBM.
+    """
+    n = mesh.shape[axis_name]
+
+    def spec(leaf):
+        shape = getattr(leaf, "shape", ())
+        best = -1
+        for i, d in enumerate(shape):
+            if d > 0 and d % n == 0 and (best < 0 or d > shape[best]):
+                best = i
+        if best < 0:
+            return P()
+        dims = [None] * len(shape)
+        dims[best] = axis_name
+        return P(*dims)
+
+    return jax.tree.map(spec, tree)
+
+
+def shard_fsdp(tree, mesh: Mesh, axis_name: str = "data"):
+    """Place a pytree (params or optimizer state) with FSDP sharding."""
+    specs = fsdp_specs(tree, mesh, axis_name)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+    )
+
+
+def place_train_state(params, opt_state, mesh: Mesh, tp: int = 1,
+                      zero1: bool = False, fsdp: bool = False):
     """Place (params, opt_state) on the mesh under the active parallelism
-    config: TP shards both by tp_param_specs; ZeRO-1 replicates params and
-    shards the optimizer moments; plain DP replicates both.
+    config: TP shards both by tp_param_specs; FSDP shards both over the data
+    axis (ZeRO-3); ZeRO-1 replicates params and shards the optimizer
+    moments; plain DP replicates both.
 
     Used at init AND after checkpoint restore — restoring with a plain
-    ``replicate`` would silently drop the ZeRO-1/TP sharding and re-inflate
-    per-chip optimizer HBM in exactly the configs that needed it.
+    ``replicate`` would silently drop the ZeRO-1/TP/FSDP sharding and
+    re-inflate per-chip HBM in exactly the configs that needed it.
     """
     if tp > 1:
         return shard_params(params, mesh), shard_params(opt_state, mesh)
+    if fsdp:
+        return shard_fsdp(params, mesh), shard_fsdp(opt_state, mesh)
     if zero1:
         return replicate(params, mesh), shard_opt_state_zero1(opt_state, mesh)
     return replicate(params, mesh), replicate(opt_state, mesh)

@@ -100,3 +100,32 @@ def save_png(path: str, img: np.ndarray) -> None:
     from PIL import Image
 
     Image.fromarray(img).save(path)
+
+
+def dump_sample_panels(out_dir: str, images: np.ndarray,
+                       labels: Optional[np.ndarray] = None,
+                       start: int = 0) -> int:
+    """Human-in-the-loop preprocessed-sample dumps — the role of the
+    reference's DUMB_DATA_HUMAN_CLASSIFIER epoch-0 loop
+    (engine_for_finetuning.py:19,60-74: channel 0 | channel 2 side by side
+    per sample) and the seg pipeline's SaveToDisk op
+    (EventDataset.py:682-708: img + gt_semantic_seg PNGs). ``images`` is
+    (B, H, W, 3) float; classification dumps count-channel panels, seg
+    (``labels`` given, (B, H, W) int) dumps image | colorized annotation.
+    Returns the next sample index."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    images = np.asarray(images)
+    for i in range(images.shape[0]):
+        im = images[i]
+        if labels is not None:
+            panel = grid([event_image_to_rgb(im),
+                          colorize_labels(np.asarray(labels)[i])], cols=2)
+        else:
+            h, w, _ = im.shape
+            ch = [np.repeat(_to_u8(im[..., c])[..., None], 3, -1)
+                  for c in (0, 2)]
+            panel = grid(ch, cols=2)
+        save_png(os.path.join(out_dir, f"{start + i:05d}.png"), panel)
+    return start + images.shape[0]

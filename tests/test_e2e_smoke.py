@@ -112,9 +112,13 @@ def test_finetune_stage(synth_dataset, pretrain_dir, tmp_path):
         "--lr", "2e-3", "--warmup_epochs", "0", "--layer_decay", "0.9",
         "--save_ckpt_freq", "2", "--auto_resume", "0", "--model_ema", "1",
         "--mixup_prob", "0",
+        "--dump_samples_dir", str(tmp_path / "ftdump"),
+        "--dump_samples_n", "6",
         *COMMON,
     ])
     assert os.path.isdir(os.path.join(out, "checkpoint-best"))
+    # DUMB_DATA_HUMAN_CLASSIFIER-role epoch-0 debug dump
+    assert len(os.listdir(tmp_path / "ftdump")) == 6
 
 
 def test_mae_variant(synth_dataset, tmp_path):
@@ -131,6 +135,28 @@ def test_mae_variant(synth_dataset, tmp_path):
         "--mae_decoder_emb", "16", "--mae_decoder_depth", "1",
         "--mae_decoder_heads", "2",
         "--lr", "1e-3", "--warmup_epochs", "0", "--save_ckpt_freq", "1",
+        "--auto_resume", "0", "--color_jitter", "0",
+        *COMMON,
+    ])
+    assert os.path.isdir(os.path.join(out, "checkpoint-final"))
+
+
+def test_pretrain_fsdp_flag(synth_dataset, vae_dir, tmp_path):
+    """--fsdp drives the real CLI end to end (place_train_state sharding,
+    donated steps, checkpoint save) on the 8-device mesh."""
+    from mem_tpu.cli.run_mem_pretraining import main
+
+    out = str(tmp_path / "pt_fsdp")
+    main([
+        "--data_path", synth_dataset, "--output_dir", out,
+        "--discrete_vae_weight_path", os.path.join(vae_dir, "checkpoint-final"),
+        "--fsdp", "1",
+        "--epochs", "1", "--batch_size", "8",
+        "--num_layers", "2",
+        "--transformer_emb", "32", "--transformer_depth", "2",
+        "--transformer_heads", "2", "--num_tokens", "32",
+        "--num_mask_patches", "32", "--min_mask_patches_per_block", "4",
+        "--lr", "1e-3", "--warmup_epochs", "1", "--save_ckpt_freq", "1",
         "--auto_resume", "0", "--color_jitter", "0",
         *COMMON,
     ])

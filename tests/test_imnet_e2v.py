@@ -96,6 +96,7 @@ def test_imnet_pretrain_e2e(jpeg_dataset, tmp_path):
         "--discrete_vae_weight_path", os.path.join(vae_dir, "checkpoint-final"),
         "--epochs", "1", "--batch_size", "8",
         "--input_H", "32", "--input_W", "32",
+        "--max_random_shift_evs", "2",
         "--num_layers", "2",
         "--transformer_emb", "32", "--transformer_depth", "2",
         "--transformer_heads", "2", "--num_tokens", "32",

@@ -175,3 +175,59 @@ def test_zero1_opt_sharding_matches_replicated(rng):
         runs.append(jax.tree.map(np.asarray, p))
     for a, b in zip(jax.tree.leaves(runs[0]), jax.tree.leaves(runs[1])):
         np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
+
+
+def test_fsdp_matches_replicated(rng):
+    """FSDP (ZeRO-3: params AND moments sharded over 'data') is numerically
+    identical to replicated DP on a 2-layer MLP, the placement really
+    shards, and the sharding SURVIVES the donated update step (a step that
+    silently re-replicated params would defeat the memory saving)."""
+    from mem_tpu.parallel.mesh import fsdp_specs, place_train_state
+    from mem_tpu.train.optim import create_optimizer
+
+    mesh = get_mesh()
+    w = {"fc1": {"kernel": jnp.asarray(rng.standard_normal((8, 32)), jnp.float32),
+                 "bias": jnp.zeros((32,), jnp.float32)},
+         "fc2": {"kernel": jnp.asarray(rng.standard_normal((32, 8)), jnp.float32),
+                 "bias": jnp.zeros((8,), jnp.float32)},
+         "scale": jnp.ones((3,), jnp.float32)}  # 3 % 8 != 0 -> replicated
+    x = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((16, 8)), jnp.float32)
+    tx = create_optimizer(w, lambda s: 1e-2, weight_decay=0.01, clip_grad=1.0)
+
+    specs = fsdp_specs(w, mesh)
+    assert specs["fc1"]["kernel"] == P(None, "data")  # largest dim (32)
+    assert specs["fc1"]["bias"] == P("data")
+    assert specs["fc2"]["kernel"] == P("data", None)
+    assert specs["scale"] == P()
+
+    def loss(p, x, y):
+        h = jnp.tanh(x @ p["fc1"]["kernel"] + p["fc1"]["bias"])
+        out = h @ p["fc2"]["kernel"] + p["fc2"]["bias"]
+        return jnp.mean((out - y) ** 2)
+
+    @jax.jit
+    def step(p, o, x, y):
+        import optax
+
+        g = jax.grad(loss)(p, x, y)
+        up, o = tx.update(g, o, p)
+        return optax.apply_updates(p, up), o
+
+    x_s = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    runs = []
+    for fsdp in (False, True):
+        p, o = place_train_state(w, tx.init(w), mesh, fsdp=fsdp)
+        if fsdp:
+            k = p["fc1"]["kernel"]
+            assert {s.data.shape for s in k.addressable_shards} == {(8, 4)}
+            mu1 = o.mu["fc1"]["kernel"]
+            assert {s.data.shape for s in mu1.addressable_shards} == {(8, 4)}
+        for i in range(3):
+            p, o = step(p, o, x_s, y + i)
+        if fsdp:
+            assert p["fc1"]["kernel"].sharding.spec == P(None, "data"), \
+                "FSDP sharding lost across the update step"
+        runs.append(jax.tree.map(np.asarray, p))
+    for a, b in zip(jax.tree.leaves(runs[0]), jax.tree.leaves(runs[1])):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

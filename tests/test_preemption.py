@@ -42,6 +42,7 @@ def test_sigterm_saves_and_resumes(synth, tmp_path):
         "--save_ckpt_freq", "1000", "--eval_freq", "1000",
         "--auto_resume", "1",
         "--input_H", "32", "--input_W", "32", "--slice_max_evs", "2000",
+"--max_random_shift_evs", "2",
         "--hotpixfilter", "0", "--rand_aug", "0", "--num_workers", "0",
         "--wandb", "0", "--dtype", "float32",
     ]
@@ -119,6 +120,7 @@ def test_rss_recycle_relaunch_loop(synth, tmp_path):
          "--save_ckpt_freq", "1000", "--eval_freq", "1000",
          "--auto_resume", "1", "--rss_restart_gb", "0.001",
          "--input_H", "32", "--input_W", "32", "--slice_max_evs", "2000",
+"--max_random_shift_evs", "2",
          "--hotpixfilter", "0", "--rand_aug", "0", "--num_workers", "0",
          "--wandb", "0", "--dtype", "float32"],
         env=env, cwd=repo, capture_output=True, text=True, timeout=900,

@@ -60,6 +60,7 @@ def test_triggered_dump_writes_panel(tmp_path):
         "--discrete_vae_weight_path", os.path.join(vae_dir, "checkpoint-final"),
         "--epochs", "1", "--batch_size", "8",
         "--input_H", "32", "--input_W", "32", "--num_layers", "2",
+        "--max_random_shift_evs", "2",
         "--transformer_emb", "32", "--transformer_depth", "2",
         "--transformer_heads", "2", "--num_tokens", "32",
         "--num_mask_patches", "16", "--min_mask_patches_per_block", "4",

@@ -136,8 +136,12 @@ def test_seg_train_smoke(synth_seg_dataset, tmp_path):
         "--save_interval", "1000", "--rand_aug", "1",
         "--slice_max_evs", "5000",
         "--auto_resume", "0", "--dtype", "float32",
+        "--dump_samples_dir", str(tmp_path / "segdump"),
+        "--dump_samples_n", "4",
     ])
     assert os.path.isdir(os.path.join(out, "checkpoint-final"))
+    # SaveToDisk-role debug dump: image | colorized-ann panels
+    assert len(os.listdir(tmp_path / "segdump")) == 4
 
     # eval CLI on the trained checkpoint (tools/test.py surface)
     from mem_tpu.cli.test_seg import main as test_main
