@@ -110,6 +110,10 @@ def get_args(argv=None):
                         "checkpoint and exit with code 3 so "
                         "scripts/run_resilient.sh relaunches (0 = off)")
     p.add_argument("--eval", action="store_true")
+    p.add_argument("--eval_dump", type=str, default=None,
+                   help="with --eval: write per-sample top-5 predictions "
+                        "as JSON lines (the result-dump role of the seg "
+                        "test surface's --out pickle)")
     p.add_argument("--dump_samples_dir", type=str, default=None,
                    help="dump the first --dump_samples_n epoch-0 "
                         "preprocessed samples as channel panels (the "
@@ -144,7 +148,7 @@ def main(argv=None):
         args, "train", True, local_micro, seed=args.seed,
         num_workers=args.num_workers, shard_id=jax.process_index(), num_shards=nproc,
     )
-    _, val_it = build_pipeline(
+    ds_val, val_it = build_pipeline(
         args, "val", False, local_micro, seed=args.seed,
         num_workers=args.num_workers, shard_id=jax.process_index(), num_shards=nproc,
     )
@@ -281,6 +285,28 @@ def main(argv=None):
         return {k: m.global_avg for k, m in vlog.meters.items()}
 
     if args.eval:
+        if args.eval_dump:
+            import json as _json
+
+            pred_step = make_finetune_eval_step(model, preproc_val,
+                                                with_predictions=True)
+            os.makedirs(os.path.dirname(args.eval_dump) or ".", exist_ok=True)
+            n_val = len(ds_val)  # final batch is wrap-padded: stop at
+            with open(args.eval_dump, "w") as f:  # the true sample count
+                idx = 0
+                for batch in val_it.epoch(0):
+                    out = pred_step(params, shard_batch(batch, mesh))
+                    ids = np.asarray(out["topk_ids"])
+                    probs = np.asarray(out["topk_probs"])
+                    for i in range(min(ids.shape[0], n_val - idx)):
+                        f.write(_json.dumps({
+                            "index": idx, "label": int(batch["label"][i]),
+                            "topk_ids": ids[i].tolist(),
+                            "topk_probs": [round(float(p), 6)
+                                           for p in probs[i]],
+                        }) + "\n")
+                        idx += 1
+            print(f"wrote per-sample predictions to {args.eval_dump}")
         stats = evaluate(params)
         print(f"* eval acc1 {stats['acc1']:.2f} acc5 {stats['acc5']:.2f}")
         return

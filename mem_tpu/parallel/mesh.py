@@ -166,7 +166,17 @@ def place_train_state(params, opt_state, mesh: Mesh, tp: int = 1,
     Used at init AND after checkpoint restore — restoring with a plain
     ``replicate`` would silently drop the ZeRO-1/TP/FSDP sharding and
     re-inflate per-chip HBM in exactly the configs that needed it.
+
+    The modes are mutually exclusive placements (TP shards over 'model',
+    FSDP/ZeRO-1 over 'data'; FSDP subsumes ZeRO-1) — combining them needs
+    a bespoke spec tree, so ambiguous requests fail loudly here rather
+    than silently picking one.
     """
+    if sum([tp > 1, fsdp, zero1]) > 1:
+        raise ValueError(
+            f"tp={tp}, fsdp={fsdp}, zero1={zero1}: pick one placement mode "
+            "(TP shards over 'model'; FSDP shards params+moments over "
+            "'data' and already subsumes ZeRO-1)")
     if tp > 1:
         return shard_params(params, mesh), shard_params(opt_state, mesh)
     if fsdp:

@@ -244,19 +244,31 @@ def make_finetune_train_step(
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
-def make_finetune_eval_step(model, preproc: PreprocConfig):
+def make_finetune_eval_step(model, preproc: PreprocConfig,
+                            with_predictions: bool = False):
+    """``with_predictions=True`` additionally returns per-sample top-k ids
+    and probabilities (the result-dump role of the reference seg test
+    surface's ``--out`` pickle, semantic_segmentation/tools/test.py; the
+    classification stages have no reference analogue)."""
+    k = 5
+
     def step(params, batch):
         images = preprocess_batch(batch, preproc, is_train=False)
         logits = model.apply(params, images).astype(jnp.float32)
         targets = batch["label"]
         lp = jnp.take_along_axis(jax.nn.log_softmax(logits, -1), targets[:, None], -1)[:, 0]
         top1 = (jnp.argmax(logits, -1) == targets).astype(jnp.float32)
-        top5_ids = jax.lax.top_k(logits, min(5, logits.shape[-1]))[1]
-        top5 = jnp.any(top5_ids == targets[:, None], axis=-1).astype(jnp.float32)
-        return {
+        topk_p, topk_ids = jax.lax.top_k(
+            jax.nn.softmax(logits, -1), min(k, logits.shape[-1]))
+        top5 = jnp.any(topk_ids == targets[:, None], axis=-1).astype(jnp.float32)
+        out = {
             "loss": -jnp.mean(lp),
             "acc1": jnp.mean(top1) * 100.0,
             "acc5": jnp.mean(top5) * 100.0,
         }
+        if with_predictions:
+            out["topk_ids"] = topk_ids
+            out["topk_probs"] = topk_p
+        return out
 
     return jax.jit(step)

@@ -120,6 +120,21 @@ def test_finetune_stage(synth_dataset, pretrain_dir, tmp_path):
     # DUMB_DATA_HUMAN_CLASSIFIER-role epoch-0 debug dump
     assert len(os.listdir(tmp_path / "ftdump")) == 6
 
+    # eval-only pass against the trained run, with per-sample predictions
+    dump = str(tmp_path / "preds.jsonl")
+    main([
+        "--data_path", synth_dataset, "--output_dir", out,
+        "--eval", "--eval_dump", dump, "--auto_resume", "1",
+        "--batch_size", "8", "--num_layers", "2",
+        "--transformer_emb", "32", "--transformer_depth", "2",
+        "--transformer_heads", "2",
+        *COMMON,
+    ])
+    rows = [json.loads(l) for l in open(dump)]
+    assert len(rows) == 8  # val set size
+    assert all(len(r["topk_ids"]) == 2 for r in rows)  # top-min(5, classes)
+    assert all(abs(sum(r["topk_probs"]) - 1.0) < 1e-3 for r in rows)
+
 
 def test_mae_variant(synth_dataset, tmp_path):
     from mem_tpu.cli.run_mem_pretraining import main

@@ -231,3 +231,16 @@ def test_fsdp_matches_replicated(rng):
         runs.append(jax.tree.map(np.asarray, p))
     for a, b in zip(jax.tree.leaves(runs[0]), jax.tree.leaves(runs[1])):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_place_train_state_rejects_mode_combinations():
+    import pytest
+
+    from mem_tpu.parallel.mesh import place_train_state
+
+    mesh = get_mesh()
+    w = {"w": jnp.zeros((8, 8), jnp.float32)}
+    with pytest.raises(ValueError, match="placement mode"):
+        place_train_state(w, w, mesh, tp=2, fsdp=True)
+    with pytest.raises(ValueError, match="placement mode"):
+        place_train_state(w, w, mesh, zero1=True, fsdp=True)
