@@ -134,13 +134,17 @@ def build_pipeline(
     return folder, EventBatchIterator(folder, cfg)
 
 
-def validate_preproc_args(args) -> None:
+def validate_preproc_args(args, train: bool = True) -> None:
     """The reference's runtime config validation (assert_config,
     eventvae/train_vae.py:21-38), with actionable messages: input extents,
     {0,1} flags, the log/gamma mutual exclusion, hotpix/gamma bounds, and
     the shift-vs-resolution cap. Called by every CLI that takes the shared
     preprocessing block (the reference only guards the VAE entry point —
-    the same bad flags crash its other stages later and worse)."""
+    the same bad flags crash its other stages later and worse).
+
+    ``train=False`` (eval-only runs) skips the random-shift cap: eval
+    pipelines force the shift to 0 (build_pipeline), so the default
+    --max_random_shift_evs must not reject small-input eval invocations."""
     def chk(cond, msg):
         if not cond:
             raise SystemExit(f"config error: {msg}")
@@ -157,9 +161,10 @@ def validate_preproc_args(args) -> None:
     chk(0 < args.gamma < 5, f"gamma {args.gamma} not in (0, 5)")
     s = args.max_random_shift_evs
     chk(0 <= s < 200, f"max_random_shift_evs {s} not in [0, 200)")
-    chk(s / args.input_H < 0.15 and s / args.input_W < 0.15,
-        f"max_random_shift_evs {s} exceeds 15% of the input extent "
-        f"({args.input_H}x{args.input_W})")
+    if train:
+        chk(s / args.input_H < 0.15 and s / args.input_W < 0.15,
+            f"max_random_shift_evs {s} exceeds 15% of the input extent "
+            f"({args.input_H}x{args.input_W})")
 
 
 def add_preprocessing_args(parser) -> None:

@@ -131,7 +131,9 @@ def get_args(argv=None):
 
 def main(argv=None):
     args = get_args(argv)
-    validate_preproc_args(args)
+    validate_preproc_args(args, train=not args.eval)
+    from mem_tpu.utils.preemption import validate_rss_flag
+    validate_rss_flag(args.rss_restart_gb)
     if args.int8:
         from mem_tpu.models import vit as _vit
 
@@ -263,7 +265,12 @@ def main(argv=None):
 
     start_epoch = 0
     best_acc = 0.0
-    if args.auto_resume and not args.eval:
+    if args.auto_resume:
+        # --eval also resumes: evaluating/dumping predictions against the
+        # run in --output_dir needs the TRAINED params, not the init (the
+        # reference's eval path equally goes through auto_load_model).
+        # A --finetune checkpoint still wins when output_dir holds no
+        # checkpoint (auto_resume returns None then).
         payload, start_epoch = auto_resume(
             args.output_dir,
             {"params": params, "opt_state": opt_state, "ema": ema_params,
@@ -275,6 +282,9 @@ def main(argv=None):
                 zero1=bool(args.zero1), fsdp=bool(args.fsdp))
             ema_params = replicate(payload["ema"], mesh)
             best_acc = float(payload.get("best_acc", 0.0))
+            if args.eval:
+                print(f"eval: restored checkpoint from {args.output_dir} "
+                      f"(epoch {start_epoch})")
 
     def evaluate(p):
         vlog = MetricLogger()
@@ -286,16 +296,28 @@ def main(argv=None):
 
     if args.eval:
         if args.eval_dump:
+            if jax.process_count() > 1:
+                raise SystemExit(
+                    "--eval_dump needs a single-process run: per-sample "
+                    "rows require fully-addressable prediction arrays and "
+                    "one writer")
             import json as _json
 
+            # one pass serves both: pred_step returns loss/acc1/acc5
+            # alongside the per-sample top-k (no second eval sweep/compile)
             pred_step = make_finetune_eval_step(model, preproc_val,
                                                 with_predictions=True)
             os.makedirs(os.path.dirname(args.eval_dump) or ".", exist_ok=True)
             n_val = len(ds_val)  # final batch is wrap-padded: stop at
-            with open(args.eval_dump, "w") as f:  # the true sample count
+            vlog = MetricLogger()  # the true sample count
+            with open(args.eval_dump, "w") as f:
                 idx = 0
                 for batch in val_it.epoch(0):
                     out = pred_step(params, shard_batch(batch, mesh))
+                    vlog.update(n=batch["label"].shape[0],
+                                loss=float(out["loss"]),
+                                acc1=float(out["acc1"]),
+                                acc5=float(out["acc5"]))
                     ids = np.asarray(out["topk_ids"])
                     probs = np.asarray(out["topk_probs"])
                     for i in range(min(ids.shape[0], n_val - idx)):
@@ -307,7 +329,9 @@ def main(argv=None):
                         }) + "\n")
                         idx += 1
             print(f"wrote per-sample predictions to {args.eval_dump}")
-        stats = evaluate(params)
+            stats = {k: m.global_avg for k, m in vlog.meters.items()}
+        else:
+            stats = evaluate(params)
         print(f"* eval acc1 {stats['acc1']:.2f} acc5 {stats['acc5']:.2f}")
         return
 
@@ -390,19 +414,19 @@ def main(argv=None):
             save_checkpoint(args.output_dir, "best", {
                 "params": params, "epoch": epoch, "acc1": stats["acc1"],
             })
+        # ONE payload for both save paths (drift between them would make
+        # auto_resume restore silently-missing state)
+        resumable = {
+            "params": params, "opt_state": opt_state, "ema": ema_params,
+            "epoch": epoch, "best_acc": best_acc,
+        }
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
             # non-blocking: the persist overlaps the next epoch
-            save_checkpoint(args.output_dir, epoch, {
-                "params": params, "opt_state": opt_state, "ema": ema_params,
-                "epoch": epoch, "best_acc": best_acc,
-            }, block=False)
+            save_checkpoint(args.output_dir, epoch, resumable, block=False)
 
         if rss_recycle_due(args.rss_restart_gb) and epoch + 1 < args.epochs:
             wait_for_saves()
-            save_checkpoint(args.output_dir, epoch, {
-                "params": params, "opt_state": opt_state, "ema": ema_params,
-                "epoch": epoch, "best_acc": best_acc,
-            })
+            save_checkpoint(args.output_dir, epoch, resumable)
             print(f"rss {rss_gb():.1f} GB > {args.rss_restart_gb} GB: "
                   f"recycling process (exit {RESTART_EXIT_CODE}); "
                   f"auto_resume continues at epoch {epoch + 1}", flush=True)

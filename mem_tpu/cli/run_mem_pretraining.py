@@ -251,6 +251,8 @@ def _dump_recon_panel(args, vae, vae_params, preproc, batch, epoch, tag=None):
 def main(argv=None):
     args = get_args(argv)
     validate_preproc_args(args)
+    from mem_tpu.utils.preemption import validate_rss_flag
+    validate_rss_flag(args.rss_restart_gb)
     init_distributed()
     os.makedirs(args.output_dir, exist_ok=True)
     mesh = get_mesh(tp=args.tp)
@@ -453,11 +455,12 @@ def main(argv=None):
         print(f"epoch {epoch}: {sps:.1f} samples/sec "
               f"({sps / jax.device_count():.1f}/chip)")
 
+        # ONE payload for both save paths (drift between them would make
+        # auto_resume restore silently-missing state)
+        resumable = {"params": params, "opt_state": opt_state, "epoch": epoch}
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
             # non-blocking: the persist overlaps the next epoch / eval
-            save_checkpoint(args.output_dir, epoch, {
-                "params": params, "opt_state": opt_state, "epoch": epoch,
-            }, block=False)
+            save_checkpoint(args.output_dir, epoch, resumable, block=False)
             if eval_step is not None:
                 vlog = MetricLogger()
                 first = True
@@ -473,9 +476,7 @@ def main(argv=None):
 
         if rss_recycle_due(args.rss_restart_gb) and epoch + 1 < args.epochs:
             wait_for_saves()
-            save_checkpoint(args.output_dir, epoch, {
-                "params": params, "opt_state": opt_state, "epoch": epoch,
-            })
+            save_checkpoint(args.output_dir, epoch, resumable)
             print(f"rss {rss_gb():.1f} GB > {args.rss_restart_gb} GB: "
                   f"recycling process (exit {RESTART_EXIT_CODE}); "
                   f"auto_resume continues at epoch {epoch + 1}", flush=True)

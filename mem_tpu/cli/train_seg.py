@@ -150,6 +150,8 @@ def make_seg_steps(model, tx, num_classes: int, rand_aug: bool,
 
 def main(argv=None):
     args = get_args(argv)
+    from mem_tpu.utils.preemption import validate_rss_flag
+    validate_rss_flag(args.rss_restart_gb)
     init_distributed()
     os.makedirs(args.output_dir, exist_ok=True)
     mesh = get_mesh()

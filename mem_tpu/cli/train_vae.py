@@ -71,6 +71,8 @@ def get_args(argv=None):
 def main(argv=None):
     args = get_args(argv)
     validate_preproc_args(args)
+    from mem_tpu.utils.preemption import validate_rss_flag
+    validate_rss_flag(args.rss_restart_gb)
     init_distributed()
     os.makedirs(args.output_dir, exist_ok=True)
 
@@ -203,35 +205,26 @@ def main(argv=None):
                 run.log({"test_loss": vlog.meters["loss"].global_avg,
                          "codebook_usage": len(used) / args.num_tokens, "epoch": epoch})
 
+        # ONE payload for both save paths (drift between them would make
+        # auto_resume restore silently-missing state)
+        resumable = {
+            "params": params, "opt_state": opt_state, "epoch": epoch,
+            "lr": sched.lr, "temp": sched.temp, "global_step": sched.global_step,
+            "hparams": {
+                "input_H": args.input_H, "input_W": args.input_W,
+                "num_tokens": args.num_tokens, "emb_dim": args.emb_dim,
+                "num_layers": args.num_layers,
+                "num_resnet_blocks": args.num_resnet_blocks,
+                "hidden_dim": args.hidden_dim, "loss": args.loss,
+            },
+        }
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
             # non-blocking: the persist overlaps the next epoch
-            save_checkpoint(args.output_dir, epoch, {
-                "params": params, "opt_state": opt_state,
-                "epoch": epoch,
-                "lr": sched.lr, "temp": sched.temp, "global_step": sched.global_step,
-                "hparams": {
-                    "input_H": args.input_H, "input_W": args.input_W,
-                    "num_tokens": args.num_tokens, "emb_dim": args.emb_dim,
-                    "num_layers": args.num_layers,
-                    "num_resnet_blocks": args.num_resnet_blocks,
-                    "hidden_dim": args.hidden_dim, "loss": args.loss,
-                },
-            }, block=False)
+            save_checkpoint(args.output_dir, epoch, resumable, block=False)
 
         if rss_recycle_due(args.rss_restart_gb) and epoch + 1 < args.epochs:
             wait_for_saves()
-            save_checkpoint(args.output_dir, epoch, {
-                "params": params, "opt_state": opt_state, "epoch": epoch,
-                "lr": sched.lr, "temp": sched.temp,
-                "global_step": sched.global_step,
-                "hparams": {
-                    "input_H": args.input_H, "input_W": args.input_W,
-                    "num_tokens": args.num_tokens, "emb_dim": args.emb_dim,
-                    "num_layers": args.num_layers,
-                    "num_resnet_blocks": args.num_resnet_blocks,
-                    "hidden_dim": args.hidden_dim, "loss": args.loss,
-                },
-            })
+            save_checkpoint(args.output_dir, epoch, resumable)
             print(f"rss {rss_gb():.1f} GB > {args.rss_restart_gb} GB: "
                   f"recycling process (exit {RESTART_EXIT_CODE}); "
                   f"auto_resume continues at epoch {epoch + 1}", flush=True)

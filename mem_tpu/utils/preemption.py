@@ -38,6 +38,20 @@ def rss_gb() -> float:
     return psutil.Process().memory_info().rss / 1e9
 
 
+def validate_rss_flag(limit_gb: float) -> None:
+    """Fail fast at startup when --rss_restart_gb is enabled but psutil is
+    unavailable — otherwise the ModuleNotFoundError would only surface at
+    the first epoch boundary, hours into a run, with a non-RESTART exit
+    code that makes run_resilient.sh give up."""
+    if limit_gb and limit_gb > 0:
+        try:
+            rss_gb()
+        except ImportError as e:
+            raise SystemExit(
+                f"--rss_restart_gb {limit_gb} needs psutil, which failed to "
+                f"import: {e}") from e
+
+
 def rss_recycle_due(limit_gb: float) -> bool:
     """True when the memory-recycle watchdog should trigger.
 

@@ -98,7 +98,7 @@ def test_pretrain_stage(pretrain_dir):
     assert os.path.isdir(os.path.join(pretrain_dir, "checkpoint-1"))
 
 
-def test_finetune_stage(synth_dataset, pretrain_dir, tmp_path):
+def test_finetune_stage(synth_dataset, pretrain_dir, tmp_path, capsys):
     from mem_tpu.cli.run_class_finetuning import main
 
     out = str(tmp_path / "ft")
@@ -130,6 +130,9 @@ def test_finetune_stage(synth_dataset, pretrain_dir, tmp_path):
         "--transformer_heads", "2",
         *COMMON,
     ])
+    # the eval pass must restore the TRAINED checkpoint, not evaluate the
+    # fresh init (regression guard: auto_resume used to be skipped on --eval)
+    assert "eval: restored checkpoint" in capsys.readouterr().out
     rows = [json.loads(l) for l in open(dump)]
     assert len(rows) == 8  # val set size
     assert all(len(r["topk_ids"]) == 2 for r in rows)  # top-min(5, classes)

@@ -230,7 +230,12 @@ def test_run_ss_orchestration(synth_seg_dataset, tmp_path):
     env = dict(os.environ)
     env.update({
         "PYTHONPATH": repo, "JAX_PLATFORMS": "cpu",
-        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        # 2 virtual devices, not 8: this test's subject is run-ss.sh stage
+        # chaining (8-way DP is covered in-process by test_seg_train_smoke);
+        # on a loaded 1-core box an 8-thread XLA:CPU collective rendezvous
+        # can starve past its hardcoded 40 s abort (exit 134 flake seen in
+        # full-suite runs)
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
         "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache",
         "PYTHON": sys.executable,
     })
