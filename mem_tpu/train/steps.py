@@ -148,9 +148,14 @@ def make_mae_train_step(model, tx, preproc: PreprocConfig):
         mask_rng, drop_rng = jax.random.split(rng)
 
         def loss_fn(p):
+            # mask rng passed EXPLICITLY (not via rngs={"mask": ...}):
+            # flax's make_rng would fold the key with the module path,
+            # making the shuffle noise irreproducible outside the model —
+            # the parity harness re-draws it on the host from this key
+            # (scripts/parity_trajectory.py run_mae)
             loss, _, _ = model.apply(
-                p, images, deterministic=False,
-                rngs={"mask": mask_rng, "dropout": drop_rng},
+                p, images, rng=mask_rng, deterministic=False,
+                rngs={"dropout": drop_rng},
             )
             return loss
 

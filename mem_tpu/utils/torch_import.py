@@ -173,6 +173,44 @@ def export_vit_params(params: Dict) -> Dict[str, np.ndarray]:
     return sd
 
 
+def export_mae_params(params: Dict) -> Dict[str, np.ndarray]:
+    """Flax MaskedAutoencoderViT tree -> torch state_dict for the MAE twin
+    (scripts/torch_twin.py TwinMAE) — inverse of modeling_mae.py:101-313's
+    naming. Timm blocks are fused-qkv Linear layers; patch_embed is the
+    Conv2d; cls/mask tokens pass through verbatim (the sin-cos pos embeds
+    are buffers, not params, on both sides)."""
+    p = params["params"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def lin(prefix, sub):
+        sd[f"{prefix}.weight"] = np.asarray(sub["kernel"]).T
+        sd[f"{prefix}.bias"] = np.asarray(sub["bias"])
+
+    def ln(prefix, sub):
+        sd[f"{prefix}.weight"] = np.asarray(sub["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(sub["bias"])
+
+    sd["patch_embed.weight"] = np.transpose(
+        np.asarray(p["patch_embed"]["kernel"]), (3, 2, 0, 1))
+    sd["patch_embed.bias"] = np.asarray(p["patch_embed"]["bias"])
+    sd["cls_token"] = np.asarray(p["cls_token"])
+    sd["mask_token"] = np.asarray(p["mask_token"])
+    for name, sub in p.items():
+        m = re.fullmatch(r"(decoder_)?blocks_(\d+)", name)
+        if not m:
+            continue
+        t = f"{m.group(1) or ''}blocks.{m.group(2)}"
+        ln(f"{t}.norm1", sub["norm1"])
+        ln(f"{t}.norm2", sub["norm2"])
+        for lname in ("qkv", "proj", "fc1", "fc2"):
+            lin(f"{t}.{lname}", sub[lname])
+    ln("norm", p["norm"])
+    ln("decoder_norm", p["decoder_norm"])
+    lin("decoder_embed", p["decoder_embed"])
+    lin("decoder_pred", p["decoder_pred"])
+    return sd
+
+
 def import_vae_state_dict(sd: Dict, num_layers: int, num_resnet_blocks: int) -> Dict:
     """Map the reference DiscreteVAE state_dict (eventvae/vae/vae_model.py
     Sequential indices) to our named modules."""

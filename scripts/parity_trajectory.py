@@ -3,7 +3,8 @@ twin on the SAME synthetic dataset from IDENTICAL initialization and compare
 loss/mlm_acc/top-1 curves step for step (round-2 verdict item #1b — the
 strongest quality-parity evidence available without the real datasets).
 
-Two stages, mirroring the reference pipeline:
+Five stages, mirroring every trainable pipeline in the reference:
+  0. discrete-VAE tokenizer (Gumbel softmax, per-10k anneal quirk).
   A. MEM pretraining — make_pretrain_train_step (frozen VAE tokenizer,
      masked CE, AdamW betas (0.9, 0.95), cosine LR, clip 3.0) vs a torch
      twin stepping torch.optim.AdamW with the reference's param-group
@@ -11,6 +12,10 @@ Two stages, mirroring the reference pipeline:
   B. classification finetune — surgery-imported backbone, BEiT layer decay
      0.9, label smoothing 0.1 (run_class_finetuning.py:634-709 dynamics),
      with top-1 eval parity.
+  C. DSEC segmentation — EvBEiT + UPerNet + FCN aux, poly LR, layer decay
+     0.65, mIoU through both eval paths.
+  D. MAE variant (--MAE 1) — argsort shuffle masking with shared noise,
+     pixel-MSE (modeling_mae.py:101-313 dynamics).
 
 Reference-faithful parity flags are pinned: fresh per-sample BEiT masks
 (mask_pool_size=0), per-sample host randomness, pure f32, mixup/EMA off,
@@ -351,6 +356,93 @@ def run_finetune(epochs: int, data_dir: str, pt_params, val_dir: str):
     return curves
 
 
+def run_mae(epochs: int, data_dir: str):
+    """Stage D — MAE pixel-regression pretraining parity (--MAE 1).
+
+    JAX: the production make_mae_train_step (argsort shuffle masking,
+    visible-token encoder, mask-token decoder, sin-cos pos embeds,
+    per-patch-mean-summed pixel MSE — modeling_mae.py:101-313 dynamics)
+    with AdamW betas (0.9, 0.95), cosine LR, clip 3.0. Torch twin: TwinMAE
+    through export_mae_params, consuming the identical preprocessed images
+    AND the identical shuffle ids — the step's mask noise is re-drawn on
+    the host from the same jax PRNG key, so both frameworks mask the same
+    patches every step."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from mem_tpu.data.device_pipeline import preprocess_batch
+    from mem_tpu.models.mae import MASK_RATIO, MaskedAutoencoderViT
+    from mem_tpu.train.optim import create_optimizer
+    from mem_tpu.train.schedules import as_schedule_fn, cosine_scheduler
+    from mem_tpu.train.steps import make_mae_train_step
+
+    from torch_twin import (TwinMAE, build_torch_optimizer,
+                            load_flax_mae_params, torch_step)
+
+    preproc, _, _ = build_jax_stack(jnp)
+    it = make_iterator(data_dir, True, masking=False)
+
+    DEC_DIM, DEC_DEPTH, DEC_HEADS = 32, 1, 2
+    model = MaskedAutoencoderViT(
+        img_size=IMG, patch_size=PATCH, embed_dim=DIM, depth=DEPTH,
+        num_heads=HEADS, decoder_embed_dim=DEC_DIM, decoder_depth=DEC_DEPTH,
+        decoder_num_heads=DEC_HEADS,
+    )
+    L = (IMG // PATCH) ** 2
+    len_keep = int(L * (1 - MASK_RATIO))
+
+    dummy = jnp.zeros((1, IMG, IMG, 3))
+    params = jax.jit(model.init)(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)}, dummy)
+    twin = TwinMAE(img_size=IMG, patch=PATCH, dim=DIM, depth=DEPTH,
+                   heads=HEADS, dec_dim=DEC_DIM, dec_depth=DEC_DEPTH,
+                   dec_heads=DEC_HEADS)
+    load_flax_mae_params(twin, params)
+    twin.train()
+
+    steps_per_epoch = it.steps_per_epoch()
+    total = epochs * steps_per_epoch
+    lr_arr = cosine_scheduler(1e-3, 1e-5, epochs=epochs,
+                              niter_per_ep=steps_per_epoch,
+                              warmup_steps=min(5, total // 4))
+    tx = create_optimizer(params, as_schedule_fn(lr_arr), weight_decay=0.05,
+                          clip_grad=3.0)
+    opt_state = tx.init(params)
+    jstep = make_mae_train_step(model, tx, preproc)
+    topt = build_torch_optimizer(twin, float(lr_arr[0]), 0.05,
+                                 betas=(0.9, 0.95))
+    prep = jax.jit(lambda b: preprocess_batch(b, preproc, is_train=True))
+
+    curves = {"loss_jax": [], "loss_torch": []}
+    step_i = 0
+    for epoch in range(epochs):
+        for batch in it.epoch(epoch):
+            jb = jax.tree.map(jnp.asarray, batch)
+            images = np.asarray(prep(jb))
+            step_key = jax.random.key(2000 + step_i)
+            params, opt_state, m = jstep(params, opt_state, jb, step_key)
+
+            # replicate the step's mask noise on the host: the SAME key
+            # split the production step performs (steps.py make_mae_train_step)
+            mask_rng = jax.random.split(step_key)[0]
+            noise = np.asarray(jax.random.uniform(mask_rng, (B, L)))
+            ids_shuffle = np.argsort(noise, axis=1, kind="stable")
+            ids_restore = np.argsort(ids_shuffle, axis=1, kind="stable")
+
+            timg = torch.from_numpy(images.transpose(0, 3, 1, 2).copy())
+            loss_t = twin(timg, torch.from_numpy(ids_shuffle),
+                          torch.from_numpy(ids_restore), len_keep)
+            torch_step(twin, topt, loss_t, float(lr_arr[step_i]), 0.05, 3.0)
+
+            curves["loss_jax"].append(float(m["loss"]))
+            curves["loss_torch"].append(float(loss_t.detach()))
+            step_i += 1
+        print(f"[mae e{epoch}] jax loss {curves['loss_jax'][-1]:.4f} "
+              f"torch {curves['loss_torch'][-1]:.4f}", flush=True)
+    return curves
+
+
 SEG_NCLS, SEG_DIM, SEG_DEPTH, SEG_B = 3, 32, 2, 4
 
 
@@ -539,6 +631,7 @@ def main(argv=None):
         vae_c = run_vae(args.epochs, train_dir)
         pt_params, _, pre = run_pretrain(args.epochs, train_dir)
         ft = run_finetune(args.epochs, train_dir, pt_params, val_dir)
+        mae_c = run_mae(args.epochs, train_dir)
         seg = (run_seg(seg_iters, make_seg_dataset(os.path.join(tmp, "dsec")))
                if seg_iters else None)
 
@@ -548,8 +641,10 @@ def main(argv=None):
                          - np.asarray(pre["acc_torch"])).max())
     top1_d = float(np.abs(np.asarray(ft["top1_jax"])
                           - np.asarray(ft["top1_torch"])).max())
+    s_mae = summarize("mae", mae_c)
     result = {"vae": s_vae, "pretrain": s_pre, "finetune": s_ft,
-              "vae_curves": vae_c,
+              "mae": s_mae,
+              "vae_curves": vae_c, "mae_curves": mae_c,
               "pretrain_curves": pre, "finetune_curves": ft,
               "max_mlm_acc_delta": acc_d, "max_top1_delta_pts": top1_d,
               "epochs": args.epochs}
@@ -662,6 +757,33 @@ the SAME BEiT layer-decay scales via the shared layer-id function.
 (mean rel {ft['mean_rel_loss_delta']:.2e}, max rel {ft['max_rel_loss_delta']:.2e})
 - max |Δtop-1| {r['max_top1_delta_pts']:.1f} pts
 """)
+        mae_s, mc = r.get("mae"), r.get("mae_curves")
+        if mae_s is not None:
+            f.write(f"""
+## Stage D — MAE pixel-regression pretraining (--MAE 1)
+
+JAX: the production `make_mae_train_step` (argsort shuffle masking,
+visible-token encoder, mask-token decoder, fixed sin-cos pos embeds,
+per-patch-mean-summed pixel MSE — modeling_mae.py:101-313 dynamics), AdamW
+betas (0.9, 0.95), cosine LR, clip 3.0. Torch twin:
+`torch_twin.TwinMAE` through `export_mae_params`, consuming the identical
+preprocessed images and the IDENTICAL shuffle ids (the step's mask noise is
+re-drawn on the host from the same PRNG key).
+
+| epoch | loss (jax) | loss (torch) |
+|---|---|---|
+""")
+            spe = mae_s["steps"] // r["epochs"]
+            for e in range(r["epochs"]):
+                i = (e + 1) * spe - 1
+                f.write(f"| {e} | {mc['loss_jax'][i]:.4f} | "
+                        f"{mc['loss_torch'][i]:.4f} |\n")
+            f.write(f"""
+- steps: {mae_s['steps']}; final loss {mae_s['final_loss_jax']:.4f} (jax) vs \
+{mae_s['final_loss_torch']:.4f} (torch)
+- max |Δloss| {mae_s['max_abs_loss_delta']:.2e} \
+(mean rel {mae_s['mean_rel_loss_delta']:.2e}, max rel {mae_s['max_rel_loss_delta']:.2e})
+""")
         seg_s, sc = r.get("seg"), r.get("seg_curves")
         if seg_s is not None:
             f.write(f"""
@@ -709,6 +831,7 @@ trajectory, (b) statistically indistinguishable curves after onset.
 {f"| vae | {_onset(vc)} | {vae_s['steps']} |" if vae_s is not None else ""}
 | pretrain | {_onset(pc)} | {pre['steps']} |
 | finetune | {_onset(fc)} | {ft['steps']} |
+{f"| mae | {_onset(mc)} | {mae_s['steps']} |" if mae_s is not None else ""}
 {f"| seg | {_onset(sc)} | {seg_s['steps']} |" if seg_s is not None else ""}
 
 ## What this proves / caveats
@@ -724,8 +847,10 @@ trajectory, (b) statistically indistinguishable curves after onset.
 - The seg stage pins the EvBEiT taps + FPN necks, UPerHead PPM/top-down
   fusion, the aux-head loss composition, ignore_index CE, poly LR, the
   0.65 backbone layer decay, and BOTH eval paths (mIoU through batch-norm
-  running statistics) — ALL FOUR reference training stages now have
-  trajectory-level parity.
+  running statistics); the MAE stage pins the argsort shuffle masking,
+  mask-token unshuffle, sin-cos embeds and the summed-per-patch-mean pixel
+  loss — ALL FIVE reference training stages now have trajectory-level
+  parity.
 - RandAugment/mixup are off: their parity is statistical by design
   (different RNG streams; SURVEY §7) — module-level distribution tests
   cover them (tests/test_rand_augment.py, tests/test_update_freq.py).

@@ -538,3 +538,117 @@ def _flax_seg_path_for(name: str) -> tuple:
     if len(parts) > 2 and parts[0] == "backbone" and parts[1] == "blocks":
         parts = ["backbone", "encoder", f"blocks_{parts[2]}"] + parts[3:]
     return ("params",) + tuple(parts)
+
+
+# ---------------------------------------------------------------------------
+# MAE twin: standard timm blocks (fused qkv, no LayerScale/rel-pos), argsort
+# shuffle masking with ids supplied by the caller (so both frameworks consume
+# the SAME noise), 2-D sin-cos pos embeds, pixel-MSE loss in both reference
+# modes — matching mem_tpu.models.mae.MaskedAutoencoderViT module for module
+# (reference lineage: mem/modeling_mae.py:101-313).
+# ---------------------------------------------------------------------------
+
+
+class TwinTimmBlock(nn.Module):
+    def __init__(self, dim, heads, mlp_ratio=4.0):
+        super().__init__()
+        self.heads, self.dim = heads, dim
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.qkv = nn.Linear(dim, 3 * dim)
+        self.proj = nn.Linear(dim, dim)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.fc1 = nn.Linear(dim, int(dim * mlp_ratio))
+        self.fc2 = nn.Linear(int(dim * mlp_ratio), dim)
+
+    def forward(self, x):
+        B, N, C = x.shape
+        hd = C // self.heads
+        qkv = self.qkv(self.norm1(x)).reshape(B, N, 3, self.heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        attn = torch.einsum("bnhd,bmhd->bhnm", q * hd**-0.5, k)
+        o = torch.einsum("bhnm,bmhd->bnhd", attn.softmax(-1), v).reshape(B, N, C)
+        x = x + self.proj(o)
+        h = self.fc2(F.gelu(self.fc1(self.norm2(x))))  # exact (erf) gelu
+        return x + h
+
+
+class TwinMAE(nn.Module):
+    def __init__(self, img_size=32, patch=8, in_chans=3, dim=64, depth=2,
+                 heads=4, dec_dim=32, dec_depth=1, dec_heads=2,
+                 norm_pix_loss=False, loss_only_masked=False):
+        super().__init__()
+        from mem_tpu.models.mae import get_2d_sincos_pos_embed
+
+        self.patch, self.in_chans = patch, in_chans
+        self.grid = img_size // patch
+        self.norm_pix_loss, self.loss_only_masked = norm_pix_loss, loss_only_masked
+        self.patch_embed = nn.Conv2d(in_chans, dim, patch, stride=patch)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.mask_token = nn.Parameter(torch.zeros(1, 1, dec_dim))
+        self.blocks = nn.ModuleList(
+            [TwinTimmBlock(dim, heads) for _ in range(depth)])
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.decoder_embed = nn.Linear(dim, dec_dim)
+        self.decoder_blocks = nn.ModuleList(
+            [TwinTimmBlock(dec_dim, dec_heads) for _ in range(dec_depth)])
+        self.decoder_norm = nn.LayerNorm(dec_dim, eps=1e-6)
+        self.decoder_pred = nn.Linear(dec_dim, patch**2 * in_chans)
+        self.register_buffer("pos_embed", torch.from_numpy(
+            get_2d_sincos_pos_embed(dim, self.grid))[None])
+        self.register_buffer("dec_pos_embed", torch.from_numpy(
+            get_2d_sincos_pos_embed(dec_dim, self.grid))[None])
+
+    def patchify(self, imgs):  # imgs NCHW -> (B, L, p*p*C), 'nhwpqc' order
+        p, C = self.patch, self.in_chans
+        B, _, H, W = imgs.shape
+        h, w = H // p, W // p
+        x = imgs.permute(0, 2, 3, 1).reshape(B, h, p, w, p, C)
+        return x.permute(0, 1, 3, 2, 4, 5).reshape(B, h * w, p * p * C)
+
+    def forward(self, imgs, ids_shuffle, ids_restore, len_keep):
+        """imgs NCHW float; ids_* (B, L) long (host-argsorted from the SAME
+        noise the JAX side draws). Returns the scalar loss."""
+        B = imgs.shape[0]
+        L = self.grid * self.grid
+        x = self.patch_embed(imgs).flatten(2).transpose(1, 2)  # (B, L, D)
+        x = x + self.pos_embed[:, 1:]
+        ids_keep = ids_shuffle[:, :len_keep]
+        x = torch.take_along_dim(x, ids_keep[..., None], dim=1)
+        mask = torch.ones(B, L)
+        mask[:, :len_keep] = 0
+        mask = torch.take_along_dim(mask, ids_restore, dim=1)
+        cls = (self.cls_token + self.pos_embed[:, :1]).expand(B, -1, -1)
+        x = torch.cat([cls, x], dim=1)
+        for blk in self.blocks:
+            x = blk(x)
+        x = self.norm(x)
+        x = self.decoder_embed(x)
+        mt = self.mask_token.expand(B, L - len_keep, -1)
+        x_ = torch.cat([x[:, 1:], mt], dim=1)
+        x_ = torch.take_along_dim(x_, ids_restore[..., None], dim=1)
+        x = torch.cat([x[:, :1], x_], dim=1)
+        x = x + self.dec_pos_embed
+        for blk in self.decoder_blocks:
+            x = blk(x)
+        pred = self.decoder_pred(self.decoder_norm(x))[:, 1:]
+
+        target = self.patchify(imgs)
+        if self.norm_pix_loss:
+            mean = target.mean(dim=-1, keepdim=True)
+            var = target.var(dim=-1, unbiased=False, keepdim=True)
+            target = (target - mean) / (var + 1e-6) ** 0.5
+        loss = (pred - target) ** 2
+        if self.loss_only_masked:
+            loss = loss.mean(dim=-1)
+            return (loss * mask).sum() / mask.sum()
+        return loss.mean(dim=-1).sum()
+
+
+def load_flax_mae_params(twin: nn.Module, params: dict) -> None:
+    from mem_tpu.utils.torch_import import export_mae_params
+
+    sd = to_torch_sd(export_mae_params(params))
+    missing, unexpected = twin.load_state_dict(sd, strict=False)
+    missing = [k for k in missing if not k.endswith(("pos_embed",))]
+    assert not missing, f"unmapped MAE-twin params: {missing}"
+    assert not unexpected, f"unconsumed MAE export keys: {unexpected}"

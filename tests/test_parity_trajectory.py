@@ -54,3 +54,9 @@ def test_seg_trajectory_matches_torch(result):
     assert s["max_rel_loss_delta"] < 1e-3, s
     # eval parity through BOTH eval paths (BN running stats in use)
     assert result["miou_delta"] < 1e-6, result["seg_curves"]
+
+
+def test_mae_trajectory_matches_torch(result):
+    s = result["mae"]
+    assert s["steps"] >= 6
+    assert s["max_rel_loss_delta"] < 1e-4, s
