@@ -18,7 +18,10 @@ CONFIG=${1:?usage: run-pipeline.sh <config.conf> [expdir]}
 EXPDIR=${2:-}
 
 get_config_value() {  # reference run-pipeline.sh:10-14 semantics
-    grep -E "^$1 *=" "$CONFIG" | tail -1 | sed 's/^[^=]*= *//' | sed 's/ *$//'
+    # `|| true`: a missing key yields empty, not a set -e abort (same fix
+    # as run-ss.sh — an optional key like vae_skip must not kill the run)
+    { grep -E "^$1 *=" "$CONFIG" || true; } | tail -1 \
+        | sed 's/^[^=]*= *//' | sed 's/ *$//'
 }
 
 expweek=$(get_config_value expweek)

@@ -179,3 +179,55 @@ def test_pretrain_fsdp_flag(synth_dataset, vae_dir, tmp_path):
         *COMMON,
     ])
     assert os.path.isdir(os.path.join(out, "checkpoint-final"))
+
+
+def test_run_pipeline_orchestration(synth_dataset, tmp_path):
+    """run-pipeline.sh: one .conf -> VAE -> pretrain -> finetune with
+    checkpoint handoff + pruning (train-pipeline.sbatch role). Regression:
+    optional keys (vae_skip, vae_checkpoint, ...) may be ABSENT from the
+    conf — get_config_value must yield empty, not a set -e abort."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    conf = tmp_path / "pipe.conf"
+    conf.write_text(
+        "expweek = t\n"
+        "expname = pipe\n"
+        f"data_path = {synth_dataset}\n"
+        "input_H = 32\ninput_W = 32\nslice_max_evs = 5000\n"
+        "hotpixfilter = 0\nnormalize_events = 1\nrand_aug = 0\n"
+        "max_random_shift_evs = 2\nnum_workers = 0\nwandb = 0\n"
+        "dtype = float32\nauto_resume = 0\n"
+        "num_layers = 2\nnum_tokens = 32\nemb_dim = 8\nhidden_dim = 16\n"
+        "num_resnet_blocks = 1\n"
+        "vae_epochs = 1\nvae_batch_size = 8\nlearning_rate = 3e-4\n"
+        "clip = 0.01\neval_freq = 10\n"
+        "transformer_emb = 32\ntransformer_depth = 2\ntransformer_heads = 2\n"
+        "num_mask_patches = 32\nmin_mask_patches_per_block = 4\n"
+        "pt_epochs = 1\npt_batch_size = 8\npt_lr = 1e-3\nwarmup_epochs = 0\n"
+        "save_ckpt_freq = 1\n"
+        "class_epochs = 1\nclass_batch_size = 8\nclass_lr = 2e-3\n"
+        "class_warmup_epochs = 0\nclass_update_freq = 1\nmixup_prob = 0\n"
+        # vae_skip / pt_skip / vae_checkpoint / pt_checkpoint INTENTIONALLY
+        # absent (the regression)
+    )
+    expdir = tmp_path / "exp"
+    env = dict(os.environ)
+    env.update({
+        "PYTHONPATH": repo, "JAX_PLATFORMS": "cpu",
+        # 2 devices: see test_run_ss_orchestration's rendezvous note
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=2",
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache",
+        "PYTHON": sys.executable,
+    })
+    r = subprocess.run(
+        ["bash", os.path.join(repo, "run-pipeline.sh"), str(conf), str(expdir)],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1500,
+    )
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-3000:]
+    for stage in ("vae", "pretrain"):
+        assert os.path.isdir(expdir / stage / "checkpoint-final"), stage
+    # the finetune stage tags epoch + best checkpoints (no "final")
+    assert os.path.isdir(expdir / "finetune" / "checkpoint-best")
+    assert (expdir / "config.conf").exists()
