@@ -149,9 +149,15 @@ class SegBatchIterator:
                 order_rng.shuffle(idx)
                 order.extend(idx[cfg.shard_id :: cfg.num_shards].tolist())
             take, order = order[: cfg.batch_size], order[cfg.batch_size :]
+            # per-sample rng keyed by (seed, iter, DATASET index) — the
+            # repo-wide host-randomness convention. Keying by batch slot
+            # would make sample augmentation depend on which process/slot
+            # drew it, breaking process-count invariance (the multi-process
+            # run must equal the single-process run, tests/test_multiprocess)
             items = [
-                self._load_one(np.random.default_rng((cfg.seed, it, j)), int(i))
-                for j, i in enumerate(take)
+                self._load_one(np.random.default_rng((cfg.seed, it, int(i))),
+                               int(i))
+                for i in take
             ]
             yield self._collate(items)
             it += 1
@@ -159,10 +165,15 @@ class SegBatchIterator:
     def eval_batches(self) -> Iterator[dict]:
         cfg = self.cfg
         idx = np.arange(len(self.pairs))[cfg.shard_id :: cfg.num_shards]
-        rng = np.random.default_rng(cfg.seed)
         for i in range(0, len(idx), cfg.batch_size):
             chunk = idx[i : i + cfg.batch_size].tolist()
-            items = [self._load_one(rng, int(j)) for j in chunk]
+            # per-index rng (eval uses it only for the over-cap crop start):
+            # deterministic per SAMPLE, independent of shard/process layout.
+            # 2**32 - 1 = an "epoch" sentinel train iteration counts never
+            # reach (SeedSequence entries must be non-negative)
+            items = [self._load_one(
+                np.random.default_rng((cfg.seed, 2**32 - 1, int(j))), int(j))
+                for j in chunk]
             n_real = len(items)
             while len(items) < cfg.batch_size:
                 items.append(items[-1])

@@ -79,6 +79,7 @@ def build_tiny(jnp):
 def main() -> None:
     pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
     workdir, data_dir = sys.argv[4], sys.argv[5]
+    mode = sys.argv[6] if len(sys.argv) > 6 else "pretrain"
 
     import jax
 
@@ -104,6 +105,10 @@ def main() -> None:
             from jax._src.distributed import global_state
 
             global_state.client.wait_at_barrier(name, timeout_ms)
+
+    if mode == "seg":
+        main_seg(pid, nproc, port, workdir, data_dir, barrier)
+        return
 
     import jax.numpy as jnp
 
@@ -192,6 +197,132 @@ def main() -> None:
     print(f"mp_worker p{pid}/{nproc}: devices={jax.device_count()} "
           f"losses={['%.4f' % l for l in losses]} OK", flush=True)
 
+
+
+
+def make_tiny_seg_dataset(root: str, n_train: int = 8, seed: int = 5) -> str:
+    """Synthetic DSEC-like (events.npy, label.png) pairs for the seg worker."""
+    from PIL import Image
+
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "imgs", "train", "s"), exist_ok=True)
+    os.makedirs(os.path.join(root, "anns", "train", "s"), exist_ok=True)
+    for i in range(n_train):
+        ne = int(rng.integers(2000, 4000))
+        ev = np.zeros((ne, 4), np.float32)
+        ev[:, 0] = rng.integers(0, 640, ne)
+        ev[:, 1] = rng.integers(0, 480, ne)
+        ev[:, 3] = rng.integers(0, 2, ne)
+        np.save(os.path.join(root, "imgs", "train", "s", f"{i:04d}.npy"), ev)
+        lab = rng.integers(0, 3, (440, 640)).astype(np.uint8)
+        lab[:16] = 255
+        Image.fromarray(lab).save(
+            os.path.join(root, "anns", "train", "s", f"{i:04d}.png"))
+    return root
+
+
+def main_seg(pid: int, nproc: int, port: str, workdir: str, data_root: str,
+             barrier) -> None:
+    """Seg variant: the EvBEiT+UPerNet train step over the multi-process
+    mesh. The extra thing this proves beyond the pretrain worker: the
+    SyncBN-for-free claim (models/segmentation.py docstring) holds ACROSS
+    OS PROCESSES — flax BatchNorm's batch statistics reduce over the
+    global batch through the Gloo mesh, so 2-process batch_stats (written
+    alongside params) must equal the 1-process run's."""
+    import jax
+    import jax.numpy as jnp
+
+    from mem_tpu.cli.train_seg import make_seg_steps, poly_lr_schedule
+    from mem_tpu.data.seg_pipeline import (SegBatchIterator, SegPipelineConfig,
+                                           scan_seg_pairs, seg_preprocess_batch)
+    from mem_tpu.models.segmentation import EncoderDecoder
+    from mem_tpu.parallel import get_mesh, replicate, shard_batch
+    from mem_tpu.train.optim import (build_lr_scale_tree, build_wd_mask_tree,
+                                     scheduled_adamw)
+
+    mesh = get_mesh()
+    GB, ncls = 8, 3  # global batch == dataset size -> same sample set
+    pairs = scan_seg_pairs(data_root, "imgs/train", "anns/train")
+    assert len(pairs) == GB, len(pairs)
+    it = SegBatchIterator(pairs, SegPipelineConfig(
+        batch_size=GB // nproc, is_train=True, max_evs=4096, seed=13,
+        shard_id=pid, num_shards=nproc,
+    ))
+
+    model = EncoderDecoder(
+        num_classes=ncls,
+        backbone_cfg=dict(img_size=32, patch_size=16, embed_dim=32,
+                          depth=2, num_heads=2, drop_path_rate=0.0,
+                          out_indices=(0, 0, 0, 1)),
+        head_channels=32, aux_channels=16, dropout_ratio=0.0,
+        dtype=jnp.float32,
+    )
+    batches = it.batches()
+    first = next(batches)
+    jb = jax.tree.map(jnp.asarray, first)
+    imgs, _ = jax.jit(lambda b: seg_preprocess_batch(b, False))(jb)
+    variables = jax.jit(model.init)(jax.random.key(0), imgs)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+
+    wrapped = {"params": params}
+    tx = scheduled_adamw(
+        poly_lr_schedule(1e-3, 4, warmup_iters=1), (lambda s: 0.05),
+        build_lr_scale_tree(wrapped, 0.65, 2)["params"],
+        build_wd_mask_tree(wrapped)["params"])
+    opt_state = tx.init(params)
+    barrier("pre_place_seg")
+    params = replicate(params, mesh)
+    batch_stats = replicate(batch_stats, mesh)
+    opt_state = replicate(opt_state, mesh)
+    train_step, _ = make_seg_steps(model, tx, ncls, rand_aug=False)
+
+    # step-0 gradients through the full loss (preprocess -> EvBEiT -> heads
+    # -> CE, global-batch BN): the OPTIMIZER-FREE invariant. Final params
+    # are a poor one — Adam's first-step update is +-lr*sign(g), so
+    # reduction-order float noise in a near-cancelling bias gradient flips
+    # the whole update; gradients themselves must agree tightly.
+    from mem_tpu.models.segmentation import seg_loss
+
+    def grad_fn(p, bstats, b):
+        images, labels = seg_preprocess_batch(b, True, False)
+
+        def loss_fn(q):
+            (logits, aux), _ = model.apply(
+                {"params": q, "batch_stats": bstats}, images, train=True,
+                rngs={"dropout": jax.random.key(0)},
+                mutable=["batch_stats"])
+            return seg_loss(logits, aux, labels, ncls)
+
+        return jax.grad(loss_fn)(p)
+
+    grads0 = jax.jit(grad_fn)(params, batch_stats,
+                              shard_batch(first, mesh))
+
+    losses, batch = [], first
+    for i in range(3):
+        params, batch_stats, opt_state, m = train_step(
+            params, batch_stats, opt_state, shard_batch(batch, mesh),
+            jax.random.key(100 + i))
+        losses.append(float(m["loss"]))
+        assert np.isfinite(losses[-1]), losses
+        batch = next(batches)
+
+    def to_np(tree):
+        return jax.tree.map(lambda x: np.asarray(x.addressable_data(0)), tree)
+
+    import jax.tree_util as jtu
+
+    out = {}
+    for tag, tree in (("p", to_np(params)), ("bs", to_np(batch_stats)),
+                      ("g", to_np(grads0))):
+        for k, v in jtu.tree_flatten_with_path(tree)[0]:
+            out[tag + jtu.keystr(k)] = v
+    np.savez(os.path.join(workdir, f"params_p{pid}.npz"), **out)
+    with open(os.path.join(workdir, f"ok_p{pid}.json"), "w") as f:
+        json.dump({"losses": losses, "nproc": nproc,
+                   "global_devices": jax.device_count()}, f)
+    print(f"mp_seg_worker p{pid}/{nproc}: devices={jax.device_count()} "
+          f"losses={['%.4f' % l for l in losses]} OK", flush=True)
 
 if __name__ == "__main__":
     main()
