@@ -78,7 +78,15 @@ def build_pipeline(
     num_shards: int = 1,
 ) -> Tuple[NpyFolder, EventBatchIterator]:
     ds = detect_dataset(args.data_path)
-    root = resolve_split_root(args.data_path, split)
+    # --eval_data_path overrides the VAL root (datasets.py:422; the
+    # reference's image_folder path treats it as the class-dir root itself,
+    # so fall through to the bare path when no split subdir exists under it)
+    src = args.data_path
+    if split != "train" and getattr(args, "eval_data_path", None):
+        src = args.eval_data_path
+    root = resolve_split_root(src, split)
+    if src != args.data_path and not os.path.isdir(root):
+        root = src
     folder = NpyFolder(root, loader=loader_for_path(args.data_path))
 
     scale_xy = None
@@ -165,6 +173,112 @@ def validate_preproc_args(args, train: bool = True) -> None:
         chk(s / args.input_H < 0.15 and s / args.input_W < 0.15,
             f"max_random_shift_evs {s} exceeds 15% of the input extent "
             f"({args.input_H}x{args.input_W})")
+
+
+# ---------------------------------------------------------------------------
+# Reference-compatibility flags that the TPU runtime subsumes
+# ---------------------------------------------------------------------------
+
+# catalog: name -> (add_argument kwargs, reason shown when set non-default).
+# Defaults mirror the reference's declarations so `--help` reads the same.
+_COMPAT_CATALOG = {
+    "--device": (dict(type=str, default="cuda"),
+                 "the runtime targets whatever jax.devices() exposes"),
+    "--world_size": (dict(type=int, default=1),
+                     "process topology comes from jax.distributed, not flags"),
+    "--local_rank": (dict(type=int, default=-1),
+                     "no per-process GPU binding on a TPU mesh"),
+    "--gpu": (dict(type=int, default=0),
+              "no per-process GPU binding on a TPU mesh"),
+    "--dist_on_itp": (dict(action="store_true"),
+                      "cluster-specific rendezvous; jax.distributed handles it"),
+    "--dist_url": (dict(type=str, default="env://"),
+                   "rendezvous is jax.distributed.initialize, not a URL"),
+    "--dist_eval": (dict(action="store_true"),
+                    "eval already shards over the device mesh"),
+    "--pin_mem": (dict(action="store_true", default=True),
+                  "host staging is managed by the async device-put prefetch"),
+    "--no_pin_mem": (dict(action="store_false", dest="pin_mem"),
+                     "host staging is managed by the async device-put prefetch"),
+    "--enable_deepspeed": (dict(action="store_true"),
+                           "ZeRO lives behind --zero1/--fsdp on the mesh"),
+    "--model_ema_force_cpu": (dict(action="store_true"),
+                              "EMA params live sharded on device"),
+    "--num_images_save": (dict(type=int, default=4), None),  # honored (VAE)
+}
+
+
+def add_compat_args(parser, names) -> list:
+    """Declare reference flags the TPU runtime subsumes (utils.py:264-299's
+    NCCL plumbing, DataLoader pinning, DeepSpeed switches, ...). Accepting
+    them keeps reference launch commands and .conf files running unchanged;
+    ``warn_compat_args`` tells the user when one is set to a non-default
+    value and therefore has no effect. Returns the (dest, default, reason)
+    list to pass to ``warn_compat_args``."""
+    out = []
+    for name in names:
+        kwargs, reason = _COMPAT_CATALOG[name]
+        action = parser.add_argument(
+            name, **kwargs,
+            help="accepted for reference compatibility; inert on TPU")
+        if reason is not None:
+            out.append((action.dest, action.default, name, reason))
+    return out
+
+
+def warn_compat_args(args, compat_list) -> None:
+    seen = set()
+    for dest, default, name, reason in compat_list:
+        if dest in seen:
+            continue
+        seen.add(dest)
+        if getattr(args, dest, default) != default:
+            print(f"note: {name} has no effect on the TPU runtime ({reason})")
+
+
+def add_imnet_args(parser, stage: str) -> None:
+    """The timm-path knobs for ``--data_set IMNET`` (real-image baseline
+    runs; reference run_class_finetuning.py:201-223, run_mem_pretraining.py
+    :79-123, train_vae.py:74-100). On the event (.npy) datasets the
+    reference ignores every one of these — build_transformNPY never reads
+    them — and so do we; they bind only on the IMNET image path.
+    """
+    a = parser.add_argument
+    a("--input_size", type=int, default=224,
+      help="IMNET image side (event paths use --input_H/--input_W)")
+    a("--imagenet_default_mean_and_std", action="store_true", default=False,
+      help="reference e2v path hardcodes mean=0/std=1 regardless "
+           "(datasets.py:356-357); accepted for compatibility")
+    a("--resize", action="store_true", default=False,
+      help="reference: prepends FixedResizeTransform(2) in the dead "
+           "build_transform_e2v2 path (datasets.py:334-340); see "
+           "mem_tpu.data.extra_transforms.fixed_resize")
+    if stage == "pretrain":
+        a("--train_interpolation", type=str, default="bicubic",
+          help="first-view resample filter (bilinear|bicubic|lanczos|random)")
+        a("--second_interpolation", type=str, default="lanczos",
+          help="tokenizer-view resample filter")
+        a("--input_H2", type=int, default=128,
+          help="tokenizer-view size fed to create_d_vae "
+               "(run_mem_pretraining.py:269); the event path uses identical "
+               "views, so this binds only on IMNET")
+        a("--input_W2", type=int, default=128)
+    else:
+        a("--train_interpolation", "--train-interpolation", type=str,
+          default="bicubic")
+        a("--aa", type=str, default="rand-m9-mstd0.5-inc1",
+          help="timm AutoAugment spec for the IMNET train path; rand-* specs "
+               "map onto ops/rand_augment (statistical parity, SURVEY §7)")
+        a("--reprob", type=float, default=0.25,
+          help="random-erasing probability (IMNET train path)")
+        a("--remode", type=str, default="pixel")
+        a("--recount", type=int, default=1)
+        a("--resplit", action="store_true", default=False)
+    if stage == "finetune":
+        a("--crop_pct", type=float, default=None,
+          help="reference quirk preserved: build_transform_e2v overwrites "
+               "crop_pct to None then derives 224/256 (datasets.py:379-382), "
+               "so the flag value never matters")
 
 
 def add_preprocessing_args(parser) -> None:

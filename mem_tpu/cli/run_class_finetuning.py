@@ -18,8 +18,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mem_tpu.cli.common import (add_preprocessing_args, build_preproc,
-                                build_pipeline, validate_preproc_args)
+from mem_tpu.cli.common import (add_compat_args, add_imnet_args,
+                                add_preprocessing_args, build_preproc,
+                                build_pipeline, validate_preproc_args,
+                                warn_compat_args)
 from mem_tpu.models import create_model
 from mem_tpu.parallel import get_mesh, init_distributed, replicate, shard_batch
 from mem_tpu.train.mixup import make_mixup
@@ -38,23 +40,47 @@ def get_args(argv=None):
     p.add_argument("--expweek", type=str, default="")
     p.add_argument("--expname", type=str, default="")
     p.add_argument("--data_path", type=str, default="")
+    p.add_argument("--eval_data_path", type=str, default=None,
+                   help="separate root for the val split "
+                        "(run_class_finetuning.py:252, datasets.py:422)")
     p.add_argument("--data_set", type=str, default="npy")
     p.add_argument("--nb_classes", type=int, default=0)
     add_preprocessing_args(p)
+    # reference finetune parser defaults normalize_events=1
+    # (run_class_finetuning.py:126); the shared block's 0 is the PRETRAIN
+    # default (run_mem_pretraining.py:54)
+    p.set_defaults(normalize_events=1)
 
     p.add_argument("--model", type=str, default="ft_vit")
+    p.add_argument("--pretrained", type=int, default=0,
+                   help="reference semantics: printed only "
+                        "(run_class_finetuning.py:401)")
     p.add_argument("--finetune", "--class_checkpoint", type=str, default="")
     p.add_argument("--model_key", type=str, default="model|module")
+    p.add_argument("--model_prefix", type=str, default="",
+                   help="prefix prepended to checkpoint keys during the "
+                        "--finetune load (utils.py:732)")
     p.add_argument("--rel_pos_bias", type=int, default=1)
+    p.add_argument("--disable_rel_pos_bias", action="store_false",
+                   dest="rel_pos_bias")
     p.add_argument("--abs_pos_emb", type=int, default=0)
     p.add_argument("--layer_scale_init_value", type=float, default=0.1)
     p.add_argument("--init_scale", type=float, default=0.001)
     p.add_argument("--use_mean_pooling", type=int, default=1)
+    p.add_argument("--use_cls", action="store_false", dest="use_mean_pooling",
+                   help="classify from the cls token instead of mean pooling "
+                        "(run_class_finetuning.py:246)")
+    p.add_argument("--disable_weight_decay_on_rel_pos_bias",
+                   action="store_true", default=False)
     p.add_argument("--freeze_backbone", type=int, default=0)
     p.add_argument("--linear_probe_batch_norm", type=int, default=0)
-    p.add_argument("--drop", type=float, default=0.0)
+    # alias bindings follow the reference's DECLARED flags exactly
+    # (run_class_finetuning.py:156,160,188): the shipped confs' 'class_dropout'
+    # key binds to --drop (plain dropout), NOT drop-path, and 'class_lr_decay'
+    # binds to nothing at all (see utils/config.KNOWN_DROPPED_KEYS)
+    p.add_argument("--drop", "--class_dropout", type=float, default=0.0)
     p.add_argument("--attn_drop_rate", type=float, default=0.0)
-    p.add_argument("--drop_path", "--class_dropout", type=float, default=0.1)
+    p.add_argument("--drop_path", "--class_drop_path", type=float, default=0.1)
     p.add_argument("--voxel", type=int, default=0)
     p.add_argument("--num_layers", type=int, default=4)
     p.add_argument("--transformer_emb", type=int, default=768)
@@ -67,7 +93,7 @@ def get_args(argv=None):
     p.add_argument("--batch_size", "--class_batch_size", type=int, default=1024)
     p.add_argument("--update_freq", "--class_update_freq", type=int, default=1)
     p.add_argument("--lr", "--class_lr", type=float, default=4e-3)
-    p.add_argument("--layer_decay", "--class_lr_decay", type=float, default=0.9)
+    p.add_argument("--layer_decay", "--class_layer_decay", type=float, default=0.9)
     p.add_argument("--warmup_lr", type=float, default=1e-6)
     p.add_argument("--min_lr", type=float, default=1e-6)
     p.add_argument("--warmup_epochs", "--class_warmup_epochs", type=int, default=20)
@@ -87,9 +113,15 @@ def get_args(argv=None):
     p.add_argument("--cutmix", type=float, default=1.0)
     p.add_argument("--mixup_prob", type=float, default=0.0)
     p.add_argument("--mixup_switch_prob", type=float, default=0.5)
+    p.add_argument("--mixup_mode", type=str, default="batch",
+                   help="batch | pair | elem (timm Mixup modes)")
+    p.add_argument("--cutmix_minmax", type=float, nargs="+", default=None,
+                   help="cutmix min/max box-side ratios; overrides the "
+                        "beta-sampled box and enables cutmix")
     p.add_argument("--model_ema", type=int, default=1)
     p.add_argument("--model_ema_decay", type=float, default=0.9999)
-    p.add_argument("--color_jitter", type=float, default=0.0)
+    p.add_argument("--color_jitter", "--class_color_jitter", type=float,
+                   default=0.0)
     p.add_argument("--rand_aug_batch_ops", type=int, default=1,
                    help="batch-level RandAugment op choice (speed mode, "
                         "default ON; statistical parity per SURVEY §7)")
@@ -100,10 +132,23 @@ def get_args(argv=None):
                    help="fully-sharded data parallelism (ZeRO-3 role; "
                         "see run_mem_pretraining)")
     p.add_argument("--save_ckpt_freq", "--class_save_ckpt_freq", type=int, default=25)
+    p.add_argument("--save_ckpt", action="store_true", default=True)
+    p.add_argument("--no_save_ckpt", action="store_false", dest="save_ckpt")
     p.add_argument("--output_dir", type=str, default="./ft_out")
+    p.add_argument("--log_dir", type=str, default=None,
+                   help="TensorBoard dir; the reference appends wandb_group "
+                        "(run_class_finetuning.py:394-397)")
+    p.add_argument("--wandb_group", type=str, default="pt")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--auto_resume", type=int, default=1)
+    p.add_argument("--no_auto_resume", action="store_false", dest="auto_resume")
+    p.add_argument("--resume", type=str, default="",
+                   help="explicit checkpoint dir to resume from "
+                        "(utils.py:485-514); wins over --auto_resume")
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--disable_eval_during_finetuning", action="store_true",
+                   default=False)
     p.add_argument("--rss_restart_gb", type=float, default=0,
                    help="memory-recycle watchdog: when host RSS exceeds this "
                         "many GB at an epoch boundary, save a resumable "
@@ -126,7 +171,15 @@ def get_args(argv=None):
                         "Eval-only — training steps ignore the flag.")
     p.add_argument("--wandb", type=int, default=0)
     p.add_argument("--dtype", type=str, default="bfloat16")
-    return p.parse_args(argv)
+    add_imnet_args(p, "finetune")
+    compat = add_compat_args(p, [
+        "--device", "--world_size", "--local_rank", "--gpu", "--dist_on_itp",
+        "--dist_url", "--dist_eval", "--pin_mem", "--no_pin_mem",
+        "--enable_deepspeed", "--model_ema_force_cpu",
+    ])
+    args = p.parse_args(argv)
+    warn_compat_args(args, compat)
+    return args
 
 
 def main(argv=None):
@@ -201,7 +254,14 @@ def main(argv=None):
                                                     load_torch_checkpoint)
 
             ck = load_torch_checkpoint(args.finetune)
-            sd = next((ck[k] for k in ("model", "module") if k in ck), ck)
+            keys = [k for k in args.model_key.split("|") if k in ck]
+            sd = ck[keys[0]] if keys else ck
+            if args.model_prefix:
+                # reference looks checkpoint keys up as prefix+name
+                # (utils.py:302-321,732): equivalent to stripping the prefix
+                pfx = args.model_prefix
+                sd = {k[len(pfx):]: v for k, v in sd.items()
+                      if k.startswith(pfx)}
             src = import_vit_state_dict(sd, is_pretrain=True)
         else:
             src = {"params": load_checkpoint(args.finetune)["params"]["params"]}
@@ -209,6 +269,7 @@ def main(argv=None):
         print(f"loaded + adapted pretrain checkpoint {args.finetune}")
 
     n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+    print(f"model = {args.model}. pretrained = {bool(args.pretrained)}")
     print(f"model params: {n_params/1e6:.1f}M  classes: {nb_classes}")
 
     lr_sched = cosine_scheduler(
@@ -219,11 +280,17 @@ def main(argv=None):
     wd_end = args.weight_decay_end if args.weight_decay_end is not None else args.weight_decay
     wd_sched = cosine_scheduler(args.weight_decay, wd_end, args.epochs, steps_per_epoch)
 
+    skip_names = ("pos_embed", "cls_token")
+    if args.disable_weight_decay_on_rel_pos_bias:
+        # run_class_finetuning.py:561-563: add every rel-pos table to the
+        # no-WD set (matched here by the flax param name)
+        skip_names = skip_names + ("relative_position_bias_table",)
     tx = create_optimizer(
         params, as_schedule_fn(lr_sched), wd_schedule=as_schedule_fn(wd_sched),
         weight_decay=args.weight_decay, layer_decay=args.layer_decay,
         num_layers=args.transformer_depth, clip_grad=args.clip_grad,
         opt=args.opt, momentum=args.momentum, opt_eps=args.opt_eps,
+        skip_names=skip_names,
     )
     if args.freeze_backbone:
         # linear probe (run_class_finetuning.py:464-471): only the head (and
@@ -255,6 +322,7 @@ def main(argv=None):
     mixup_fn = make_mixup(
         nb_classes, args.mixup, args.cutmix, args.mixup_prob,
         args.mixup_switch_prob, args.smoothing,
+        mode=args.mixup_mode, cutmix_minmax=args.cutmix_minmax,
     )
     train_step = make_finetune_train_step(
         model, tx, preproc_train, nb_classes, mixup_fn=mixup_fn,
@@ -263,28 +331,44 @@ def main(argv=None):
     )
     eval_step = make_finetune_eval_step(model, preproc_val)
 
-    start_epoch = 0
+    start_epoch = args.start_epoch
     best_acc = 0.0
-    if args.auto_resume:
+    payload = None
+    if args.resume:
+        # explicit resume path wins over auto_resume (utils.py:489: auto
+        # only fires when --resume is empty)
+        if args.resume.endswith((".pth", ".pt")):
+            raise SystemExit(
+                "--resume expects one of this framework's checkpoint dirs "
+                "(optimizer state included); to start from a torch/reference "
+                "checkpoint use --finetune")
+        payload = load_checkpoint(args.resume, {
+            "params": params, "opt_state": opt_state, "ema": ema_params,
+            "epoch": 0, "best_acc": 0.0,
+        })
+        start_epoch = int(np.asarray(payload.get("epoch", -1))) + 1
+        print(f"Resumed from {args.resume} (epoch {start_epoch})")
+    elif args.auto_resume:
         # --eval also resumes: evaluating/dumping predictions against the
         # run in --output_dir needs the TRAINED params, not the init (the
         # reference's eval path equally goes through auto_load_model).
         # A --finetune checkpoint still wins when output_dir holds no
         # checkpoint (auto_resume returns None then).
-        payload, start_epoch = auto_resume(
+        payload, resumed_epoch = auto_resume(
             args.output_dir,
             {"params": params, "opt_state": opt_state, "ema": ema_params,
              "epoch": 0, "best_acc": 0.0},
         )
         if payload is not None:
-            params, opt_state = place_train_state(
-                payload["params"], payload["opt_state"], mesh,
-                zero1=bool(args.zero1), fsdp=bool(args.fsdp))
-            ema_params = replicate(payload["ema"], mesh)
-            best_acc = float(payload.get("best_acc", 0.0))
-            if args.eval:
-                print(f"eval: restored checkpoint from {args.output_dir} "
-                      f"(epoch {start_epoch})")
+            start_epoch = resumed_epoch
+    if payload is not None:
+        params, opt_state = place_train_state(
+            payload["params"], payload["opt_state"], mesh,
+            zero1=bool(args.zero1), fsdp=bool(args.fsdp))
+        ema_params = replicate(payload["ema"], mesh)
+        best_acc = float(payload.get("best_acc", 0.0))
+        if args.eval:
+            print(f"eval: restored checkpoint (epoch {start_epoch})")
 
     def evaluate(p):
         vlog = MetricLogger()
@@ -355,6 +439,12 @@ def main(argv=None):
 
     run = maybe_wandb(bool(args.wandb), project="mem_finetuning_classification",
                       group=f"{args.expweek}_{args.expname}")
+    tb = None
+    if args.log_dir is not None and jax.process_index() == 0:
+        from mem_tpu.utils.metrics import TensorboardLogger
+
+        # reference appends wandb_group to the dir (run_class_finetuning.py:395)
+        tb = TensorboardLogger(args.log_dir + args.wandb_group)
     key = jax.random.key(args.seed + jax.process_index() + 2)
 
     from mem_tpu.utils.preemption import (RESTART_EXIT_CODE, GracefulShutdown,
@@ -390,41 +480,51 @@ def main(argv=None):
             if stopper.requested:
                 break
         if stopper.requested:
-            wait_for_saves()
-            save_checkpoint(args.output_dir, epoch, {
-                "params": params, "opt_state": opt_state, "ema": ema_params,
-                "epoch": epoch - 1, "best_acc": best_acc,
-            })
-            print(f"preempted at epoch {epoch}: checkpoint saved; exiting")
+            if args.save_ckpt:
+                wait_for_saves()
+                save_checkpoint(args.output_dir, epoch, {
+                    "params": params, "opt_state": opt_state, "ema": ema_params,
+                    "epoch": epoch - 1, "best_acc": best_acc,
+                })
+            print(f"preempted at epoch {epoch}: "
+                  f"{'checkpoint saved' if args.save_ckpt else 'ckpt saving disabled'}"
+                  f"; exiting")
             return
         sps = steps_per_epoch * args.batch_size / (time.time() - t0)
         print(f"epoch {epoch}: loss {logger.meters['loss'].global_avg:.4f} "
               f"{sps:.1f} samples/sec")
 
-        stats = evaluate(params)
-        print(f"* acc1 {stats['acc1']:.2f} acc5 {stats['acc5']:.2f}")
-        if args.model_ema:
-            ema_stats = evaluate(ema_params)
-            print(f"* EMA acc1 {ema_stats['acc1']:.2f}")
-        if run:
-            run.log({"val/acc1": stats["acc1"], "val/acc5": stats["acc5"], "epoch": epoch})
+        if not args.disable_eval_during_finetuning:
+            stats = evaluate(params)
+            print(f"* acc1 {stats['acc1']:.2f} acc5 {stats['acc5']:.2f}")
+            if args.model_ema:
+                ema_stats = evaluate(ema_params)
+                print(f"* EMA acc1 {ema_stats['acc1']:.2f}")
+            if run:
+                run.log({"val/acc1": stats["acc1"], "val/acc5": stats["acc5"], "epoch": epoch})
+            if tb is not None:
+                tb.update(step=epoch, acc1=stats["acc1"], acc5=stats["acc5"],
+                          loss=logger.meters["loss"].global_avg)
 
-        if stats["acc1"] > best_acc:
-            best_acc = stats["acc1"]
-            save_checkpoint(args.output_dir, "best", {
-                "params": params, "epoch": epoch, "acc1": stats["acc1"],
-            })
+            if stats["acc1"] > best_acc:
+                best_acc = stats["acc1"]
+                if args.save_ckpt:
+                    save_checkpoint(args.output_dir, "best", {
+                        "params": params, "epoch": epoch, "acc1": stats["acc1"],
+                    })
         # ONE payload for both save paths (drift between them would make
         # auto_resume restore silently-missing state)
         resumable = {
             "params": params, "opt_state": opt_state, "ema": ema_params,
             "epoch": epoch, "best_acc": best_acc,
         }
-        if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
+        if args.save_ckpt and (
+                (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs):
             # non-blocking: the persist overlaps the next epoch
             save_checkpoint(args.output_dir, epoch, resumable, block=False)
 
-        if rss_recycle_due(args.rss_restart_gb) and epoch + 1 < args.epochs:
+        if (args.save_ckpt and rss_recycle_due(args.rss_restart_gb)
+                and epoch + 1 < args.epochs):
             wait_for_saves()
             save_checkpoint(args.output_dir, epoch, resumable)
             print(f"rss {rss_gb():.1f} GB > {args.rss_restart_gb} GB: "

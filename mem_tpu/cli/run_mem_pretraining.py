@@ -25,8 +25,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mem_tpu.cli.common import (add_preprocessing_args, build_preproc,
-                                build_pipeline, validate_preproc_args)
+from mem_tpu.cli.common import (add_compat_args, add_imnet_args,
+                                add_preprocessing_args, build_preproc,
+                                build_pipeline, validate_preproc_args,
+                                warn_compat_args)
 from mem_tpu.models import create_model
 from mem_tpu.models.discrete_vae import DiscreteVAE
 from mem_tpu.parallel import get_mesh, init_distributed, replicate, shard_batch
@@ -56,6 +58,8 @@ def get_args(argv=None):
     p.add_argument("--discrete_vae_weight_path", "--vae_checkpoint", type=str, default="")
     p.add_argument("--discrete_vae_type", type=str, default="event")
     p.add_argument("--rel_pos_bias", type=int, default=1)
+    p.add_argument("--disable_rel_pos_bias", action="store_false",
+                   dest="rel_pos_bias")
     p.add_argument("--abs_pos_emb", type=int, default=0)
     p.add_argument("--layer_scale_init_value", type=float, default=0.1)
     p.add_argument("--masking", type=str, default="block")
@@ -109,10 +113,20 @@ def get_args(argv=None):
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--save_ckpt_freq", "--pt_save_ckpt_freq", type=int, default=25)
     p.add_argument("--output_dir", type=str, default="./pt_out")
-    p.add_argument("--log_dir", type=str, default=None)
+    p.add_argument("--log_dir", type=str, default=None,
+                   help="TensorBoard dir; the reference appends wandb_group "
+                        "(run_mem_pretraining.py:326-331)")
+    p.add_argument("--wandb_group", type=str, default="pt")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--auto_resume", type=int, default=1)
+    p.add_argument("--no_auto_resume", action="store_false", dest="auto_resume")
+    p.add_argument("--resume", type=str, default="",
+                   help="explicit checkpoint dir to resume from "
+                        "(utils.py:485-514); wins over --auto_resume")
+    p.add_argument("--start_epoch", type=int, default=0)
+    p.add_argument("--disable_eval_during_pretraining", action="store_true",
+                   default=False)
     p.add_argument("--wandb", type=int, default=0)
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--profile_dir", type=str, default=None,
@@ -147,7 +161,14 @@ def get_args(argv=None):
                         "params AND optimizer moments shard over the data "
                         "axis; GSPMD inserts per-layer all-gathers and "
                         "gradient reduce-scatters. Numerically identical")
-    return p.parse_args(argv)
+    add_imnet_args(p, "pretrain")
+    compat = add_compat_args(p, [
+        "--device", "--world_size", "--local_rank", "--dist_on_itp",
+        "--dist_url", "--dist_eval", "--pin_mem", "--no_pin_mem",
+    ])
+    args = p.parse_args(argv)
+    warn_compat_args(args, compat)
+    return args
 
 
 def build_model(args):
@@ -275,6 +296,8 @@ def main(argv=None):
             return ImageBatchIterator(folder, ImagePipelineConfig(
                 batch_size=local_bs, input_size=args.input_H,
                 second_size=args.input_H, is_train=is_train,
+                interpolation=args.train_interpolation,
+                second_interpolation=args.second_interpolation,
                 masking=args.masking, window_size=window,
                 num_mask_patches=args.num_mask_patches,
                 min_mask_patches_per_block=args.min_mask_patches_per_block,
@@ -368,19 +391,34 @@ def main(argv=None):
         train_step = make_pretrain_train_step(model, vae, tx, preproc_train)
         eval_step = make_pretrain_eval_step(model, vae, preproc_val)
 
-    start_epoch = 0
-    if args.auto_resume:
-        payload, start_epoch = auto_resume(
+    start_epoch = args.start_epoch
+    payload = None
+    if args.resume:
+        # explicit resume wins over --auto_resume (utils.py:489)
+        if args.resume.endswith((".pth", ".pt")):
+            raise SystemExit(
+                "--resume expects one of this framework's checkpoint dirs "
+                "(optimizer state included); to warm-start from a torch "
+                "checkpoint use --init_ckpt")
+        payload = load_checkpoint(
+            args.resume, {"params": params, "opt_state": opt_state, "epoch": 0})
+        start_epoch = int(np.asarray(payload.get("epoch", -1))) + 1
+        print(f"Resumed from {args.resume} (epoch {start_epoch})")
+    elif args.auto_resume:
+        payload, resumed_epoch = auto_resume(
             args.output_dir, {"params": params, "opt_state": opt_state, "epoch": 0}
         )
         if payload is not None:
-            params, opt_state = place_train_state(
-                payload["params"], payload["opt_state"], mesh,
-                tp=args.tp, zero1=bool(args.zero1), fsdp=bool(args.fsdp))
+            start_epoch = resumed_epoch
+    if payload is not None:
+        params, opt_state = place_train_state(
+            payload["params"], payload["opt_state"], mesh,
+            tp=args.tp, zero1=bool(args.zero1), fsdp=bool(args.fsdp))
 
     run = maybe_wandb(bool(args.wandb), project="mem_pretraining",
                       group=f"{args.expweek}_{args.expname}")
-    tb = TensorboardLogger(args.log_dir) if args.log_dir else None
+    # reference appends wandb_group to the TB dir (run_mem_pretraining.py:327)
+    tb = TensorboardLogger(args.log_dir + args.wandb_group) if args.log_dir else None
     key = jax.random.key(args.seed + jax.process_index() + 1)
 
     from mem_tpu.utils.profiling import StepTimer, trace
@@ -461,7 +499,7 @@ def main(argv=None):
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
             # non-blocking: the persist overlaps the next epoch / eval
             save_checkpoint(args.output_dir, epoch, resumable, block=False)
-            if eval_step is not None:
+            if eval_step is not None and not args.disable_eval_during_pretraining:
                 vlog = MetricLogger()
                 first = True
                 for batch in val_it.epoch(0):

@@ -18,8 +18,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from mem_tpu.cli.common import (add_preprocessing_args, build_preproc,
-                                build_pipeline, validate_preproc_args)
+from mem_tpu.cli.common import (add_compat_args, add_imnet_args,
+                                add_preprocessing_args, build_preproc,
+                                build_pipeline, validate_preproc_args,
+                                warn_compat_args)
 from mem_tpu.models.discrete_vae import DiscreteVAE
 from mem_tpu.parallel import get_mesh, init_distributed, replicate, shard_batch
 from mem_tpu.train.schedules import VaeAnnealState
@@ -32,13 +34,21 @@ from mem_tpu.utils.metrics import MetricLogger, maybe_wandb
 
 def get_args(argv=None):
     p = ConfigArgumentParser("event VAE training")
+    p.add_argument("--expweek", type=str, default="")
+    p.add_argument("--expname", type=str, default="")
     p.add_argument("--data_path", type=str, required=False, default="")
+    p.add_argument("--eval_data_path", type=str, default=None,
+                   help="separate root for the val split (train_vae.py:53)")
     p.add_argument("--data_set", type=str, default="npy")
     add_preprocessing_args(p)
+    # reference VAE parser defaults normalize_events=1 (train_vae.py:65)
+    p.set_defaults(normalize_events=1)
 
     p.add_argument("--epochs", "--vae_epochs", type=int, default=300)
+    p.add_argument("--start_epoch", type=int, default=0)
     p.add_argument("--batch_size", "--vae_batch_size", type=int, default=192)
-    p.add_argument("--learning_rate", "--vae_lr", type=float, default=2e-4)
+    p.add_argument("--lr", "--vae_lr", "--learning_rate", dest="learning_rate",
+                   type=float, default=2e-4)
     p.add_argument("--lr_decay_rate", "--vae_lr_decay", type=float, default=0.99)
     p.add_argument("--clip", "--vae_grad_clip", type=float, default=1e-3)
     p.add_argument("--starting_temp", type=float, default=1.0)
@@ -52,6 +62,10 @@ def get_args(argv=None):
     p.add_argument("--num_resnet_blocks", "--vae_num_resnet_blocks", type=int, default=3)
     p.add_argument("--loss", "--vae_loss", type=str, default="mse")
     p.add_argument("--straight_through", "--vae_straight_through", type=int, default=0)
+    p.add_argument("--weights", type=str, default=None,
+                   help="declared-but-unused in the reference "
+                        "(train_vae.py:95 parses it, nothing reads it); "
+                        "accepted for .conf compatibility")
     p.add_argument("--save_ckpt_freq", "--vae_save_ckpt_freq", type=int, default=25)
     p.add_argument("--output_dir", type=str, default="./vae_out")
     p.add_argument("--seed", type=int, default=42)
@@ -63,9 +77,31 @@ def get_args(argv=None):
                         "checkpoint and exit with code 3 so "
                         "scripts/run_resilient.sh relaunches (0 = off)")
     p.add_argument("--eval_freq", type=int, default=25)
+    p.add_argument("--disable_eval", action="store_true", default=False)
     p.add_argument("--wandb", type=int, default=0)
+    p.add_argument("--disable_wandb", action="store_true", default=False,
+                   help="reference's off-switch (wandb defaults ON there); "
+                        "here it forces --wandb 0")
+    p.add_argument("--num_images_save", type=int, default=4,
+                   help="reconstruction pairs logged/saved at eval "
+                        "(train_vae.py:344)")
+    p.add_argument("--dump_recon_dir", type=str, default=None,
+                   help="also save eval reconstruction panels as PNGs "
+                        "(the wandb image role when wandb is off)")
+    p.add_argument("--color_jitter", type=float, default=0.0,
+                   help="declared by the reference VAE parser; the VAE "
+                        "pipeline never applies it (train_vae.py:75)")
+    p.add_argument("--smoothing", type=float, default=0.1,
+                   help="declared by the reference VAE parser; unused on the "
+                        "VAE path (train_vae.py:79)")
     p.add_argument("--dtype", type=str, default="bfloat16")
-    return p.parse_args(argv)
+    add_imnet_args(p, "vae")
+    compat = add_compat_args(p, ["--dist_eval", "--pin_mem"])
+    args = p.parse_args(argv)
+    warn_compat_args(args, compat)
+    if args.disable_wandb:
+        args.wandb = 0
+    return args
 
 
 def main(argv=None):
@@ -128,21 +164,23 @@ def main(argv=None):
         args.learning_rate, args.lr_decay_rate,
         args.starting_temp, args.anneal_rate, args.temp_min,
     )
-    start_epoch = 0
+    start_epoch = args.start_epoch
     if args.auto_resume:
-        payload, start_epoch = auto_resume(
+        payload, resumed_epoch = auto_resume(
             args.output_dir,
             {"params": params, "opt_state": opt_state, "epoch": 0,
              "lr": 0.0, "temp": 0.0, "global_step": 0},
         )
         if payload is not None:
+            start_epoch = resumed_epoch
             params = replicate(payload["params"], mesh)
             opt_state = replicate(payload["opt_state"], mesh)
             sched.lr = float(payload["lr"])
             sched.temp = float(payload["temp"])
             sched.global_step = int(payload["global_step"])
 
-    run = maybe_wandb(bool(args.wandb), project="dalle_train_vae")
+    run = maybe_wandb(bool(args.wandb), project="dalle_train_vae",
+                      group=f"{args.expweek}_{args.expname}")
     key = jax.random.key(args.seed + jax.process_index())
 
     from mem_tpu.utils.preemption import (RESTART_EXIT_CODE, GracefulShutdown,
@@ -192,15 +230,34 @@ def main(argv=None):
         sps = train_it.steps_per_epoch() * args.batch_size / (time.time() - t0)
         print(f"epoch {epoch}: {sps:.1f} samples/sec")
 
-        if (epoch + 1) % args.eval_freq == 0:
+        if (epoch + 1) % args.eval_freq == 0 and not args.disable_eval:
             used = set()
             vlog = MetricLogger()
+            first_out = None
             for batch in val_it.epoch(0):
                 out = eval_step(params, shard_batch(batch, mesh))
                 used.update(np.unique(np.asarray(out["ids"])).tolist())
                 vlog.update(loss=float(out["loss"]))
+                if first_out is None:
+                    first_out = out
             print(f"* eval loss {vlog.meters['loss'].global_avg:.4f} "
                   f"codebook usage {len(used)}/{args.num_tokens}")
+            if (run or args.dump_recon_dir) and args.num_images_save > 0 \
+                    and jax.process_index() == 0:
+                # the reference's eval-time reconstruction images
+                # (train_vae.py:344: k = num_images_save pairs to wandb)
+                from mem_tpu.utils.visualize import reconstruction_panel, save_png
+
+                k = args.num_images_save
+                panel = reconstruction_panel(
+                    np.asarray(first_out["images"][:k]),
+                    np.asarray(first_out["recon"][:k]))
+                if args.dump_recon_dir:
+                    os.makedirs(args.dump_recon_dir, exist_ok=True)
+                    save_png(os.path.join(args.dump_recon_dir,
+                                          f"recon_ep{epoch}.png"), panel)
+                if run and hasattr(run, "Image"):
+                    run.log({"reconstructions": run.Image(panel), "epoch": epoch})
             if run:
                 run.log({"test_loss": vlog.meters["loss"].global_avg,
                          "codebook_usage": len(used) / args.num_tokens, "epoch": epoch})

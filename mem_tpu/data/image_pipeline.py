@@ -80,6 +80,15 @@ def _color_jitter(img: np.ndarray, rng: np.random.Generator,
     return img
 
 
+def _pil_filter(name: str, rng: np.random.Generator):
+    from PIL import Image
+
+    if name == "random":  # torchvision _RANDOM_INTERPOLATION
+        return (Image.BILINEAR, Image.BICUBIC)[int(rng.integers(2))]
+    return {"bilinear": Image.BILINEAR, "bicubic": Image.BICUBIC,
+            "lanczos": Image.LANCZOS, "nearest": Image.NEAREST}[name]
+
+
 def rrc_params(w: int, h: int, rng: np.random.Generator,
                scale=(0.08, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0)):
     """RandomResizedCrop window — exact port of the 10-attempt rejection
@@ -113,6 +122,11 @@ class ImagePipelineConfig:
     batch_size: int = 64
     input_size: int = 224
     second_size: int = 224
+    # RandomResizedCropAndInterpolationWithTwoPic filters (transforms.py:94,
+    # args at run_mem_pretraining.py:121-125): bilinear|bicubic|lanczos, or
+    # 'random' = per-sample bilinear/bicubic choice (torchvision semantics)
+    interpolation: str = "bicubic"
+    second_interpolation: str = "lanczos"
     color_jitter: float = 0.4
     scale: Tuple[float, float] = (0.08, 1.0)
     ratio: Tuple[float, float] = (3.0 / 4.0, 4.0 / 3.0)
@@ -175,8 +189,11 @@ class ImageBatchIterator:
                                   cfg.scale, cfg.ratio)
         box = (j, i, j + cw, i + ch)
         s1, s2 = cfg.input_size, cfg.second_size
-        patches = img.resize((s1, s1), Image.BILINEAR, box=box)
-        vae_view = img.resize((s2, s2), Image.LANCZOS, box=box)
+        patches = img.resize((s1, s1), _pil_filter(cfg.interpolation, rng),
+                             box=box)
+        vae_view = img.resize((s2, s2),
+                              _pil_filter(cfg.second_interpolation, rng),
+                              box=box)
 
         out = {
             "patches": np.asarray(patches, np.float32) / 255.0,

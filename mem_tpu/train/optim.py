@@ -490,6 +490,7 @@ def create_optimizer(
     opt_eps: float = 1e-8,
     momentum: float = 0.9,
     clip_grad: Optional[float] = None,
+    skip_names=("pos_embed", "cls_token"),
 ):
     """create_optimizer surface — the reference's full 20-way switch
     (optim_factory.py:98-181), TPU-natively:
@@ -513,7 +514,7 @@ def create_optimizer(
     decayed groups.
     """
     lr_scales = build_lr_scale_tree(params, layer_decay, num_layers)
-    wd_masks = build_wd_mask_tree(params)
+    wd_masks = build_wd_mask_tree(params, skip_names=skip_names)
     explicit_wd_schedule = wd_schedule is not None
     if wd_schedule is None:
         wd_schedule = (lambda step: weight_decay) if weight_decay else None

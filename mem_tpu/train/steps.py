@@ -75,7 +75,10 @@ def make_vae_eval_step(vae, preproc: PreprocConfig):
         recon = vae.apply(params, ids, method="decode_indices")
         # eval recon loss vs normalized input (vae_model.py:216-266)
         mse = jnp.mean((images - recon) ** 2)
-        return {"loss": mse, "ids": ids}
+        # images/recon ride along for the eval-time reconstruction panels
+        # (train_vae.py:344 logs num_images_save pairs); jax transfers them
+        # only when the caller actually materializes them
+        return {"loss": mse, "ids": ids, "images": images, "recon": recon}
 
     return jax.jit(step)
 

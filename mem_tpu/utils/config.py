@@ -35,11 +35,28 @@ def parse_conf_file(path: str) -> Dict[str, str]:
 class ConfigArgumentParser:
     """Minimal configargparse stand-in with multi-alias arguments."""
 
+    # .conf keys that the REFERENCE's parsers never declared, so its
+    # configargparse silently drops them (shipped confs contain them; SURVEY
+    # §2.11(1) documents the undeclared-key behavior). We reproduce the drop
+    # exactly — honoring them would change training vs the reference — but
+    # say so once, because the conf author's intent was clearly different.
+    KNOWN_DROPPED_KEYS = {
+        "class_lr_decay": (
+            "the reference declares --layer_decay/--class_layer_decay; "
+            "'class_lr_decay' binds to neither, so layer_decay stays at its "
+            "default (0.9) — reproduced for parity"),
+        "pt_lr_decay": (
+            "no pretraining flag by this name exists in the reference "
+            "(pretrain LR follows the cosine schedule); the key never binds "
+            "— reproduced for parity"),
+    }
+
     def __init__(self, description: str = ""):
         self.parser = argparse.ArgumentParser(description=description)
         self.parser.add_argument("--config", type=str, default=None,
                                  help="key = value config file")
         self._alias_map: Dict[str, str] = {}   # config key -> dest
+        self._action_map: Dict[str, Any] = {}  # config key -> argparse action
         self._type_map: Dict[str, Any] = {}
         self._nargs_map: Dict[str, Any] = {}
         self._required: list = []              # (flag, dest) checked post-parse
@@ -56,6 +73,7 @@ class ConfigArgumentParser:
             self._required.append((canonical, action.dest))
         for f in flags:
             self._alias_map[f.lstrip("-")] = action.dest
+            self._action_map[f.lstrip("-")] = action
         self._type_map[action.dest] = kwargs.get("type", None)
         self._nargs_map[action.dest] = kwargs.get("nargs", None)
         return action
@@ -72,7 +90,18 @@ class ConfigArgumentParser:
             for key, raw in conf.items():
                 dest = self._alias_map.get(key)
                 if dest is None:
+                    if key in self.KNOWN_DROPPED_KEYS:
+                        print(f"note: config key '{key}' is ignored: "
+                              f"{self.KNOWN_DROPPED_KEYS[key]}")
                     continue  # foreign stage's key — tolerated
+                action = self._action_map.get(key)
+                if action is not None and getattr(action, "nargs", None) == 0 \
+                        and getattr(action, "const", None) is not None:
+                    # store_true/store_false: configargparse applies the
+                    # action's const only for truthy config values
+                    if str(raw).lower() in ("true", "1", "yes"):
+                        defaults[dest] = action.const
+                    continue
                 defaults[dest] = self._convert(dest, raw)
             self.parser.set_defaults(**defaults)
         args, _unknown = self.parser.parse_known_args(argv)
