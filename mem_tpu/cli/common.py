@@ -84,9 +84,14 @@ def build_pipeline(
     src = args.data_path
     if split != "train" and getattr(args, "eval_data_path", None):
         src = args.eval_data_path
-    root = resolve_split_root(src, split)
-    if src != args.data_path and not os.path.isdir(root):
+    if getattr(args, "data_set", "npy") == "image_folder":
+        # datasets.py:421-423: the path IS the class-dir root (no split
+        # subdir); val comes entirely from --eval_data_path
         root = src
+    else:
+        root = resolve_split_root(src, split)
+        if src != args.data_path and not os.path.isdir(root):
+            root = src
     folder = NpyFolder(root, loader=loader_for_path(args.data_path))
 
     scale_xy = None
@@ -173,6 +178,33 @@ def validate_preproc_args(args, train: bool = True) -> None:
         chk(s / args.input_H < 0.15 and s / args.input_W < 0.15,
             f"max_random_shift_evs {s} exceeds 15% of the input extent "
             f"({args.input_H}x{args.input_W})")
+
+
+def parse_rand_aa(spec: Optional[str]):
+    """timm auto-augment spec -> (magnitude, num_ops) for ops/rand_augment.
+
+    Only ``rand-*`` (RandAugment) specs are supported — the reference ships
+    only ``rand-m9-mstd0.5-inc1`` (run_class_finetuning.py:203) and its
+    event pipelines never read --aa at all. ``mstd`` (magnitude noise) and
+    ``inc`` (increasing-severity ordering) are accepted and ignored: our
+    magnitude bin is already drawn U[0, m] per op (SURVEY §7 statistical
+    parity). Returns None when the spec is empty/none (color-jitter applies
+    instead, timm create_transform semantics).
+    """
+    if not spec or str(spec).lower() in ("none", "0", "false"):
+        return None
+    if not spec.startswith("rand"):
+        raise SystemExit(
+            f"--aa: only rand-* (RandAugment) specs are supported, got {spec!r}")
+    mag, num_ops = 9, 2  # timm _RAND_ defaults
+    for part in spec.split("-")[1:]:
+        if part.startswith("mstd") or part.startswith("inc"):
+            continue
+        if part.startswith("m") and part[1:].isdigit():
+            mag = int(part[1:])
+        elif part.startswith("n") and part[1:].isdigit():
+            num_ops = int(part[1:])
+    return mag, num_ops
 
 
 # ---------------------------------------------------------------------------

@@ -199,17 +199,63 @@ def main(argv=None):
     micro_bs = args.batch_size // args.update_freq
     local_micro = micro_bs // nproc
 
-    ds_train, train_it = build_pipeline(
-        args, "train", True, local_micro, seed=args.seed,
-        num_workers=args.num_workers, shard_id=jax.process_index(), num_shards=nproc,
-    )
-    ds_val, val_it = build_pipeline(
-        args, "val", False, local_micro, seed=args.seed,
-        num_workers=args.num_workers, shard_id=jax.process_index(), num_shards=nproc,
-    )
+    image_preproc = None
+    if args.data_set == "IMNET":
+        # real-image finetune baseline: build_transform_e2v over
+        # datasets.ImageFolder (datasets.py:353-392,415-420); host does
+        # decode + RRC/flip (train) or resize/center-crop (eval), the
+        # device applies the --aa RandAugment + RandomErasing
+        from functools import partial
+
+        from mem_tpu.data.device_pipeline import preprocess_image_cls
+        from mem_tpu.data.folder import resolve_split_root
+        from mem_tpu.data.image_pipeline import (ImageBatchIterator,
+                                                 ImageFolder,
+                                                 ImagePipelineConfig)
+        from mem_tpu.cli.common import parse_rand_aa
+
+        aa = parse_rand_aa(args.aa)
+
+        def _img_it(split, is_train):
+            src = args.data_path
+            if not is_train and args.eval_data_path:
+                src = args.eval_data_path
+            folder = ImageFolder(resolve_split_root(src, split))
+            return folder, ImageBatchIterator(folder, ImagePipelineConfig(
+                batch_size=local_micro, input_size=args.input_size,
+                is_train=is_train, interpolation=args.train_interpolation,
+                classification=True, masking=None,
+                color_jitter_cls=args.color_jitter,
+                use_color_jitter_cls=(aa is None),  # timm: aa replaces CJ
+                seed=args.seed, shuffle=is_train, drop_last=is_train,
+                shard_id=jax.process_index(), num_shards=nproc,
+            ))
+
+        ds_train, train_it = _img_it("train", True)
+        ds_val, val_it = _img_it("val", False)
+        image_preproc = partial(
+            preprocess_image_cls, is_train=True, rand_aug=aa is not None,
+            magnitude=aa[0] if aa else 0, num_ops=aa[1] if aa else 2,
+            reprob=args.reprob, remode=args.remode, recount=args.recount,
+            batch_ops=bool(args.rand_aug_batch_ops),
+        )
+        preproc_train = preproc_val = None
+    elif args.data_set in ("npy", "image_folder", "dsec_semseg"):
+        ds_train, train_it = build_pipeline(
+            args, "train", True, local_micro, seed=args.seed,
+            num_workers=args.num_workers, shard_id=jax.process_index(), num_shards=nproc,
+        )
+        ds_val, val_it = build_pipeline(
+            args, "val", False, local_micro, seed=args.seed,
+            num_workers=args.num_workers, shard_id=jax.process_index(), num_shards=nproc,
+        )
+        preproc_train = build_preproc(args, True, color_jitter=args.color_jitter)
+        preproc_val = build_preproc(args, False)
+    else:
+        # the reference's build_dataset else-branch (datasets.py:453):
+        # CIFAR and anything else raise there too
+        raise NotImplementedError(f"data_set {args.data_set!r}")
     nb_classes = args.nb_classes or ds_train.nb_classes
-    preproc_train = build_preproc(args, True, color_jitter=args.color_jitter)
-    preproc_val = build_preproc(args, False)
 
     patch = 2 ** args.num_layers
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -312,7 +358,10 @@ def main(argv=None):
             clip_grad=args.clip_grad, eps=args.opt_eps,
         )
     opt_state = tx.init(params)
-    ema_params = jax.tree.map(lambda x: x.copy(), params) if args.model_ema else params
+    # always a real copy: with EMA off the step still threads the tree
+    # through, and aliasing it to the donated params crashes XLA
+    # ("buffer previously donated"); one init-time copy, no per-step cost
+    ema_params = jax.tree.map(lambda x: x.copy(), params)
     from mem_tpu.parallel.mesh import place_train_state
 
     params, opt_state = place_train_state(
@@ -328,6 +377,7 @@ def main(argv=None):
         model, tx, preproc_train, nb_classes, mixup_fn=mixup_fn,
         smoothing=args.smoothing, update_freq=args.update_freq,
         ema_decay=args.model_ema_decay if args.model_ema else None,
+        image_preproc=image_preproc,
     )
     eval_step = make_finetune_eval_step(model, preproc_val)
 

@@ -142,6 +142,12 @@ class ImagePipelineConfig:
     shard_id: int = 0
     num_shards: int = 1
     num_workers: int = 0  # accepted for CLI symmetry; decode is inline
+    # classification mode (the finetune IMNET path, build_transform_e2v,
+    # datasets.py:353-392): single view + label + per-sample aug_seed for the
+    # on-device RandAugment/RandomErasing; no mask, no second view.
+    classification: bool = False
+    color_jitter_cls: float = 0.0  # e2v train: honored only when aa is off
+    use_color_jitter_cls: bool = False
 
 
 class ImageBatchIterator:
@@ -171,10 +177,55 @@ class ImageBatchIterator:
             np.random.default_rng(self.cfg.seed + epoch).shuffle(idx)
         return idx[self.cfg.shard_id :: self.cfg.num_shards]
 
+    def _load_one_cls(self, epoch: int, index: int):
+        """build_transform_e2v role (datasets.py:353-392): train = timm-style
+        RRC + hflip [+ color jitter when no AA spec]; eval = short-side
+        resize by the crop_pct quirk (379-382: always 224/256 below 384)
+        then center crop. mean/std are (0,0,0)/(1,1,1) there, i.e. identity.
+        RandAugment/RandomErasing run on device keyed by aug_seed."""
+        from PIL import Image
+
+        cfg = self.cfg
+        rng = np.random.default_rng((cfg.seed, epoch, index))
+        path, label = self.ds.samples[index]
+        img = Image.open(path).convert("RGB")
+        s = cfg.input_size
+
+        if cfg.is_train:
+            if cfg.use_color_jitter_cls and cfg.color_jitter_cls > 0:
+                arr = _color_jitter(np.asarray(img, np.float32), rng,
+                                    cfg.color_jitter_cls)
+                img = Image.fromarray(arr.astype(np.uint8))
+            i, j, ch, cw = rrc_params(img.size[0], img.size[1], rng,
+                                      cfg.scale, cfg.ratio)
+            img = img.resize((s, s), _pil_filter(cfg.interpolation, rng),
+                             box=(j, i, j + cw, i + ch))
+            if rng.random() < 0.5:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        else:
+            crop_pct = 224 / 256 if s < 384 else 1.0  # quirk: flag ignored
+            short = int(s / crop_pct)
+            w, h = img.size
+            if w <= h:
+                nw, nh = short, max(1, round(h * short / w))
+            else:
+                nw, nh = max(1, round(w * short / h)), short
+            img = img.resize((nw, nh), Image.BICUBIC)  # interpolation=3
+            left, top = (nw - s) // 2, (nh - s) // 2
+            img = img.crop((left, top, left + s, top + s))
+
+        return {
+            "image": np.asarray(img, np.float32) / 255.0,
+            "label": np.int64(label),
+            "aug_seed": np.uint32(rng.integers(0, 2**32 - 1)),
+        }
+
     def _load_one(self, epoch: int, index: int):
         from PIL import Image
 
         cfg = self.cfg
+        if cfg.classification:
+            return self._load_one_cls(epoch, index)
         rng = np.random.default_rng((cfg.seed, epoch, index))
         path, label = self.ds.samples[index]
         img = Image.open(path).convert("RGB")

@@ -271,3 +271,61 @@ def color_jitter(img: jnp.ndarray, key: jax.Array, strength: float) -> jnp.ndarr
         return _adjust_brightness(_adjust_saturation(x, sf), bf)
 
     return jax.lax.cond(order, b_then_s, s_then_b, img)
+
+
+# ---------------------------------------------------------------------------
+# RandomErasing (timm random_erasing.py semantics; IMNET train path —
+# reference wires it via --reprob/--remode/--recount,
+# run_class_finetuning.py:215-219 through timm create_transform)
+# ---------------------------------------------------------------------------
+
+def _erase_one(img, key, prob: float, mode: str, count: int):
+    """One sample. timm draws target_area ~ U(0.02, 1/3)*A/count and aspect
+    ~ exp(U(log .3, log 3.3)) with up to 10 retries when the box exceeds the
+    image; under jit we clamp the box instead (the retry loop is data-
+    dependent) — a distribution difference only at the extreme tail
+    (h > H needs area*aspect > 3, impossible at these bounds for count=1).
+    """
+    h_img, w_img, _ = img.shape
+    k_use, key = jax.random.split(key)
+    use = jax.random.uniform(k_use) < prob
+
+    def one_box(i, carry):
+        img, key = carry
+        k_area, k_ratio, k_top, k_left, k_noise, key = jax.random.split(key, 6)
+        area = jax.random.uniform(k_area, (), minval=0.02, maxval=1.0 / 3)
+        area = area * (h_img * w_img) / count
+        log_ratio = jax.random.uniform(
+            k_ratio, (), minval=jnp.log(0.3), maxval=jnp.log(3.3))
+        ratio = jnp.exp(log_ratio)
+        h = jnp.clip(jnp.round(jnp.sqrt(area * ratio)), 1, h_img - 1).astype(jnp.int32)
+        w = jnp.clip(jnp.round(jnp.sqrt(area / ratio)), 1, w_img - 1).astype(jnp.int32)
+        top = jnp.floor(jax.random.uniform(k_top) * (h_img - h + 1)).astype(jnp.int32)
+        left = jnp.floor(jax.random.uniform(k_left) * (w_img - w + 1)).astype(jnp.int32)
+        ys = jnp.arange(h_img)[:, None, None]
+        xs = jnp.arange(w_img)[None, :, None]
+        in_box = (ys >= top) & (ys < top + h) & (xs >= left) & (xs < left + w)
+        if mode == "pixel":
+            fill = jax.random.normal(k_noise, img.shape, img.dtype)
+        elif mode == "rand":
+            fill = jnp.broadcast_to(
+                jax.random.normal(k_noise, (1, 1, img.shape[-1]), img.dtype),
+                img.shape)
+        else:  # 'const'
+            fill = jnp.zeros_like(img)
+        return jnp.where(in_box & use, fill, img), key
+
+    img, _ = jax.lax.fori_loop(0, count, one_box, (img, key))
+    return img
+
+
+def random_erasing_batch(imgs: jnp.ndarray, keys, prob: float,
+                         mode: str = "pixel", count: int = 1) -> jnp.ndarray:
+    """Per-sample timm RandomErasing over (B, H, W, C); ``keys`` is a vector
+    of per-sample PRNG keys. mode: pixel (per-pixel N(0,1)) | rand
+    (per-channel N(0,1)) | const (zeros)."""
+    if prob <= 0:
+        return imgs
+    if mode not in ("pixel", "rand", "const"):
+        raise ValueError(f"remode must be pixel|rand|const, got {mode!r}")
+    return jax.vmap(lambda im, k: _erase_one(im, k, prob, mode, count))(imgs, keys)

@@ -184,9 +184,12 @@ def make_finetune_train_step(
     smoothing: float = 0.0,
     update_freq: int = 1,
     ema_decay: Optional[float] = None,
+    image_preproc: Optional[Callable] = None,
 ):
     """Supports grad accumulation (``update_freq`` micro-batches folded into
-    one call via an extra leading axis on the batch) and post-step EMA."""
+    one call via an extra leading axis on the batch) and post-step EMA.
+    ``image_preproc`` handles real-image (IMNET) batches carrying an
+    ``image`` key instead of events (device_pipeline.preprocess_image_cls)."""
 
     def ce(logits, targets):
         logits = logits.astype(jnp.float32)
@@ -204,7 +207,10 @@ def make_finetune_train_step(
         return -jnp.mean(lp)
 
     def one_micro(p, batch, rng):
-        images = preprocess_batch(batch, preproc, is_train=True)
+        if "image" in batch:
+            images = image_preproc(batch)
+        else:
+            images = preprocess_batch(batch, preproc, is_train=True)
         targets = batch["label"]
         if mixup_fn is not None:
             mk, rng = jax.random.split(rng)
@@ -249,7 +255,10 @@ def make_finetune_train_step(
             )
         return params, opt_state, ema_params, {"loss": loss, "grad_norm": gnorm}
 
-    return jax.jit(step, donate_argnums=(0, 1, 2))
+    # with EMA off the CLI passes ema_params = params (same buffers):
+    # donating argnum 2 too would donate the same buffer twice
+    donate = (0, 1, 2) if ema_decay is not None else (0, 1)
+    return jax.jit(step, donate_argnums=donate)
 
 
 def make_finetune_eval_step(model, preproc: PreprocConfig,
@@ -261,7 +270,11 @@ def make_finetune_eval_step(model, preproc: PreprocConfig,
     k = 5
 
     def step(params, batch):
-        images = preprocess_batch(batch, preproc, is_train=False)
+        if "image" in batch:
+            # IMNET eval: host already resized/center-cropped
+            images = batch["image"].astype(jnp.float32)
+        else:
+            images = preprocess_batch(batch, preproc, is_train=False)
         logits = model.apply(params, images).astype(jnp.float32)
         targets = batch["label"]
         lp = jnp.take_along_axis(jax.nn.log_softmax(logits, -1), targets[:, None], -1)[:, 0]

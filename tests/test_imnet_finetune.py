@@ -1,0 +1,171 @@
+"""IMNET real-image FINETUNE path (reference build_transform_e2v,
+mem/datasets.py:353-392 + run_class_finetuning --data_set IMNET): host
+RRC/flip + eval resize/center-crop with the crop_pct quirk, on-device
+--aa RandAugment + RandomErasing, end-to-end through the finetune CLI."""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mem_tpu.cli.common import parse_rand_aa
+from mem_tpu.data.image_pipeline import (ImageBatchIterator, ImageFolder,
+                                         ImagePipelineConfig)
+
+
+@pytest.fixture(scope="module")
+def jpeg_dataset(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("jpegs_cls")
+    rng = np.random.default_rng(7)
+    for split, n_per in (("train", 8), ("val", 4)):
+        for ci, cls in enumerate(["dark", "bright"]):
+            d = root / split / cls
+            d.mkdir(parents=True)
+            base = 40 if ci == 0 else 180
+            for i in range(n_per):
+                w, h = int(rng.integers(48, 96)), int(rng.integers(48, 96))
+                arr = np.clip(base + rng.normal(0, 25, (h, w, 3)), 0, 255
+                              ).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"s{i}.jpg", quality=90)
+    return str(root)
+
+
+def test_parse_rand_aa():
+    assert parse_rand_aa("rand-m9-mstd0.5-inc1") == (9, 2)
+    assert parse_rand_aa("rand-m15-n3") == (15, 3)
+    assert parse_rand_aa(None) is None
+    assert parse_rand_aa("none") is None
+    with pytest.raises(SystemExit):
+        parse_rand_aa("augmix-m5")
+    with pytest.raises(SystemExit):
+        parse_rand_aa("original")
+
+
+def test_cls_iterator_train_and_eval(jpeg_dataset):
+    folder = ImageFolder(os.path.join(jpeg_dataset, "train"))
+    it = ImageBatchIterator(folder, ImagePipelineConfig(
+        batch_size=4, input_size=32, is_train=True, classification=True,
+        masking=None,
+    ))
+    b = next(iter(it.epoch(0)))
+    assert b["image"].shape == (4, 32, 32, 3)
+    assert b["image"].dtype == np.float32
+    assert b["label"].shape == (4,)
+    assert b["aug_seed"].dtype == np.uint32
+    assert "mask" not in b and "vae_view" not in b
+    assert 0.0 <= b["image"].min() and b["image"].max() <= 1.0
+
+    ev = ImageBatchIterator(
+        ImageFolder(os.path.join(jpeg_dataset, "val")),
+        ImagePipelineConfig(batch_size=4, input_size=32, is_train=False,
+                            classification=True, masking=None, shuffle=False,
+                            drop_last=False))
+    vb = next(iter(ev.epoch(0)))
+    assert vb["image"].shape == (4, 32, 32, 3)
+    # eval is deterministic: same batch twice
+    vb2 = next(iter(ev.epoch(0)))
+    np.testing.assert_array_equal(vb["image"], vb2["image"])
+
+
+def test_eval_center_crop_quirk(jpeg_dataset):
+    """crop_pct is forced to 224/256 for input < 384 (datasets.py:379-382):
+    short side resizes to input/crop_pct then center-crops to input."""
+    from PIL import Image
+
+    folder = ImageFolder(os.path.join(jpeg_dataset, "val"))
+    it = ImageBatchIterator(folder, ImagePipelineConfig(
+        batch_size=1, input_size=32, is_train=False, classification=True,
+        masking=None, shuffle=False, drop_last=False))
+    got = next(iter(it.epoch(0)))["image"][0]
+
+    # hand-build the oracle for sample 0
+    path, _ = folder.samples[0]
+    img = Image.open(path).convert("RGB")
+    short = int(32 / (224 / 256))  # 36
+    w, h = img.size
+    if w <= h:
+        nw, nh = short, max(1, round(h * short / w))
+    else:
+        nw, nh = max(1, round(w * short / h)), short
+    ref = img.resize((nw, nh), Image.BICUBIC)
+    left, top = (nw - 32) // 2, (nh - 32) // 2
+    ref = np.asarray(ref.crop((left, top, left + 32, top + 32)),
+                     np.float32) / 255.0
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_random_erasing_batch():
+    from mem_tpu.ops.image_ops import random_erasing_batch
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((8, 24, 24, 3)), jnp.float32)
+    keys = jax.vmap(jax.random.key)(jnp.arange(8, dtype=jnp.uint32))
+
+    # prob=0: identity
+    np.testing.assert_array_equal(random_erasing_batch(x, keys, 0.0), x)
+
+    out = np.asarray(jax.jit(
+        lambda a, k: random_erasing_batch(a, k, 1.0, "const", 1))(x, keys))
+    changed = ~np.isclose(out, np.asarray(x)).all(axis=-1)
+    frac = changed.mean(axis=(1, 2))
+    # const mode zeroes the box
+    assert np.all(out[changed] == 0.0)
+    # erased fraction within timm bounds [0.02, 1/3] (+rounding slack)
+    assert np.all(frac >= 0.01) and np.all(frac <= 0.40)
+    # per-sample boxes differ
+    assert len(np.unique(np.round(frac, 4))) > 2
+
+    # pixel mode fills with noise outside [0,1] sometimes
+    outp = np.asarray(jax.jit(
+        lambda a, k: random_erasing_batch(a, k, 1.0, "pixel", 1))(x, keys))
+    assert (outp.min() < 0) or (outp.max() > 1)
+
+    with pytest.raises(ValueError):
+        random_erasing_batch(x, keys, 0.5, "weird")
+
+
+def test_preprocess_image_cls_paths():
+    from mem_tpu.data.device_pipeline import preprocess_image_cls
+
+    rng = np.random.default_rng(1)
+    batch = {
+        "image": jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32),
+        "aug_seed": jnp.arange(4, dtype=jnp.uint32),
+        "label": jnp.zeros(4, jnp.int64),
+    }
+    # eval: untouched
+    np.testing.assert_array_equal(
+        preprocess_image_cls(batch, is_train=False), batch["image"])
+    # train: augmented, shape preserved, deterministic in aug_seed
+    f = jax.jit(lambda b: preprocess_image_cls(
+        b, is_train=True, rand_aug=True, magnitude=9, reprob=1.0))
+    a, b2 = f(batch), f(batch)
+    assert a.shape == batch["image"].shape
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b2))
+    assert not np.allclose(np.asarray(a), np.asarray(batch["image"]))
+
+
+def test_imnet_finetune_cli_end_to_end(jpeg_dataset, tmp_path):
+    """Two epochs of --data_set IMNET through the real CLI: loss finite,
+    eval runs, checkpoint written."""
+    from mem_tpu.cli.run_class_finetuning import main
+
+    out = tmp_path / "ft_imnet"
+    main([
+        "--data_path", jpeg_dataset, "--data_set", "IMNET",
+        "--output_dir", str(out), "--epochs", "2", "--warmup_epochs", "0",
+        "--batch_size", "8", "--update_freq", "1",
+        "--num_layers", "3", "--transformer_emb", "32",
+        "--transformer_depth", "1", "--transformer_heads", "2",
+        "--input_H", "32", "--input_W", "32", "--input_size", "32",
+        "--max_random_shift_evs", "2",
+        "--num_workers", "0", "--dtype", "float32", "--seed", "0",
+        "--mixup_prob", "0", "--model_ema", "0",
+        "--aa", "rand-m5", "--reprob", "0.25",
+        "--save_ckpt_freq", "2",
+    ])
+    assert (out / "checkpoint-1").exists()
