@@ -213,7 +213,19 @@ def build_model(args):
 
 
 def load_vae(args):
-    """Frozen tokenizer from the stage-1 checkpoint (utils.py:559-578)."""
+    """Frozen tokenizer from the stage-1 checkpoint (utils.py:559-578).
+
+    Dispatch mirrors the reference's create_d_vae exactly: "event" loads the
+    stage-1 DiscreteVAE; "dall-e" raises NotImplementedError (the reference's
+    get_dalle_vae is a bare raise, utils.py:568-569); anything else raises
+    NotImplementedError (utils.py:564-565). A working square-image legacy
+    tokenizer exists as models.discrete_vae.LegacyDiscreteVAE for users who
+    wire it up — the reference's own is dead code (SURVEY.md section 2.11(7)).
+    """
+    if args.discrete_vae_type == "dall-e":
+        raise NotImplementedError()  # utils.py:568-569
+    if args.discrete_vae_type != "event":
+        raise NotImplementedError()  # utils.py:564-565
     payload = load_checkpoint(args.discrete_vae_weight_path)
     h = payload["hparams"]
     vae = DiscreteVAE(

@@ -312,3 +312,153 @@ class DiscreteVAE(nn.Module):
         if return_recons:
             return loss, out
         return loss
+
+
+class LegacyDiscreteVAE(nn.Module):
+    """lucidrains-style square-image DiscreteVAE
+    (mem/modeling_discrete_vae.py:75-196).
+
+    DEAD CODE in the reference: the module is never imported anywhere, and
+    its trailing module-level ``from dall_e import load_model``
+    (modeling_discrete_vae.py:198) would raise ImportError the moment anyone
+    tried (SURVEY.md section 2.11(7)). It is implemented here anyway so the
+    ``--discrete_vae_type`` API slot is backed by a working tokenizer for
+    users who wire it up, per the reference's evident intent.
+
+    Architectural differences from the event :class:`DiscreteVAE` above
+    (vae_model.py): ResBlocks are INTERLEAVED with the stride-2 convs (one
+    per resolution level, not a flat tail), the decoder's first deconv maps
+    ``codebook_dim`` directly (no 1x1 entry conv), there is no input
+    normalization, the loss menu is {mse, smooth_l1} only (no cosine), and
+    ``get_codebook_indices`` returns the UNFLATTENED (B, h, w) grid
+    (modeling_discrete_vae.py:131-136 — the event model flattens).
+
+    Reference quirks preserved:
+      - ``get_image_tokens_size`` hardcodes ``image_size // 8`` regardless of
+        ``num_layers`` (modeling_discrete_vae.py:127-128; only correct for
+        the default num_layers=3).
+      - The KL term keeps the same ``batchmean``-over-a-broadcast-1-element-
+        input quirk as the event model (the sum is NOT divided by batch
+        size; modeling_discrete_vae.py:185-189 is the identical line).
+      - ``decode`` infers a square grid via ``int(sqrt(n))``
+        (modeling_discrete_vae.py:148-153).
+    """
+
+    image_size: int = 256
+    num_tokens: int = 512
+    codebook_dim: int = 512
+    num_layers: int = 3
+    hidden_dim: int = 64
+    channels: int = 3
+    smooth_l1_loss: bool = False
+    temperature: float = 0.9
+    straight_through: bool = False
+    kl_div_loss_weight: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        assert self.num_layers >= 1, "number of layers must be >= 1"
+        self.codebook = nn.Embed(self.num_tokens, self.codebook_dim, name="codebook")
+        self.enc_convs = [
+            nn.Conv(self.hidden_dim, (4, 4), strides=2, padding=1,
+                    dtype=self.dtype, name=f"enc_conv_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.enc_res = [
+            ResBlock(self.hidden_dim, self.dtype, name=f"enc_res_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.enc_head = nn.Conv(self.num_tokens, (1, 1), dtype=self.dtype,
+                                name="enc_head")
+        self.dec_deconvs = [
+            TorchConvTranspose(self.hidden_dim, dtype=self.dtype,
+                               name=f"dec_deconv_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.dec_res = [
+            ResBlock(self.hidden_dim, self.dtype, name=f"dec_res_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.dec_head = nn.Conv(self.channels, (1, 1), dtype=self.dtype,
+                                name="dec_head")
+
+    def get_image_size(self):
+        return self.image_size
+
+    def get_image_tokens_size(self):
+        # reference quirk: //8 regardless of num_layers
+        return self.image_size // 8
+
+    def encode_logits(self, img):
+        """(B, H, W, C) -> (B, h, w, num_tokens): [conv4s2+ReLU, ResBlock]
+        per layer, then the 1x1 head (modeling_discrete_vae.py:107-115)."""
+        x = img.astype(self.dtype)
+        for conv, res in zip(self.enc_convs, self.enc_res):
+            x = res(nn.relu(conv(x)))
+        return self.enc_head(x)
+
+    def _decode_from_grid(self, x):
+        """(B, h, w, codebook_dim) -> (B, H, W, C): [deconv4s2+ReLU, ResBlock]
+        per layer, then the 1x1 head (modeling_discrete_vae.py:111-117)."""
+        for deconv, res in zip(self.dec_deconvs, self.dec_res):
+            x = res(nn.relu(deconv(x)))
+        return self.dec_head(x)
+
+    def get_codebook_indices(self, img):
+        """(B, H, W, C) -> (B, h, w) int argmax ids — unflattened, unlike the
+        event model (modeling_discrete_vae.py:131-136)."""
+        return jnp.argmax(self.encode_logits(img), axis=-1)
+
+    def get_codebook_probs(self, img):
+        """(B, H, W, C) -> (B, h, w, num_tokens) softmax probabilities
+        (modeling_discrete_vae.py:138-142)."""
+        return softmax_lastdim(self.encode_logits(img).astype(jnp.float32))
+
+    def decode_indices(self, ids):
+        """(B, n) flat token ids, square grid inferred as int(sqrt(n))
+        (modeling_discrete_vae.py:144-153)."""
+        b, n = ids.shape
+        h = w = int(n ** 0.5)
+        emb = self.codebook(ids).reshape(b, h, w, self.codebook_dim)
+        return self._decode_from_grid(emb.astype(self.dtype))
+
+    def _recon_loss(self, target, rec):
+        target = target.astype(jnp.float32)
+        rec = rec.astype(jnp.float32)
+        if self.smooth_l1_loss:
+            d = jnp.abs(target - rec)
+            return jnp.mean(jnp.where(d < 1.0, 0.5 * d * d, d - 0.5))
+        return jnp.mean((target - rec) ** 2)
+
+    def __call__(self, img, temp: Optional[float] = None, rng=None,
+                 return_recons: bool = False, gumbel_noise=None):
+        """Training forward -> loss (modeling_discrete_vae.py:156-196).
+        Same ``gumbel_noise`` injection hook as the event model for
+        twin-parity testing."""
+        assert img.shape[1] == self.image_size and img.shape[2] == self.image_size, \
+            f"input must have the correct image size {self.image_size}"
+        logits = self.encode_logits(img)
+        if gumbel_noise is not None:
+            g = gumbel_noise.astype(jnp.float32)
+        else:
+            if rng is None:
+                rng = self.make_rng("gumbel")
+            g = jax.random.gumbel(rng, logits.shape, dtype=jnp.float32)
+        t = self.temperature if temp is None else temp
+        soft = softmax_lastdim((logits.astype(jnp.float32) + g) / t)
+        if self.straight_through:
+            hard = jax.nn.one_hot(jnp.argmax(soft, -1), self.num_tokens,
+                                  dtype=soft.dtype)
+            soft = hard + soft - jax.lax.stop_gradient(soft)
+        z = jnp.einsum("bhwn,nd->bhwd", soft,
+                       self.codebook.embedding.astype(soft.dtype))
+        out = self._decode_from_grid(z.astype(self.dtype))
+
+        recon = self._recon_loss(img, out)
+        log_qy = log_softmax_lastdim(logits.astype(jnp.float32))
+        log_uniform = jnp.log(1.0 / self.num_tokens)
+        kl = jnp.sum(jnp.exp(log_qy) * (log_qy - log_uniform))
+        loss = recon + self.kl_div_loss_weight * kl
+        if return_recons:
+            return loss, out
+        return loss

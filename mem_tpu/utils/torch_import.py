@@ -248,6 +248,37 @@ def import_vae_state_dict(sd: Dict, num_layers: int, num_resnet_blocks: int) -> 
     return {"params": p}
 
 
+def import_legacy_vae_state_dict(sd: Dict, num_layers: int) -> Dict:
+    """Map the reference's legacy lucidrains-style DiscreteVAE state_dict
+    (mem/modeling_discrete_vae.py:101-119 Sequential indices: [Seq(Conv,ReLU),
+    ResBlock] interleaved per layer in both stacks, ResBlocks one-per-level)
+    to :class:`mem_tpu.models.discrete_vae.LegacyDiscreteVAE` named modules."""
+    p: Dict = {}
+    L = num_layers
+
+    def res_map(prefix_t, prefix_o):
+        for ti, oi in ((0, "conv1"), (2, "conv2"), (4, "conv3")):
+            _set(p, prefix_o + (oi, "kernel"), _conv(sd[f"{prefix_t}.net.{ti}.weight"]))
+            _set(p, prefix_o + (oi, "bias"), _t(sd[f"{prefix_t}.net.{ti}.bias"]))
+
+    _set(p, ("codebook", "embedding"), _t(sd["codebook.weight"]))
+    # encoder: [Seq(Conv,ReLU), ResBlock]*L + [Conv1x1]
+    for i in range(L):
+        _set(p, (f"enc_conv_{i}", "kernel"), _conv(sd[f"encoder.{2 * i}.0.weight"]))
+        _set(p, (f"enc_conv_{i}", "bias"), _t(sd[f"encoder.{2 * i}.0.bias"]))
+        res_map(f"encoder.{2 * i + 1}", (f"enc_res_{i}",))
+    _set(p, ("enc_head", "kernel"), _conv(sd[f"encoder.{2 * L}.weight"]))
+    _set(p, ("enc_head", "bias"), _t(sd[f"encoder.{2 * L}.bias"]))
+    # decoder: [Seq(ConvT,ReLU), ResBlock]*L + [Conv1x1]
+    for i in range(L):
+        _set(p, (f"dec_deconv_{i}", "kernel"), _convT(sd[f"decoder.{2 * i}.0.weight"]))
+        _set(p, (f"dec_deconv_{i}", "bias"), _t(sd[f"decoder.{2 * i}.0.bias"]))
+        res_map(f"decoder.{2 * i + 1}", (f"dec_res_{i}",))
+    _set(p, ("dec_head", "kernel"), _conv(sd[f"decoder.{2 * L}.weight"]))
+    _set(p, ("dec_head", "bias"), _t(sd[f"decoder.{2 * L}.bias"]))
+    return {"params": p}
+
+
 def export_seg_params(variables: Dict) -> Dict[str, np.ndarray]:
     """Flax EncoderDecoder tree (params + batch_stats) -> torch state_dict
     for the seg twin (scripts/torch_twin.py TwinSegEncoderDecoder) — the

@@ -64,16 +64,26 @@ def test_native_batch_loader_missing_file(tmp_path):
 
 def test_native_decode_throughput(rng):
     """Native decode should beat the (already vectorized) numpy path or at
-    least be in the same class; mostly a smoke check that it runs at scale."""
+    least be in the same class; mostly a smoke check that it runs at scale.
+
+    Best-of-3 per side: single-shot wall times on this 1-core box flake
+    badly whenever anything else (e.g. a TPU trace harness) shares the
+    core — one observed descheduling stretched native decode 0.05 s -> 0.65 s.
+    """
     import time
 
     buf = rng.integers(0, 256, size=5 * 500_000, dtype=np.uint8).tobytes()
-    t0 = time.perf_counter()
-    native.decode_atis(buf)
-    t_native = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    decode_atis_bytes(buf)
-    t_numpy = time.perf_counter() - t0
+
+    def best_of(fn, n=3):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn(buf)
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_native = best_of(native.decode_atis)
+    t_numpy = best_of(decode_atis_bytes)
     print(f"native {500_000/t_native/1e6:.1f} Mev/s vs numpy {500_000/t_numpy/1e6:.1f} Mev/s")
     assert t_native < 5 * t_numpy
 
