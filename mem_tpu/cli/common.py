@@ -26,7 +26,12 @@ def detect_dataset(data_path: str) -> str:
 
 
 def build_preproc(args, is_train: bool, color_jitter: float = 0.0) -> PreprocConfig:
-    ds = detect_dataset(args.data_path)
+    # match build_pipeline: the val split's quirks follow --eval_data_path
+    # when that override is set
+    src = args.data_path
+    if not is_train and getattr(args, "eval_data_path", None):
+        src = args.eval_data_path
+    ds = detect_dataset(src)
     if ds == "dsec":
         canvas = (440, 640)
         resize, crop = True, False
@@ -77,13 +82,16 @@ def build_pipeline(
     shard_id: int = 0,
     num_shards: int = 1,
 ) -> Tuple[NpyFolder, EventBatchIterator]:
-    ds = detect_dataset(args.data_path)
     # --eval_data_path overrides the VAL root (datasets.py:422; the
     # reference's image_folder path treats it as the class-dir root itself,
     # so fall through to the bare path when no split subdir exists under it)
     src = args.data_path
     if split != "train" and getattr(args, "eval_data_path", None):
         src = args.eval_data_path
+    # dataset quirks (decoder, canvas, scale) follow the split's OWN root:
+    # with --eval_data_path pointing at a different dataset, eval must use
+    # that dataset's loader, not the train one's
+    ds = detect_dataset(src)
     if getattr(args, "data_set", "npy") == "image_folder":
         # datasets.py:421-423: the path IS the class-dir root (no split
         # subdir); val comes entirely from --eval_data_path
@@ -92,7 +100,7 @@ def build_pipeline(
         root = resolve_split_root(src, split)
         if src != args.data_path and not os.path.isdir(root):
             root = src
-    folder = NpyFolder(root, loader=loader_for_path(args.data_path))
+    folder = NpyFolder(root, loader=loader_for_path(src))
 
     scale_xy = None
     fixed_hw = None
@@ -181,30 +189,35 @@ def validate_preproc_args(args, train: bool = True) -> None:
 
 
 def parse_rand_aa(spec: Optional[str]):
-    """timm auto-augment spec -> (magnitude, num_ops) for ops/rand_augment.
+    """timm auto-augment spec -> (magnitude, num_ops, mstd) for
+    ops/rand_augment's ``timm_levels`` mode.
 
     Only ``rand-*`` (RandAugment) specs are supported — the reference ships
     only ``rand-m9-mstd0.5-inc1`` (run_class_finetuning.py:203) and its
-    event pipelines never read --aa at all. ``mstd`` (magnitude noise) and
-    ``inc`` (increasing-severity ordering) are accepted and ignored: our
-    magnitude bin is already drawn U[0, m] per op (SURVEY §7 statistical
-    parity). Returns None when the spec is empty/none (color-jitter applies
-    instead, timm create_transform semantics).
+    event pipelines never read --aa at all. Semantics downstream are timm's:
+    fixed level m of 10 with gaussian ``mstd`` jitter, per-op apply prob
+    0.5 (NOT the event path's U[0, m] draw — rand_augment.py module
+    docstring). ``inc`` is accepted and dropped: the torchvision magnitude
+    table's severity directions already match the increasing variants.
+    Returns None when the spec is empty/none (color-jitter applies instead,
+    timm create_transform semantics).
     """
     if not spec or str(spec).lower() in ("none", "0", "false"):
         return None
     if not spec.startswith("rand"):
         raise SystemExit(
             f"--aa: only rand-* (RandAugment) specs are supported, got {spec!r}")
-    mag, num_ops = 9, 2  # timm _RAND_ defaults
+    mag, num_ops, mstd = 9, 2, 0.0  # timm _RAND_ defaults (mstd off)
     for part in spec.split("-")[1:]:
-        if part.startswith("mstd") or part.startswith("inc"):
+        if part.startswith("inc"):
             continue
-        if part.startswith("m") and part[1:].isdigit():
+        if part.startswith("mstd"):
+            mstd = float(part[4:])
+        elif part.startswith("m") and part[1:].isdigit():
             mag = int(part[1:])
         elif part.startswith("n") and part[1:].isdigit():
             num_ops = int(part[1:])
-    return mag, num_ops
+    return mag, num_ops, mstd
 
 
 # ---------------------------------------------------------------------------
@@ -291,9 +304,11 @@ def add_imnet_args(parser, stage: str) -> None:
         a("--second_interpolation", type=str, default="lanczos",
           help="tokenizer-view resample filter")
         a("--input_H2", type=int, default=128,
-          help="tokenizer-view size fed to create_d_vae "
-               "(run_mem_pretraining.py:269); the event path uses identical "
-               "views, so this binds only on IMNET")
+          help="inert, reference-faithfully: run_mem_pretraining.py:269 "
+               "feeds it to create_d_vae, which DROPS image_size for the "
+               "event VAE (utils.py:571-578), and the IMNET two-view "
+               "transform hardcodes second_size=224 (datasets.py:92-95); "
+               "our IMNET tokenizer view likewise uses --input_H")
         a("--input_W2", type=int, default=128)
     else:
         a("--train_interpolation", "--train-interpolation", type=str,

@@ -215,12 +215,16 @@ def main(argv=None):
         from mem_tpu.cli.common import parse_rand_aa
 
         aa = parse_rand_aa(args.aa)
+        if args.eval_data_path:
+            print("note: --eval_data_path is ignored on --data_set IMNET "
+                  "(reference datasets.py:415-420 uses data_path/{train,val})")
 
         def _img_it(split, is_train):
-            src = args.data_path
-            if not is_train and args.eval_data_path:
-                src = args.eval_data_path
-            folder = ImageFolder(resolve_split_root(src, split))
+            # IMNET reference-faithfully ignores --eval_data_path: both
+            # splits come from data_path/{train,val} with the extracted_*
+            # fallback (datasets.py:415-420; the override binds only on the
+            # image_folder branch, :421-423)
+            folder = ImageFolder(resolve_split_root(args.data_path, split))
             return folder, ImageBatchIterator(folder, ImagePipelineConfig(
                 batch_size=local_micro, input_size=args.input_size,
                 is_train=is_train, interpolation=args.train_interpolation,
@@ -236,6 +240,7 @@ def main(argv=None):
         image_preproc = partial(
             preprocess_image_cls, is_train=True, rand_aug=aa is not None,
             magnitude=aa[0] if aa else 0, num_ops=aa[1] if aa else 2,
+            mstd=aa[2] if aa else 0.0,
             reprob=args.reprob, remode=args.remode, recount=args.recount,
             batch_ops=bool(args.rand_aug_batch_ops),
         )
@@ -358,15 +363,16 @@ def main(argv=None):
             clip_grad=args.clip_grad, eps=args.opt_eps,
         )
     opt_state = tx.init(params)
-    # always a real copy: with EMA off the step still threads the tree
-    # through, and aliasing it to the donated params crashes XLA
-    # ("buffer previously donated"); one init-time copy, no per-step cost
-    ema_params = jax.tree.map(lambda x: x.copy(), params)
+    # with EMA off no tree is created or threaded at all: the step drops
+    # the argument (make_finetune_train_step), so no params-sized HBM copy
+    use_ema = bool(args.model_ema)
+    ema_params = jax.tree.map(lambda x: x.copy(), params) if use_ema else None
     from mem_tpu.parallel.mesh import place_train_state
 
     params, opt_state = place_train_state(
         params, opt_state, mesh, zero1=bool(args.zero1), fsdp=bool(args.fsdp))
-    ema_params = replicate(ema_params, mesh)
+    if use_ema:
+        ema_params = replicate(ema_params, mesh)
 
     mixup_fn = make_mixup(
         nb_classes, args.mixup, args.cutmix, args.mixup_prob,
@@ -392,10 +398,11 @@ def main(argv=None):
                 "--resume expects one of this framework's checkpoint dirs "
                 "(optimizer state included); to start from a torch/reference "
                 "checkpoint use --finetune")
-        payload = load_checkpoint(args.resume, {
-            "params": params, "opt_state": opt_state, "ema": ema_params,
-            "epoch": 0, "best_acc": 0.0,
-        })
+        tmpl = {"params": params, "opt_state": opt_state,
+                "epoch": 0, "best_acc": 0.0}
+        if use_ema:
+            tmpl["ema"] = ema_params
+        payload = load_checkpoint(args.resume, tmpl)
         start_epoch = int(np.asarray(payload.get("epoch", -1))) + 1
         print(f"Resumed from {args.resume} (epoch {start_epoch})")
     elif args.auto_resume:
@@ -404,18 +411,19 @@ def main(argv=None):
         # reference's eval path equally goes through auto_load_model).
         # A --finetune checkpoint still wins when output_dir holds no
         # checkpoint (auto_resume returns None then).
-        payload, resumed_epoch = auto_resume(
-            args.output_dir,
-            {"params": params, "opt_state": opt_state, "ema": ema_params,
-             "epoch": 0, "best_acc": 0.0},
-        )
+        tmpl = {"params": params, "opt_state": opt_state,
+                "epoch": 0, "best_acc": 0.0}
+        if use_ema:
+            tmpl["ema"] = ema_params
+        payload, resumed_epoch = auto_resume(args.output_dir, tmpl)
         if payload is not None:
             start_epoch = resumed_epoch
     if payload is not None:
         params, opt_state = place_train_state(
             payload["params"], payload["opt_state"], mesh,
             zero1=bool(args.zero1), fsdp=bool(args.fsdp))
-        ema_params = replicate(payload["ema"], mesh)
+        if use_ema:
+            ema_params = replicate(payload["ema"], mesh)
         best_acc = float(payload.get("best_acc", 0.0))
         if args.eval:
             print(f"eval: restored checkpoint (epoch {start_epoch})")
@@ -517,7 +525,11 @@ def main(argv=None):
             stacked(), lambda x: shard_batch(x, mesh, axis_pos=1))
         for step, b in enumerate(dev_iter):
             key, sk = jax.random.split(key)
-            params, opt_state, ema_params, m = train_step(params, opt_state, ema_params, b, sk)
+            if use_ema:
+                params, opt_state, ema_params, m = train_step(
+                    params, opt_state, ema_params, b, sk)
+            else:
+                params, opt_state, m = train_step(params, opt_state, b, sk)
             # sync metrics only periodically (device->host fetch = tunnel RTT)
             if step % 10 == 0 or step == steps_per_epoch - 1:
                 lv = float(m["loss"])
@@ -532,10 +544,11 @@ def main(argv=None):
         if stopper.requested:
             if args.save_ckpt:
                 wait_for_saves()
-                save_checkpoint(args.output_dir, epoch, {
-                    "params": params, "opt_state": opt_state, "ema": ema_params,
-                    "epoch": epoch - 1, "best_acc": best_acc,
-                })
+                pay = {"params": params, "opt_state": opt_state,
+                       "epoch": epoch - 1, "best_acc": best_acc}
+                if use_ema:
+                    pay["ema"] = ema_params
+                save_checkpoint(args.output_dir, epoch, pay)
             print(f"preempted at epoch {epoch}: "
                   f"{'checkpoint saved' if args.save_ckpt else 'ckpt saving disabled'}"
                   f"; exiting")
@@ -565,9 +578,11 @@ def main(argv=None):
         # ONE payload for both save paths (drift between them would make
         # auto_resume restore silently-missing state)
         resumable = {
-            "params": params, "opt_state": opt_state, "ema": ema_params,
+            "params": params, "opt_state": opt_state,
             "epoch": epoch, "best_acc": best_acc,
         }
+        if use_ema:
+            resumable["ema"] = ema_params
         if args.save_ckpt and (
                 (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs):
             # non-blocking: the persist overlaps the next epoch

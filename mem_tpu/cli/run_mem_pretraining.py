@@ -305,6 +305,11 @@ def main(argv=None):
 
         def _img_it(split, is_train):
             folder = ImageFolder(resolve_split_root(args.data_path, split))
+            # second_size = input_H on purpose: the reference hardcodes
+            # second_size=224 in DataAugmentationForPTE2V (datasets.py:92-95)
+            # and --input_H2 never reaches the event VAE (create_d_vae drops
+            # image_size, utils.py:571-578) — the tokenizer view must match
+            # the ViT view for the mask grid to align
             return ImageBatchIterator(folder, ImagePipelineConfig(
                 batch_size=local_bs, input_size=args.input_H,
                 second_size=args.input_H, is_train=is_train,

@@ -116,16 +116,63 @@ def main(argv=None):
     nproc = jax.process_count()
     local_bs = args.batch_size // nproc
 
-    _, train_it = build_pipeline(
-        args, "train", True, local_bs, seed=args.seed,
-        num_workers=args.num_workers, shard_id=jax.process_index(), num_shards=nproc,
-    )
-    _, val_it = build_pipeline(
-        args, "val", False, local_bs, seed=args.seed,
-        num_workers=args.num_workers, shard_id=jax.process_index(), num_shards=nproc,
-    )
-    preproc_train = build_preproc(args, True)
-    preproc_val = build_preproc(args, False)
+    image_preproc = None
+    if args.data_set == "IMNET":
+        # the reference trains the VAE on real ImageNet JPEGs through the
+        # SAME timm transform stack as the finetune stage
+        # (eventvae/train_vae.py:137 -> build_dataset -> build_transform_e2v,
+        # mem/datasets.py:398-399,415-420): host RRC/flip/resize-center-crop,
+        # device-side --aa RandAugment + RandomErasing
+        from functools import partial
+
+        from mem_tpu.cli.common import parse_rand_aa
+        from mem_tpu.data.device_pipeline import preprocess_image_cls
+        from mem_tpu.data.folder import resolve_split_root
+        from mem_tpu.data.image_pipeline import (ImageBatchIterator,
+                                                 ImageFolder,
+                                                 ImagePipelineConfig)
+
+        aa = parse_rand_aa(args.aa)
+
+        def _img_it(split, is_train):
+            folder = ImageFolder(resolve_split_root(args.data_path, split))
+            return ImageBatchIterator(folder, ImagePipelineConfig(
+                batch_size=local_bs, input_size=args.input_size,
+                is_train=is_train, interpolation=args.train_interpolation,
+                classification=True, masking=None,
+                color_jitter_cls=args.color_jitter,
+                use_color_jitter_cls=(aa is None),  # timm: aa replaces CJ
+                seed=args.seed, shuffle=is_train, drop_last=is_train,
+                shard_id=jax.process_index(), num_shards=nproc,
+            ))
+
+        train_it, val_it = _img_it("train", True), _img_it("val", False)
+        image_preproc = partial(
+            preprocess_image_cls, is_train=True, rand_aug=aa is not None,
+            magnitude=aa[0] if aa else 0, num_ops=aa[1] if aa else 2,
+            mstd=aa[2] if aa else 0.0,
+            reprob=args.reprob, remode=args.remode, recount=args.recount,
+        )
+        # the fully-conv VAE consumes input_size^2 RGB frames here; keep the
+        # checkpoint hparams coherent for the pretrain stage's create_d_vae
+        # role (utils/checkpoint payload)
+        args.input_H = args.input_W = args.input_size
+        preproc_train = preproc_val = None
+    elif args.data_set in ("npy", "image_folder", "dsec_semseg"):
+        _, train_it = build_pipeline(
+            args, "train", True, local_bs, seed=args.seed,
+            num_workers=args.num_workers, shard_id=jax.process_index(), num_shards=nproc,
+        )
+        _, val_it = build_pipeline(
+            args, "val", False, local_bs, seed=args.seed,
+            num_workers=args.num_workers, shard_id=jax.process_index(), num_shards=nproc,
+        )
+        preproc_train = build_preproc(args, True)
+        preproc_val = build_preproc(args, False)
+    else:
+        # the reference's build_dataset else-branch (datasets.py:453):
+        # CIFAR and anything else raise there too
+        raise NotImplementedError(f"data_set {args.data_set!r}")
 
     vae = DiscreteVAE(
         input_hw=(args.input_H, args.input_W),
@@ -144,9 +191,12 @@ def main(argv=None):
     init_batch = next(iter(train_it.epoch(0)))
     from mem_tpu.data.device_pipeline import preprocess_batch
 
-    dummy = jax.jit(lambda b: preprocess_batch(b, preproc_train, True))(
-        jax.tree.map(jnp.asarray, init_batch)
-    )
+    if image_preproc is not None:
+        dummy = jax.jit(image_preproc)(jax.tree.map(jnp.asarray, init_batch))
+    else:
+        dummy = jax.jit(lambda b: preprocess_batch(b, preproc_train, True))(
+            jax.tree.map(jnp.asarray, init_batch)
+        )
     params = jax.jit(vae.init)({"params": rng, "gumbel": rng}, dummy, 1.0)
     n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
     print(f"VAE params: {n_params/1e6:.1f}M")
@@ -157,7 +207,8 @@ def main(argv=None):
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)
 
-    train_step = make_vae_train_step(vae, tx, preproc_train)
+    train_step = make_vae_train_step(vae, tx, preproc_train,
+                                     image_preproc=image_preproc)
     eval_step = make_vae_eval_step(vae, preproc_val)
 
     sched = VaeAnnealState(

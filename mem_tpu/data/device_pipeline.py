@@ -135,15 +135,18 @@ def preprocess_batch(batch: dict, cfg: PreprocConfig, is_train: bool) -> jnp.nda
 
 def preprocess_image_cls(batch: dict, is_train: bool, rand_aug: bool = True,
                          magnitude: int = 9, num_ops: int = 2,
-                         reprob: float = 0.25,
+                         mstd: float = 0.5, reprob: float = 0.25,
                          remode: str = "pixel", recount: int = 1,
                          batch_ops: bool = False) -> jnp.ndarray:
     """On-device augmentation for the IMNET classification path
     (build_transform_e2v train stack, datasets.py:359-373: timm
     create_transform's auto_augment + RandomErasing run here instead of in
-    CPU workers). ``magnitude`` comes from the --aa rand-m{N} spec; parity
-    is statistical like the event RandAugment (SURVEY §7). Eval batches
-    pass through untouched (host already resized/center-cropped)."""
+    CPU workers). ``magnitude``/``mstd`` come from the --aa rand-m{N}-mstd{S}
+    spec and follow TIMM semantics — each op fires with prob 0.5 at a fixed
+    gaussian-jittered level of 10 (rand_augment.py ``timm_levels``), unlike
+    the event path's U[0, m] bin draw; parity is statistical like the event
+    RandAugment (SURVEY §7). Eval batches pass through untouched (host
+    already resized/center-cropped)."""
     x = batch["image"].astype(jnp.float32)
     if not is_train:
         return x
@@ -152,7 +155,8 @@ def preprocess_image_cls(batch: dict, is_train: bool, rand_aug: bool = True,
         u8 = (255.0 * x).astype(jnp.uint8)
         ra_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
         u8 = rand_augment_batch(u8, ra_keys, num_ops=num_ops,
-                                magnitude=magnitude, batch_ops=batch_ops)
+                                magnitude=magnitude, batch_ops=batch_ops,
+                                timm_levels=True, mstd=mstd, prob=0.5)
         x = u8.astype(jnp.float32) / 255.0
     if reprob > 0:
         er_keys = jax.vmap(lambda k: jax.random.fold_in(k, 2))(keys)

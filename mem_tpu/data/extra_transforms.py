@@ -8,7 +8,7 @@ into a pipeline (SURVEY.md section 2.3 "dead/unwired"):
   but never added to any ``transforms.Compose``.
 - ``EventJitter`` (reference mem/transforms.py:277-289) — multiplicative
   noise helper, never instantiated.
-- ``FixedResizeTransform`` (reference mem/transforms.py:19-26) — fixed-factor
+- ``FixedResizeTransform`` (reference mem/transforms.py:189-196) — fixed-factor
   downscale, never instantiated.
 
 They are implemented here for component completeness so a reference user who
@@ -32,7 +32,7 @@ Reference quirks preserved deliberately:
    the advertised ``dropout`` knob has no effect; the jitter is always dense
    (mem/transforms.py:287).
 4. ``FixedResizeTransform`` truncates ``int(size / factor)`` (floor, not
-   round) per side (mem/transforms.py:26).
+   round) per side (mem/transforms.py:196).
 
 The HSV conversions mirror OpenCV's 8-bit semantics (H in [0, 180), S and V
 in [0, 255]) because the reference routes through ``mmcv.bgr2hsv`` which is a
@@ -114,6 +114,13 @@ def photometric_distortion(
     the reference's order: brightness, mode, [contrast if mode==1],
     saturation, hue (datasets.py:269-289). Channels are treated as BGR for
     the HSV trips, exactly as mmcv would treat the event-count planes.
+
+    Documented deviation: the input is quantized to uint8 at entry. The
+    (unwired) reference would receive float32 0-255 frames and run cv2's
+    FLOAT HSV convention (H in [0,360), S in [0,1]) through integer-style
+    ``% 180`` hue arithmetic — numerically incoherent dead code. We pin the
+    uint8 convention (mmcv's PhotoMetricDistortion asserts uint8 input for
+    exactly this reason) so the op is well-defined if ever wired.
     """
     img = np.moveaxis(np.asarray(img), 0, -1)
     img = np.clip(img, 0, 255).astype(np.uint8)
@@ -160,7 +167,7 @@ def event_jitter(
 
 
 # ---------------------------------------------------------------------------
-# FixedResizeTransform (reference mem/transforms.py:19-26)
+# FixedResizeTransform (reference mem/transforms.py:189-196)
 # ---------------------------------------------------------------------------
 
 def _triangle_matrix_np(out_size: int, src_size: int) -> np.ndarray:

@@ -192,16 +192,19 @@ class ImageBatchIterator:
         s = cfg.input_size
 
         if cfg.is_train:
-            if cfg.use_color_jitter_cls and cfg.color_jitter_cls > 0:
-                arr = _color_jitter(np.asarray(img, np.float32), rng,
-                                    cfg.color_jitter_cls)
-                img = Image.fromarray(arr.astype(np.uint8))
             i, j, ch, cw = rrc_params(img.size[0], img.size[1], rng,
                                       cfg.scale, cfg.ratio)
             img = img.resize((s, s), _pil_filter(cfg.interpolation, rng),
                              box=(j, i, j + cw, i + ch))
             if rng.random() < 0.5:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            if cfg.use_color_jitter_cls and cfg.color_jitter_cls > 0:
+                # timm create_transform order: ColorJitter comes AFTER
+                # RRC+flip (secondary_tfl), so the contrast op blends toward
+                # the CROP's mean, not the full image's
+                arr = _color_jitter(np.asarray(img, np.float32), rng,
+                                    cfg.color_jitter_cls)
+                img = Image.fromarray(arr.astype(np.uint8))
         else:
             crop_pct = 224 / 256 if s < 384 else 1.0  # quirk: flag ignored
             short = int(s / crop_pct)

@@ -13,6 +13,17 @@ selection mirrors the reference: per application, ``op ~ U[0,14)``,
 Exact per-pixel parity with PIL/torchvision affine sampling is not a goal
 (SURVEY §7 "hard parts" — parity is statistical); semantics and magnitude
 spaces match.
+
+``timm_levels=True`` switches magnitude/apply selection to timm
+``rand_augment_transform`` semantics (the reference's IMNET image path:
+build_transform_e2v -> create_transform(auto_augment='rand-m9-mstd0.5-inc1'),
+datasets.py:359-363): each chosen op fires with probability 0.5 and uses a
+FIXED level ``m`` of 10 (gaussian-jittered by ``mstd``, clipped to [0, 10])
+mapped onto the 31-bin table as ``round(m/10 * 30)`` — NOT the event path's
+``U[0, m]`` bin draw. The torchvision table's severity directions already
+match timm's ``inc1`` increasing-severity variants (Posterize bits fall,
+Solarize threshold falls as m rises); timm's Invert/SolarizeAdd ops and its
+steeper Posterize ramp are the remaining (documented) statistical deltas.
 """
 from __future__ import annotations
 
@@ -318,45 +329,65 @@ def _geometric_round(img, op_idx, mag, H, W):
     return img
 
 
+def _draw_bin(k_mag, magnitude, timm_levels: bool, mstd: float):
+    """U[0, m] bin draw (torchvision/EventRandAugment, transforms.py:456)
+    or timm's fixed jittered level mapped to the 31-bin table."""
+    if not timm_levels:
+        return jax.random.randint(k_mag, (), 0, magnitude + 1)
+    lvl = jnp.float32(magnitude)
+    if mstd > 0:
+        lvl = lvl + mstd * jax.random.normal(k_mag)
+    lvl = jnp.clip(lvl, 0.0, 10.0)
+    return jnp.round(lvl / 10.0 * (NUM_BINS - 1)).astype(jnp.int32)
+
+
 def rand_augment(
     img_u8: jnp.ndarray,
     key: jax.Array,
     num_ops: int = 2,
     magnitude: int = 20,
     geometric: bool = True,
+    timm_levels: bool = False,
+    mstd: float = 0.0,
+    prob: float = 1.0,
 ) -> jnp.ndarray:
     """Apply RandAugment to one (H, W, 3) uint8 image. Returns uint8."""
     H, W, _ = img_u8.shape
     table = _magnitude_table(H, W)
     img = img_u8.astype(jnp.float32)
     for _ in range(num_ops):
-        key, k_op, k_mag, k_sign = jax.random.split(key, 4)
+        key, k_op, k_mag, k_sign, k_ap = jax.random.split(key, 5)
         if geometric:
             op_idx = jax.random.randint(k_op, (), 0, len(_OPS))
         else:
             op_idx = _PHOTOMETRIC_IDS[
                 jax.random.randint(k_op, (), 0, _PHOTOMETRIC_IDS.shape[0])
             ]
-        bin_idx = jax.random.randint(k_mag, (), 0, magnitude + 1)
+        bin_idx = _draw_bin(k_mag, magnitude, timm_levels, mstd)
         sign = jax.random.randint(k_sign, (), 0, 2)
         mag = table[op_idx, bin_idx]
         mag = jnp.where(_SIGNED[op_idx] & (sign == 1), -mag, mag)
         if geometric:
-            img = _geometric_round(img, op_idx, mag, H, W)
+            new = _geometric_round(img, op_idx, mag, H, W)
             # photometric switch: geometric/identity indices map to identity
             photo_idx = jnp.where(op_idx >= 6, op_idx - 6, len(_PHOTO_OPS))
-            img = jax.lax.switch(
-                photo_idx, list(_PHOTO_OPS) + [lambda im, m: im], img, mag
+            new = jax.lax.switch(
+                photo_idx, list(_PHOTO_OPS) + [lambda im, m: im], new, mag
             )
         else:
-            img = _apply_op(img, op_idx, mag)
+            new = _apply_op(img, op_idx, mag)
+        if prob < 1.0:
+            img = jnp.where(jax.random.uniform(k_ap) < prob, new, img)
+        else:
+            img = new
     # back to uint8 with truncation (torchvision .to(uint8))
     return jnp.clip(img, 0, 255).astype(jnp.uint8)
 
 
 def rand_augment_batch(
     imgs_u8, keys, num_ops: int = 2, magnitude: int = 20, batch_ops: bool = False,
-    geometric: bool = True,
+    geometric: bool = True, timm_levels: bool = False, mstd: float = 0.0,
+    prob: float = 1.0,
 ):
     """Batched RandAugment.
 
@@ -365,14 +396,15 @@ def rand_augment_batch(
     the full batch, costing ~14x the selected work.
 
     ``batch_ops=True``: ONE op choice per round shared by the whole batch
-    (magnitudes/signs still per sample). A documented deviation for speed:
-    over thousands of steps the marginal distribution of applied ops is
-    identical; only within-batch correlation changes.
+    (magnitudes/signs/apply-gates still per sample). A documented deviation
+    for speed: over thousands of steps the marginal distribution of applied
+    ops is identical; only within-batch correlation changes.
     """
     if not batch_ops:
         return jax.vmap(
             partial(rand_augment, num_ops=num_ops, magnitude=magnitude,
-                    geometric=geometric)
+                    geometric=geometric, timm_levels=timm_levels, mstd=mstd,
+                    prob=prob)
         )(imgs_u8, keys)
 
     B, H, W, _ = imgs_u8.shape
@@ -389,12 +421,15 @@ def rand_augment_batch(
             ]
 
         def per_sample(img, key):
-            k_mag, k_sign = jax.random.split(jax.random.fold_in(key, r))
-            bin_idx = jax.random.randint(k_mag, (), 0, magnitude + 1)
+            k_mag, k_sign, k_ap = jax.random.split(jax.random.fold_in(key, r), 3)
+            bin_idx = _draw_bin(k_mag, magnitude, timm_levels, mstd)
             sign = jax.random.randint(k_sign, (), 0, 2)
             mag = table[op_idx, bin_idx]
             mag = jnp.where(_SIGNED[op_idx] & (sign == 1), -mag, mag)
-            return _apply_op(img, op_idx, mag)
+            new = _apply_op(img, op_idx, mag)
+            if prob < 1.0:
+                return jnp.where(jax.random.uniform(k_ap) < prob, new, img)
+            return new
 
         imgs = jax.vmap(per_sample)(imgs, keys)
     return jnp.clip(imgs, 0, 255).astype(jnp.uint8)

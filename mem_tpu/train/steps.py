@@ -35,7 +35,8 @@ from mem_tpu.train.optim import grad_global_norm
 # ---------------------------------------------------------------------------
 
 def make_vae_train_step(vae, tx_factory, preproc: PreprocConfig,
-                        inject_noise: bool = False):
+                        inject_noise: bool = False,
+                        image_preproc=None):
     """tx_factory: lr -> optax tx is inlined via passing lr as an argument;
     we use a fixed Adam and scale updates by lr/base_lr trick-free: the
     optimizer here is plain Adam whose lr is injected per call (the VAE's
@@ -43,10 +44,17 @@ def make_vae_train_step(vae, tx_factory, preproc: PreprocConfig,
 
     ``inject_noise=True`` reinterprets the step's ``rng`` argument as a
     pre-drawn (B, h, w, num_tokens) Gumbel-noise ARRAY (trajectory-parity
-    harness: both this step and the torch twin consume identical noise)."""
+    harness: both this step and the torch twin consume identical noise).
+
+    ``image_preproc`` handles real-image (IMNET) batches carrying an
+    ``image`` key instead of events — the reference's VAE-on-ImageNet path
+    (eventvae/train_vae.py:137 -> build_dataset -> build_transform_e2v)."""
 
     def step(params, opt_state, batch, rng, lr, temp, clip):
-        images = preprocess_batch(batch, preproc, is_train=True)
+        if "image" in batch:
+            images = image_preproc(batch)
+        else:
+            images = preprocess_batch(batch, preproc, is_train=True)
 
         def loss_fn(p):
             if inject_noise:
@@ -70,7 +78,11 @@ def make_vae_train_step(vae, tx_factory, preproc: PreprocConfig,
 
 def make_vae_eval_step(vae, preproc: PreprocConfig):
     def step(params, batch):
-        images = preprocess_batch(batch, preproc, is_train=False)
+        if "image" in batch:
+            # IMNET eval: host already resized/center-cropped
+            images = batch["image"].astype(jnp.float32)
+        else:
+            images = preprocess_batch(batch, preproc, is_train=False)
         ids = vae.apply(params, images, method="get_codebook_indices")
         recon = vae.apply(params, ids, method="decode_indices")
         # eval recon loss vs normalized input (vae_model.py:216-266)
@@ -255,10 +267,15 @@ def make_finetune_train_step(
             )
         return params, opt_state, ema_params, {"loss": loss, "grad_norm": gnorm}
 
-    # with EMA off the CLI passes ema_params = params (same buffers):
-    # donating argnum 2 too would donate the same buffer twice
-    donate = (0, 1, 2) if ema_decay is not None else (0, 1)
-    return jax.jit(step, donate_argnums=donate)
+    if ema_decay is None:
+        # no EMA tree in the step signature at all: threading one through
+        # would pin a params-sized buffer in HBM for the whole run
+        def step_noema(params, opt_state, batch, rng):
+            p, o, _, m = step(params, opt_state, None, batch, rng)
+            return p, o, m
+
+        return jax.jit(step_noema, donate_argnums=(0, 1))
+    return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
 def make_finetune_eval_step(model, preproc: PreprocConfig,

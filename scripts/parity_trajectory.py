@@ -309,7 +309,6 @@ def run_finetune(epochs: int, data_dir: str, pt_params, val_dir: str):
 
     curves = {"loss_jax": [], "loss_torch": [], "top1_jax": [],
               "top1_torch": []}
-    ema = jax.tree.map(jnp.copy, params)  # donated separately from params
 
     def eval_both(p):
         import torch as _t
@@ -335,8 +334,8 @@ def run_finetune(epochs: int, data_dir: str, pt_params, val_dir: str):
             jb = jax.tree.map(jnp.asarray, batch)
             stacked = jax.tree.map(lambda x: x[None], jb)  # update_freq=1
             images = np.asarray(prep_t(jb))
-            params, opt_state, ema, m = jstep(params, opt_state, ema, stacked,
-                                              jax.random.key(2000 + step_i))
+            params, opt_state, m = jstep(params, opt_state, stacked,
+                                         jax.random.key(2000 + step_i))
 
             timg = torch.from_numpy(images.transpose(0, 3, 1, 2).copy())
             logits = twin(timg)

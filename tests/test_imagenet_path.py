@@ -105,3 +105,21 @@ def test_label_smoothing_matches_torch(rng):
     logp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
     got = -np.mean(np.sum(t * logp, -1))
     np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_eval_data_path_uses_val_splits_own_quirks(tmp_path):
+    """--eval_data_path pointing at a DIFFERENT dataset must bind that
+    dataset's decoder/canvas for the val split (cli/common.py): the train
+    root's quirks (e.g. N-Caltech101 vs N-Cars canvas) must not leak."""
+    from mem_tpu.cli.common import build_preproc
+    from mem_tpu.data.folder import loader_for_path
+
+    args = _args(str(tmp_path / "N-Caltech101"))
+    args.eval_data_path = str(tmp_path / "N-Cars")
+    train_pp = build_preproc(args, True)
+    val_pp = build_preproc(args, False)
+    assert (train_pp.canvas_h, train_pp.canvas_w) == (256, 256)  # caltech
+    assert (val_pp.canvas_h, val_pp.canvas_w) == (128, 128)      # ncars
+    # the loaders differ too (polarity/column quirks per dataset)
+    assert loader_for_path(args.data_path) is not loader_for_path(
+        args.eval_data_path)

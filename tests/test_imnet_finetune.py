@@ -35,8 +35,8 @@ def jpeg_dataset(tmp_path_factory):
 
 
 def test_parse_rand_aa():
-    assert parse_rand_aa("rand-m9-mstd0.5-inc1") == (9, 2)
-    assert parse_rand_aa("rand-m15-n3") == (15, 3)
+    assert parse_rand_aa("rand-m9-mstd0.5-inc1") == (9, 2, 0.5)
+    assert parse_rand_aa("rand-m15-n3") == (15, 3, 0.0)
     assert parse_rand_aa(None) is None
     assert parse_rand_aa("none") is None
     with pytest.raises(SystemExit):
@@ -126,6 +126,44 @@ def test_random_erasing_batch():
 
     with pytest.raises(ValueError):
         random_erasing_batch(x, keys, 0.5, "weird")
+
+
+def test_timm_rand_augment_semantics():
+    """The IMNET path uses TIMM RandAugment semantics (fixed jittered level,
+    per-op prob 0.5), not the event path's U[0, m] bin draw."""
+    from mem_tpu.ops.rand_augment import NUM_BINS, _draw_bin, rand_augment_batch
+
+    # fixed level: m=9, mstd=0 -> always bin round(9/10 * 30) = 27
+    k = jax.random.key(0)
+    assert int(_draw_bin(k, 9, True, 0.0)) == round(9 / 10 * (NUM_BINS - 1))
+    assert int(_draw_bin(k, 10, True, 0.0)) == NUM_BINS - 1
+    # legacy draw stays in [0, m]
+    bins = [int(_draw_bin(jax.random.key(i), 9, False, 0.0)) for i in range(64)]
+    assert min(bins) >= 0 and max(bins) <= 9 and max(bins) > 5
+
+    # prob gate: with prob=0.5/num_ops=1 most images pass through untouched
+    # far more often than under the always-apply legacy mode
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(np.clip(rng.normal(128, 50, (32, 24, 24, 3)),
+                               0, 255).astype(np.uint8))
+    keys = jax.vmap(jax.random.key)(jnp.arange(32, dtype=jnp.uint32))
+    t1 = np.asarray(jax.jit(lambda a, k: rand_augment_batch(
+        a, k, num_ops=1, magnitude=9, timm_levels=True, prob=0.5))(imgs, keys))
+    l1 = np.asarray(jax.jit(lambda a, k: rand_augment_batch(
+        a, k, num_ops=1, magnitude=9))(imgs, keys))
+    base = np.asarray(imgs)
+    unchanged_t = np.mean([(t1[i] == base[i]).all() for i in range(32)])
+    unchanged_l = np.mean([(l1[i] == base[i]).all() for i in range(32)])
+    assert unchanged_t > unchanged_l + 0.2  # observed 0.625 vs 0.25
+
+    # batch_ops path accepts the same knobs and stays deterministic
+    b1 = rand_augment_batch(imgs, keys, num_ops=2, magnitude=9,
+                            batch_ops=True, timm_levels=True, mstd=0.5,
+                            prob=0.5)
+    b2 = rand_augment_batch(imgs, keys, num_ops=2, magnitude=9,
+                            batch_ops=True, timm_levels=True, mstd=0.5,
+                            prob=0.5)
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
 
 
 def test_preprocess_image_cls_paths():

@@ -47,10 +47,11 @@ def test_update_freq_matches_full_batch(rng):
             model, tx, preproc, 3, smoothing=0.0,
             update_freq=update_freq, ema_decay=None,
         )
-        # the step donates params/opt_state/ema — pass fresh copies each run
+        # the step donates params/opt_state — pass fresh copies each run
+        # (ema_decay=None drops the EMA tree from the signature entirely)
         fresh = lambda: jax.tree.map(lambda x: jnp.array(x), params)
-        p2, _, _, m = step(
-            fresh(), opt_state, fresh(), jax.tree.map(jnp.asarray, batch_view),
+        p2, _, m = step(
+            fresh(), opt_state, jax.tree.map(jnp.asarray, batch_view),
             jax.random.key(1),
         )
         return p2, float(m["loss"])
