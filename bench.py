@@ -24,41 +24,28 @@ inflated for ~15 min after a tunnel wedge), which measures the tunnel,
 not the framework. Round 1's 461 samples/s baseline was device time, so
 vs_baseline remains apples-to-apples.
 """
-import collections
 import glob
-import gzip
 import json
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, "/root/repo")
 
 ROUND1_PRETRAIN_SAMPLES_PER_SEC = 461.0
 
 
 def _device_ms_per_step(tdir, iters):
     """Total 'XLA Modules' device time per iteration from a jax.profiler
-    trace dir (quiet clone of scripts/trace_pretrain.analyze — bench
-    stdout must stay JSON-only). Returns ms/step, or None if the trace
-    has no TPU device rows (CPU fallback run)."""
-    paths = sorted(glob.glob(f"{tdir}/plugins/profile/*/*.trace.json.gz"))
-    if not paths:
+    trace dir (scripts/trace_pretrain.analyze in quiet mode — bench stdout
+    must stay JSON-only). Returns ms/step, or None if there is no trace or
+    no TPU device rows (CPU fallback run) so callers fall back to wall."""
+    if not glob.glob(f"{tdir}/plugins/profile/*/*.trace.json.gz"):
         return None
-    with gzip.open(paths[-1]) as f:
-        d = json.load(f)
-    ev = d["traceEvents"]
-    dev_pids = {e["pid"] for e in ev
-                if e.get("ph") == "M" and e.get("name") == "process_name"
-                and "TPU" in e["args"].get("name", "")}
-    if not dev_pids:
-        return None
-    tids = {(e["pid"], e["tid"]): e["args"]["name"] for e in ev
-            if e.get("ph") == "M" and e.get("name") == "thread_name"}
-    mod_total = 0.0
-    for e in ev:
-        if (e.get("ph") == "X" and e["pid"] in dev_pids
-                and tids.get((e["pid"], e["tid"])) == "XLA Modules"):
-            mod_total += e["dur"]
-    return mod_total / iters / 1e3
+    from scripts.trace_pretrain import analyze
+
+    return analyze(tdir, iters, quiet=True) or None
 
 
 def bench_voxelize():
@@ -153,8 +140,6 @@ def bench_voxelize():
 def bench_pretrain_step(B=128, iters=12):
     import jax
 
-    import sys
-    sys.path.insert(0, "/root/repo")
     from scripts.trace_pretrain import build
 
     step, params, os_, vp, jb = build(batch_ops=True, gathered=True, B=B)

@@ -64,14 +64,17 @@ class _TimmBlock(nn.Module):
         B, N, C = h.shape
         hd = self.dim // self.num_heads
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, kernel_init=nn.initializers.xavier_uniform(), name="qkv")(h)
-        if FLAT_ATTN:
+        from mem_tpu.ops import attention as _fa
+
+        is_cpu = jax.devices()[0].platform == "cpu"
+        # same CPU gate as vit.Attention: Pallas runs in interpret mode on
+        # CPU, so take the einsum path there unless forced (_fa.ENABLED) —
+        # the test suite must not pay interpret costs on every MAE test
+        if FLAT_ATTN and (_fa.ENABLED or N >= 512 or not is_cpu):
             # Dense(3C) columns are [q|k|v], each flat head-major (H*hd) —
             # exactly the layout the flat kernels lane-slice per head.
-            from mem_tpu.ops import attention as _fa
-
             q, k, v = jnp.split(qkv, 3, axis=-1)
             bias = jnp.zeros((self.num_heads, N, N), jnp.float32)
-            is_cpu = jax.devices()[0].platform == "cpu"
             fn = (_fa.fused_attention_flat
                   if _fa._hb_eligible(self.num_heads, N)
                   else _fa.fused_attention_flat_long)

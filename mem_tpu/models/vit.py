@@ -405,6 +405,12 @@ class Attention(nn.Module):
             from mem_tpu.ops.attention import fused_attention_flat
 
             pad_n = (-N) % 128 if PAD_ATTN else 0
+            if pad_n and not (_fa._hb_eligible(self.num_heads, N + pad_n)
+                              or FLAT_ATTN_LONG):
+                # padding would push the shape off the head-blocked kernel
+                # and the long kernel is toggled OFF: keep the unpadded
+                # (eligible) shape rather than routing into a disabled path
+                pad_n = 0
             if pad_n:
                 q = jnp.pad(q, ((0, 0), (0, pad_n), (0, 0)))
                 k = jnp.pad(k, ((0, 0), (0, pad_n), (0, 0)))

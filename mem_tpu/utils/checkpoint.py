@@ -119,7 +119,19 @@ def load_checkpoint(path: str, template: Optional[Dict[str, Any]] = None):
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
         arrays_t, _ = _split_meta(template)
-        arrays_t = jax.tree.map(np.asarray, arrays_t)
+
+        def _leaf(x):
+            # cross-process-sharded template leaves (multi-process --zero1/
+            # --fsdp resume) cannot be fetched to numpy; hand orbax their
+            # abstract shape+sharding instead, so each process restores its
+            # addressable shards directly (mirrors the save path's
+            # multi-host branch above)
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return jax.ShapeDtypeStruct(x.shape, x.dtype,
+                                            sharding=x.sharding)
+            return np.asarray(x)
+
+        arrays_t = jax.tree.map(_leaf, arrays_t)
         out = dict(ckptr.restore(path, arrays_t))
     else:
         out = dict(ckptr.restore(path))
@@ -156,8 +168,16 @@ def prune_checkpoints(output_dir: str, keep_tags=("final", "best")) -> None:
     """Stage-boundary pruning: keep only final/best/latest
     (train-pipeline.sbatch:87-101)."""
     output_dir = os.path.abspath(output_dir)  # match _path/latest_checkpoint
+    wait_for_saves()  # never delete the tmp dir of an in-flight async save
     latest = latest_checkpoint(output_dir)
+    import shutil
+
     for name in list(os.listdir(output_dir) if os.path.isdir(output_dir) else []):
+        # orbax temp dirs left by a crash mid async write are orphans by
+        # definition (a committed save renames them away): always clean
+        if re.fullmatch(r"checkpoint-.+\.orbax-checkpoint-tmp-.*", name):
+            shutil.rmtree(os.path.join(output_dir, name), ignore_errors=True)
+            continue
         m = re.fullmatch(r"checkpoint-([^.]+)(\.meta\.json)?", name)
         if not m:
             continue
@@ -165,8 +185,6 @@ def prune_checkpoints(output_dir: str, keep_tags=("final", "best")) -> None:
         full = os.path.join(output_dir, name)
         if tag in keep_tags or _path(output_dir, tag) == latest:
             continue
-        import shutil
-
         if os.path.isdir(full):
             shutil.rmtree(full, ignore_errors=True)
         else:

@@ -65,8 +65,26 @@ def rss_recycle_due(limit_gb: float) -> bool:
     recycle: the loop saves a resumable checkpoint and exits with
     ``RESTART_EXIT_CODE``; ``scripts/run_resilient.sh`` relaunches, and
     ``--auto_resume`` continues the run with a fresh process image.
+
+    Multi-process runs AGREE on the decision (allgather of the max RSS):
+    if one process tripped alone it would enter the multi-host checkpoint
+    save — which every process must join — while its peers sit in the next
+    epoch's collectives: distributed deadlock. With the agreed max-RSS
+    predicate, either all processes save+exit(3) together
+    (run_resilient.sh relaunches them as a group) or none do.
     """
-    return limit_gb > 0 and rss_gb() > limit_gb
+    if not (limit_gb and limit_gb > 0):
+        return False
+    mine = rss_gb()
+    import jax
+
+    if jax.process_count() > 1:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        mine = float(multihost_utils.process_allgather(
+            np.float32(mine)).max())
+    return mine > limit_gb
 
 
 class GracefulShutdown:
