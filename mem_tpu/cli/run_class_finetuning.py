@@ -182,6 +182,35 @@ def get_args(argv=None):
     return args
 
 
+def _build_ft_vit(args, nb_classes, patch, dtype):
+    """The non-MAE model branch (run_class_finetuning.py:433-457):
+    create_model on the BEiT-style ft_vit surface."""
+    name = args.model
+    if name in (None, "null"):
+        name = "ft_vit"  # run_class_finetuning.py:434-435
+    return create_model(
+        name,
+        num_classes=nb_classes,
+        drop_rate=args.drop,
+        drop_path_rate=args.drop_path,
+        attn_drop_rate=args.attn_drop_rate,
+        use_mean_pooling=bool(args.use_mean_pooling),
+        init_scale=args.init_scale,
+        use_rel_pos_bias=bool(args.rel_pos_bias),
+        use_abs_pos_emb=bool(args.abs_pos_emb),
+        init_values=args.layer_scale_init_value,
+        in_chans=3 if args.voxel == 0 else args.voxel,
+        img_size=(args.input_H, args.input_W),
+        patch_size=(patch, patch),
+        embed_dim=args.transformer_emb,
+        depth=args.transformer_depth,
+        num_heads=args.transformer_heads,
+        mlp_ratio=args.transformer_mlp_ratio,
+        use_batch_norm=bool(args.linear_probe_batch_norm),
+        dtype=dtype,
+    )
+
+
 def main(argv=None):
     args = get_args(argv)
     validate_preproc_args(args, train=not args.eval)
@@ -264,27 +293,31 @@ def main(argv=None):
 
     patch = 2 ** args.num_layers
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    model = create_model(
-        args.model,
-        num_classes=nb_classes,
-        drop_rate=args.drop,
-        drop_path_rate=args.drop_path,
-        attn_drop_rate=args.attn_drop_rate,
-        use_mean_pooling=bool(args.use_mean_pooling),
-        init_scale=args.init_scale,
-        use_rel_pos_bias=bool(args.rel_pos_bias),
-        use_abs_pos_emb=bool(args.abs_pos_emb),
-        init_values=args.layer_scale_init_value,
-        in_chans=3 if args.voxel == 0 else args.voxel,
-        img_size=(args.input_H, args.input_W),
-        patch_size=(patch, patch),
-        embed_dim=args.transformer_emb,
-        depth=args.transformer_depth,
-        num_heads=args.transformer_heads,
-        mlp_ratio=args.transformer_mlp_ratio,
-        use_batch_norm=bool(args.linear_probe_batch_norm),
-        dtype=dtype,
-    )
+    if args.MAE:
+        # taken-from-MAE leg (run_class_finetuning.py:402-404): a timm-style
+        # global-pool ViT, NOT the ft_vit BEiT model. The reference pins
+        # base/16 here; like our MAE PRETRAINING stage (which generalizes
+        # the equally-pinned mae_vit_base_patch16_dec512d8b), the
+        # transformer_* geometry flags apply with defaults == base/16 so
+        # both ends of the handshake stay matched
+        print("MAE finetuning")
+        model = create_model(
+            "vit_base_patch16",
+            num_classes=nb_classes,
+            drop_path_rate=args.drop_path,
+            drop_rate=args.drop,
+            global_pool=True,
+            img_size=(args.input_H, args.input_W),
+            in_chans=3 if args.voxel == 0 else args.voxel,
+            patch_size=patch,
+            embed_dim=args.transformer_emb,
+            depth=args.transformer_depth,
+            num_heads=args.transformer_heads,
+            mlp_ratio=args.transformer_mlp_ratio,
+            dtype=dtype,
+        )
+    else:
+        model = _build_ft_vit(args, nb_classes, patch, dtype)
     window = (args.input_H // patch, args.input_W // patch)
 
     steps_per_epoch = train_it.steps_per_epoch() // args.update_freq
@@ -297,7 +330,24 @@ def main(argv=None):
     # a .pth/.pt path goes through the torch importer, so reference-trained
     # (or cli/export_torch-exported) checkpoints finetune directly —
     # the cross-ecosystem handshake (utils.py:485-537 model_key probe)
-    if args.finetune:
+    if args.MAE:
+        # reference loads the MAE checkpoint only on training runs
+        # (run_class_finetuning.py:406 `if args.finetune and not args.eval`)
+        if args.finetune and not args.eval:
+            from mem_tpu.utils.surgery import surgery_for_mae_finetune
+
+            if args.finetune.endswith((".pth", ".pt")):
+                from mem_tpu.utils.torch_import import (import_mae_state_dict,
+                                                        load_torch_checkpoint)
+
+                ck = load_torch_checkpoint(args.finetune)
+                keys = [k for k in args.model_key.split("|") if k in ck]
+                src = import_mae_state_dict(ck[keys[0]] if keys else ck)
+            else:
+                src = {"params": load_checkpoint(args.finetune)["params"]["params"]}
+            print(f"Load MAE PT checkpoint from: {args.finetune}")
+            params = surgery_for_mae_finetune(src, params)
+    elif args.finetune:
         from mem_tpu.utils.surgery import surgery_for_finetune
 
         if args.finetune.endswith((".pth", ".pt")):
@@ -387,6 +437,21 @@ def main(argv=None):
     )
     eval_step = make_finetune_eval_step(model, preproc_val)
 
+    def resume_template(on_disk_path):
+        # tolerate an EMA flag flip across the resume boundary: include the
+        # 'ema' subtree in the restore template iff the checkpoint on disk
+        # actually carries one (orbax hard-errors on a tree-structure
+        # mismatch otherwise), regardless of the CURRENT --model_ema
+        from mem_tpu.utils.checkpoint import checkpoint_top_keys
+
+        keys = checkpoint_top_keys(on_disk_path) if on_disk_path else None
+        disk_has_ema = use_ema if keys is None else ("ema" in keys)
+        tmpl = {"params": params, "opt_state": opt_state,
+                "epoch": 0, "best_acc": 0.0}
+        if disk_has_ema:
+            tmpl["ema"] = ema_params if use_ema else params
+        return tmpl
+
     start_epoch = args.start_epoch
     best_acc = 0.0
     payload = None
@@ -398,11 +463,7 @@ def main(argv=None):
                 "--resume expects one of this framework's checkpoint dirs "
                 "(optimizer state included); to start from a torch/reference "
                 "checkpoint use --finetune")
-        tmpl = {"params": params, "opt_state": opt_state,
-                "epoch": 0, "best_acc": 0.0}
-        if use_ema:
-            tmpl["ema"] = ema_params
-        payload = load_checkpoint(args.resume, tmpl)
+        payload = load_checkpoint(args.resume, resume_template(args.resume))
         start_epoch = int(np.asarray(payload.get("epoch", -1))) + 1
         print(f"Resumed from {args.resume} (epoch {start_epoch})")
     elif args.auto_resume:
@@ -411,11 +472,10 @@ def main(argv=None):
         # reference's eval path equally goes through auto_load_model).
         # A --finetune checkpoint still wins when output_dir holds no
         # checkpoint (auto_resume returns None then).
-        tmpl = {"params": params, "opt_state": opt_state,
-                "epoch": 0, "best_acc": 0.0}
-        if use_ema:
-            tmpl["ema"] = ema_params
-        payload, resumed_epoch = auto_resume(args.output_dir, tmpl)
+        from mem_tpu.utils.checkpoint import latest_checkpoint
+
+        payload, resumed_epoch = auto_resume(
+            args.output_dir, resume_template(latest_checkpoint(args.output_dir)))
         if payload is not None:
             start_epoch = resumed_epoch
     if payload is not None:
@@ -423,7 +483,18 @@ def main(argv=None):
             payload["params"], payload["opt_state"], mesh,
             zero1=bool(args.zero1), fsdp=bool(args.fsdp))
         if use_ema:
-            ema_params = replicate(payload["ema"], mesh)
+            if "ema" in payload:
+                ema_params = replicate(payload["ema"], mesh)
+            else:
+                # EMA-off run resumed with --model_ema 1: seed EMA from the
+                # restored params rather than crashing
+                print("note: checkpoint has no EMA state; "
+                      "re-seeding EMA from the restored params")
+                ema_params = replicate(
+                    jax.tree.map(lambda x: x.copy(), payload["params"]), mesh)
+        elif "ema" in payload:
+            print("note: dropping the checkpoint's EMA state "
+                  "(--model_ema 0 on this run)")
         best_acc = float(payload.get("best_acc", 0.0))
         if args.eval:
             print(f"eval: restored checkpoint (epoch {start_epoch})")

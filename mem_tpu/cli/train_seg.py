@@ -64,7 +64,12 @@ def get_args(argv=None):
     p.add_argument("--val_ann_dir", type=str, default="anns/val")
     p.add_argument("--num_classes", type=int, default=11)
     p.add_argument("--pretrained", type=str, default="",
-                   help="MEM pretrain/finetune checkpoint for the backbone")
+                   help="backbone init: an orbax checkpoint dir, a reference "
+                        "MEM/seg .pth (train_api.py:502-523 handshake), or "
+                        "a timm jax-ViT .npz (train_api.py:345-373)")
+    p.add_argument("--model_key", type=str, default="state_dict|model|module",
+                   help=".pth payload probe order "
+                        "(mmcv_custom/checkpoint.py:335-343)")
     p.add_argument("--seg_input_size", type=int, default=512)
     p.add_argument("--embed_dim", type=int, default=768)
     p.add_argument("--depth", type=int, default=12)
@@ -150,6 +155,12 @@ def make_seg_steps(model, tx, num_classes: int, rand_aug: bool,
 
 def main(argv=None):
     args = get_args(argv)
+    if args.pretrained == "PT21k":
+        # fail fast, before any data/device work
+        raise SystemExit(
+            "--pretrained PT21k downloads from the timm hub "
+            "(train_api.py:377-402); no network egress here — pass a "
+            "local .npz of the 21k weights instead")
     from mem_tpu.utils.preemption import validate_rss_flag
     validate_rss_flag(args.rss_restart_gb)
     init_distributed()
@@ -194,12 +205,44 @@ def main(argv=None):
     params, batch_stats = variables["params"], variables["batch_stats"]
 
     if args.pretrained:
-        payload = load_checkpoint(args.pretrained)
         from mem_tpu.utils.surgery import surgery_for_finetune
+
+        # three ingest formats, like the reference seg stage
+        # (mmcv_custom/train_api.py:345-402, 502-523):
+        #   .pth/.pt  — a reference MEM pretrain/finetune checkpoint
+        #               (model_key probe + module./backbone. prefix
+        #               handling, mmcv_custom/checkpoint.py:330-351) or an
+        #               already backbone.-prefixed seg checkpoint;
+        #   .npz      — a timm jax-ViT checkpoint (load_checkpoint_npz:
+        #               only name-matching backbone keys transfer, exactly
+        #               copy_tmpModelTimm_to_semsegBackbone's contract);
+        #   PT21k     — the reference downloads timm's pretrained 21k
+        #               weights from the hub; impossible without network
+        #               egress, so point at a local .npz of them instead;
+        #   otherwise — one of this framework's orbax checkpoint dirs.
+        if args.pretrained.endswith(".npz"):
+            from mem_tpu.utils.torch_import import (import_vit_state_dict,
+                                                    load_timm_npz)
+
+            print(f"loading timm npz checkpoint from {args.pretrained}")
+            src = import_vit_state_dict(
+                load_timm_npz(args.pretrained), is_pretrain=False)
+        elif args.pretrained.endswith((".pth", ".pt")):
+            from mem_tpu.utils.torch_import import (
+                import_vit_state_dict, load_torch_checkpoint,
+                normalize_backbone_state_dict)
+
+            ck = load_torch_checkpoint(args.pretrained)
+            keys = [k for k in args.model_key.split("|") if k in ck]
+            sd = normalize_backbone_state_dict(ck[keys[0]] if keys else ck)
+            src = import_vit_state_dict(sd, is_pretrain="lm_head.weight" in sd)
+        else:
+            payload = load_checkpoint(args.pretrained)
+            src = {"params": payload["params"]["params"]}
 
         grid = args.seg_input_size // 16
         merged = surgery_for_finetune(
-            {"params": payload["params"]["params"]},
+            src,
             {"params": params["backbone"]},
             dst_window=(grid, grid),
         )

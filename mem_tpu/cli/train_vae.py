@@ -133,6 +133,9 @@ def main(argv=None):
                                                  ImagePipelineConfig)
 
         aa = parse_rand_aa(args.aa)
+        if args.eval_data_path:
+            print("note: --eval_data_path is ignored on --data_set IMNET "
+                  "(reference datasets.py:415-420 uses data_path/{train,val})")
 
         def _img_it(split, is_train):
             folder = ImageFolder(resolve_split_root(args.data_path, split))
@@ -155,8 +158,10 @@ def main(argv=None):
         )
         # the fully-conv VAE consumes input_size^2 RGB frames here; keep the
         # checkpoint hparams coherent for the pretrain stage's create_d_vae
-        # role (utils/checkpoint payload)
+        # role (utils/checkpoint payload). Re-validate: the (10, 1000)
+        # input-extent check ran on the pre-override defaults
         args.input_H = args.input_W = args.input_size
+        validate_preproc_args(args, train=True)
         preproc_train = preproc_val = None
     elif args.data_set in ("npy", "image_folder", "dsec_semseg"):
         _, train_it = build_pipeline(

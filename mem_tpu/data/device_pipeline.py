@@ -151,7 +151,10 @@ def preprocess_image_cls(batch: dict, is_train: bool, rand_aug: bool = True,
     if not is_train:
         return x
     keys = jax.vmap(jax.random.key)(batch["aug_seed"].astype(jnp.uint32))
-    if rand_aug and magnitude > 0:
+    # gate on rand_aug alone: timm applies ops even at level 0
+    # (AutoContrast/Equalize are magnitude-independent, and mstd jitters a
+    # 0 level upward half the time), so a rand-m0 spec must still run
+    if rand_aug:
         u8 = (255.0 * x).astype(jnp.uint8)
         ra_keys = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
         u8 = rand_augment_batch(u8, ra_keys, num_ops=num_ops,

@@ -51,12 +51,27 @@ def get_2d_sincos_pos_embed(embed_dim: int, grid_size: int, cls_token: bool = Tr
 
 
 class _TimmBlock(nn.Module):
-    """Standard timm ViT block: fused qkv bias, no LayerScale/rel-pos."""
+    """Standard timm ViT block: fused qkv bias, no LayerScale/rel-pos.
+
+    ``drop_path_rate`` adds timm stochastic depth on both residual branches
+    (param-free, so MAE pretraining checkpoints are layout-identical); the
+    MAE-finetune classifier passes the per-block linspace rate exactly like
+    timm VisionTransformer (run_class_finetuning.py:404 drop_path arg).
+    """
 
     dim: int
     num_heads: int
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    drop_path_rate: float = 0.0
+
+    def _maybe_drop(self, y, deterministic):
+        from mem_tpu.models.vit import drop_path
+
+        if self.drop_path_rate > 0 and not deterministic:
+            return drop_path(y, self.drop_path_rate, deterministic,
+                             self.make_rng("dropout"))
+        return y
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -86,12 +101,12 @@ class _TimmBlock(nn.Module):
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             o = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(B, N, C)
         o = nn.Dense(self.dim, dtype=self.dtype, kernel_init=nn.initializers.xavier_uniform(), name="proj")(o)
-        x = x + o
+        x = x + self._maybe_drop(o, deterministic)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x).astype(self.dtype)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, kernel_init=nn.initializers.xavier_uniform(), name="fc1")(h)
         h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.dim, dtype=self.dtype, kernel_init=nn.initializers.xavier_uniform(), name="fc2")(h)
-        return x + h
+        return x + self._maybe_drop(h, deterministic)
 
 
 class MaskedAutoencoderViT(nn.Module):

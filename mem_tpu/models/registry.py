@@ -57,6 +57,24 @@ def mae_vit_base_patch16_dec512d8b(**kwargs):
 
 
 @register_model
+def vit_base_patch16(**kwargs):
+    """timm-style ViT-B/16 for MAE finetuning (run_class_finetuning.py:78-82
+    ``vit_base_patch16`` + the global_pool VisionTransformer subclass).
+
+    Defaults are the reference's hardcoded base/16 geometry; explicit kwargs
+    may override them (our MAE pretraining stage generalizes the same way —
+    the reference pins ``mae_vit_base_patch16_dec512d8b`` at both ends,
+    run_mem_pretraining.py:276)."""
+    from mem_tpu.models.mae_classifier import MAEVisionTransformer
+
+    kwargs.pop("pretrained", None)
+    for k, v in (("patch_size", 16), ("embed_dim", 768), ("depth", 12),
+                 ("num_heads", 12), ("mlp_ratio", 4.0)):
+        kwargs.setdefault(k, v)
+    return MAEVisionTransformer(**kwargs)
+
+
+@register_model
 def event_vae(**kwargs):
     """Discrete event VAE tokenizer (reference eventvae DiscreteVAE)."""
     from mem_tpu.models.discrete_vae import DiscreteVAE

@@ -141,6 +141,21 @@ def load_checkpoint(path: str, template: Optional[Dict[str, Any]] = None):
     return out
 
 
+def checkpoint_top_keys(path: str):
+    """Top-level keys stored in an orbax checkpoint, or None if unreadable.
+
+    Lets resume paths adapt their restore template to what is actually on
+    disk (e.g. a checkpoint written with --model_ema 1 resumed with
+    --model_ema 0, or vice versa) instead of crashing on the orbax
+    tree-structure mismatch."""
+    try:
+        md = ocp.StandardCheckpointer().metadata(os.path.abspath(path))
+        tree = md.item_metadata.tree
+        return set(tree.keys())
+    except Exception:
+        return None
+
+
 def latest_checkpoint(output_dir: str) -> Optional[str]:
     """Find checkpoint-{N} with the highest N (utils.py:539-557)."""
     if not os.path.isdir(output_dir):

@@ -182,3 +182,70 @@ def surgery_for_finetune(
                 sub["attn"]["rel_pos"]["relative_position_bias_table"] = shared.copy()
 
     return {"params": dst}
+
+
+def surgery_for_mae_finetune(
+    pretrain_params: Dict,
+    finetune_template: Dict,
+    strict: bool = True,
+) -> Dict:
+    """Load an MAE pretraining encoder into the MAE-finetune classifier
+    (run_class_finetuning.py:402-432): drop a shape-mismatched head,
+    bicubic-interpolate ``pos_embed``, load strict=False, then assert the
+    only missing keys are {head, fc_norm} (the ``global_pool`` branch of the
+    reference's hard assert, :426-427).
+
+    The source may be this framework's orbax MAE tree (models/mae.py — no
+    ``pos_embed`` leaf because the sin-cos embedding is computed, which is
+    exactly the classifier's pos_embed init, so it counts as loaded) or a
+    torch-imported reference/MAE checkpoint (pos_embed present; decoder_*,
+    mask_token and the pre-pool ``norm`` are unexpected keys and skipped,
+    like torch load_state_dict(strict=False)).
+    """
+    src = copy.deepcopy(pretrain_params["params"])
+    dst = copy.deepcopy(finetune_template["params"])
+    loaded = set()
+
+    def walk(src_node, dst_node, path=()):
+        for k, v in list(src_node.items()):
+            if k not in dst_node:
+                continue  # unexpected key (decoder_*, mask_token, norm)
+            if isinstance(v, dict):
+                walk(v, dst_node[k], path + (k,))
+                continue
+            v = np.asarray(v)
+            tgt = np.asarray(dst_node[k])
+            if k == "pos_embed" and v.shape != tgt.shape:
+                v = interpolate_abs_pos_embed(
+                    v, int(round((tgt.shape[1] - 1) ** 0.5)))
+            if v.shape != tgt.shape:
+                # head.weight/bias removal on mismatch (:405-408)
+                print(f"Removing key {'/'.join(path + (k,))} from pretrained "
+                      f"checkpoint ({v.shape} vs {tgt.shape})")
+                continue
+            dst_node[k] = v.astype(tgt.dtype)
+            loaded.add("/".join(path + (k,)))
+
+    walk(src, dst)
+
+    missing = set()
+
+    def collect_missing(node, path=()):
+        for k, v in node.items():
+            if isinstance(v, dict):
+                collect_missing(v, path + (k,))
+            elif "/".join(path + (k,)) not in loaded:
+                missing.add("/".join(path + (k,)))
+
+    collect_missing(dst)
+    # our orbax MAE source has no pos_embed leaf; the dst init IS the same
+    # sin-cos table the torch checkpoint would carry -> counts as loaded
+    if "pos_embed" not in src:
+        missing.discard("pos_embed")
+    allowed = {"head/kernel", "head/bias", "fc_norm/scale", "fc_norm/bias"}
+    if strict and not missing <= allowed:
+        raise AssertionError(
+            f"MAE finetune load: unexpected missing keys {sorted(missing - allowed)} "
+            f"(reference asserts missing == head+fc_norm, "
+            f"run_class_finetuning.py:426-427)")
+    return {"params": dst}

@@ -211,6 +211,177 @@ def export_mae_params(params: Dict) -> Dict[str, np.ndarray]:
     return sd
 
 
+def export_mae_classifier_params(params: Dict) -> Dict[str, np.ndarray]:
+    """Flax MAEVisionTransformer tree -> torch state_dict for the
+    MAE-finetune twin (scripts/torch_twin.py TwinMAEClassifier) — inverse of
+    the run_class_finetuning.py:43-82 timm-ViT naming (flat twin keys:
+    ``blocks.N.qkv.weight`` etc., same scheme as :func:`export_mae_params`)."""
+    p = params["params"]
+    sd: Dict[str, np.ndarray] = {}
+    sd["patch_embed.weight"] = np.transpose(
+        np.asarray(p["patch_embed"]["kernel"]), (3, 2, 0, 1))
+    sd["patch_embed.bias"] = np.asarray(p["patch_embed"]["bias"])
+    sd["cls_token"] = np.asarray(p["cls_token"])
+    sd["pos_embed"] = np.asarray(p["pos_embed"])
+    for name, sub in p.items():
+        m = re.fullmatch(r"blocks_(\d+)", name)
+        if not m:
+            continue
+        t = f"blocks.{m.group(1)}"
+        for lname in ("norm1", "norm2"):
+            sd[f"{t}.{lname}.weight"] = np.asarray(sub[lname]["scale"])
+            sd[f"{t}.{lname}.bias"] = np.asarray(sub[lname]["bias"])
+        for lname in ("qkv", "proj", "fc1", "fc2"):
+            sd[f"{t}.{lname}.weight"] = np.asarray(sub[lname]["kernel"]).T
+            sd[f"{t}.{lname}.bias"] = np.asarray(sub[lname]["bias"])
+    for nm in ("fc_norm", "norm"):
+        if nm in p:
+            sd[f"{nm}.weight"] = np.asarray(p[nm]["scale"])
+            sd[f"{nm}.bias"] = np.asarray(p[nm]["bias"])
+    sd["head.weight"] = np.asarray(p["head"]["kernel"]).T
+    sd["head.bias"] = np.asarray(p["head"]["bias"])
+    return sd
+
+
+def import_mae_state_dict(sd: Dict[str, "object"]) -> Dict:
+    """Map a torch MAE state_dict into our flax tree ({"params": ...}).
+
+    Accepts both the reference naming (timm PatchEmbed/Block:
+    ``patch_embed.proj.weight``, ``blocks.N.attn.qkv.weight``,
+    ``blocks.N.mlp.fc1.weight`` — modeling_mae.py:112-124) and the flat twin
+    naming emitted by :func:`export_mae_params` (``patch_embed.weight``,
+    ``blocks.N.qkv.weight``). Covers MAE pretraining checkpoints
+    (decoder_* included) and MAE-finetuned classifiers (fc_norm/head);
+    ``*pos_embed`` leaves pass through verbatim for the surgery's bicubic
+    interpolation (run_class_finetuning.py:85-108)."""
+    p: Dict = {}
+    for key, w in sd.items():
+        k = key.replace(".attn.", ".").replace(".mlp.", ".")
+        if k in ("decoder_pos_embed",):
+            continue  # recomputed sin-cos buffer
+        m = re.match(r"(decoder_)?blocks\.(\d+)\.(.*)", k)
+        if k in ("patch_embed.proj.weight", "patch_embed.weight"):
+            _set(p, ("patch_embed", "kernel"), _conv(w))
+        elif k in ("patch_embed.proj.bias", "patch_embed.bias"):
+            _set(p, ("patch_embed", "bias"), _t(w))
+        elif k in ("cls_token", "mask_token", "pos_embed"):
+            _set(p, (k,), _t(w))
+        elif m:
+            blk = (f"{m.group(1) or ''}blocks_{m.group(2)}",)
+            rest = m.group(3)
+            ln = re.fullmatch(r"(norm1|norm2)\.(weight|bias)", rest)
+            lin = re.fullmatch(r"(qkv|proj|fc1|fc2)\.(weight|bias)", rest)
+            if ln:
+                _set(p, blk + (ln.group(1), "scale" if ln.group(2) == "weight" else "bias"), _t(w))
+            elif lin:
+                if lin.group(2) == "weight":
+                    _set(p, blk + (lin.group(1), "kernel"), _lin(w))
+                else:
+                    _set(p, blk + (lin.group(1), "bias"), _t(w))
+            else:
+                print(f"torch_import(mae): unmapped block key {key}")
+        elif re.fullmatch(r"(norm|decoder_norm|fc_norm)\.(weight|bias)", k):
+            nm, wb = k.split(".")
+            _set(p, (nm, "scale" if wb == "weight" else "bias"), _t(w))
+        elif re.fullmatch(r"(decoder_embed|decoder_pred|head)\.(weight|bias)", k):
+            nm, wb = k.split(".")
+            _set(p, (nm, "kernel" if wb == "weight" else "bias"),
+                 _lin(w) if wb == "weight" else _t(w))
+        else:
+            print(f"torch_import(mae): unmapped key {key}")
+    return {"params": p}
+
+
+def load_timm_npz(path: str) -> Dict[str, np.ndarray]:
+    """Read an original jax-ViT ``.npz`` checkpoint (the format timm's
+    ``load_checkpoint`` ingests for ``B_16-i1k``-style files,
+    train_api.py:345-373 load_checkpoint_npz) into a timm-NAMED flat dict
+    with torch weight layouts, so it can feed :func:`import_vit_state_dict`
+    like any other torch state_dict.
+
+    Key map (timm vision_transformer.py ``_load_weights`` semantics):
+    ``embedding`` -> patch_embed.proj, ``cls`` -> cls_token,
+    ``Transformer/posembed_input/pos_embedding`` -> pos_embed,
+    ``encoderblock_N/LayerNorm_0|2`` -> norm1|norm2,
+    ``MultiHeadDotProductAttention_1/{query,key,value,out}`` -> fused
+    qkv + proj, ``MlpBlock_3/Dense_0|1`` -> mlp.fc1|fc2,
+    ``Transformer/encoder_norm`` -> norm. A ``pre_logits`` subtree (21k
+    checkpoints) and the classification head are emitted under their timm
+    names; consumers that lack those params simply do not match them — the
+    reference's ``copy_tmpModelTimm_to_semsegBackbone`` equally copies only
+    name-matching keys (train_api.py:105-142).
+    """
+    z = np.load(path)
+    sd: Dict[str, np.ndarray] = {}
+
+    def has(k):
+        return k in z
+
+    sd["patch_embed.proj.weight"] = np.transpose(z["embedding/kernel"], (3, 2, 0, 1))
+    sd["patch_embed.proj.bias"] = np.asarray(z["embedding/bias"])
+    sd["cls_token"] = np.asarray(z["cls"])
+    sd["pos_embed"] = np.asarray(z["Transformer/posembed_input/pos_embedding"])
+    sd["norm.weight"] = np.asarray(z["Transformer/encoder_norm/scale"])
+    sd["norm.bias"] = np.asarray(z["Transformer/encoder_norm/bias"])
+
+    i = 0
+    while has(f"Transformer/encoderblock_{i}/LayerNorm_0/scale"):
+        b = f"Transformer/encoderblock_{i}"
+        t = f"blocks.{i}"
+        sd[f"{t}.norm1.weight"] = np.asarray(z[f"{b}/LayerNorm_0/scale"])
+        sd[f"{t}.norm1.bias"] = np.asarray(z[f"{b}/LayerNorm_0/bias"])
+        sd[f"{t}.norm2.weight"] = np.asarray(z[f"{b}/LayerNorm_2/scale"])
+        sd[f"{t}.norm2.bias"] = np.asarray(z[f"{b}/LayerNorm_2/bias"])
+        a = f"{b}/MultiHeadDotProductAttention_1"
+        D = z[f"{a}/query/kernel"].shape[0]
+        # (D, H, hd) -> torch (D_out, D_in) rows, fused q;k;v
+        qkv_w = np.concatenate(
+            [np.asarray(z[f"{a}/{n}/kernel"]).reshape(D, -1).T
+             for n in ("query", "key", "value")], axis=0)
+        sd[f"{t}.attn.qkv.weight"] = qkv_w
+        sd[f"{t}.attn.qkv.bias"] = np.concatenate(
+            [np.asarray(z[f"{a}/{n}/bias"]).reshape(-1)
+             for n in ("query", "key", "value")], axis=0)
+        sd[f"{t}.attn.proj.weight"] = np.asarray(z[f"{a}/out/kernel"]).reshape(-1, D).T
+        sd[f"{t}.attn.proj.bias"] = np.asarray(z[f"{a}/out/bias"]).reshape(-1)
+        m = f"{b}/MlpBlock_3"
+        sd[f"{t}.mlp.fc1.weight"] = np.asarray(z[f"{m}/Dense_0/kernel"]).T
+        sd[f"{t}.mlp.fc1.bias"] = np.asarray(z[f"{m}/Dense_0/bias"])
+        sd[f"{t}.mlp.fc2.weight"] = np.asarray(z[f"{m}/Dense_1/kernel"]).T
+        sd[f"{t}.mlp.fc2.bias"] = np.asarray(z[f"{m}/Dense_1/bias"])
+        i += 1
+    if i == 0:
+        raise ValueError(f"{path}: no Transformer/encoderblock_* entries — "
+                         "not a jax-ViT npz checkpoint")
+
+    if has("head/kernel"):
+        sd["head.weight"] = np.asarray(z["head/kernel"]).T
+        sd["head.bias"] = np.asarray(z["head/bias"])
+    if has("pre_logits/kernel"):
+        sd["pre_logits.fc.weight"] = np.asarray(z["pre_logits/kernel"]).T
+        sd["pre_logits.fc.bias"] = np.asarray(z["pre_logits/bias"])
+    return sd
+
+
+def normalize_backbone_state_dict(sd: Dict) -> Dict:
+    """Reduce a raw torch seg/pretrain state_dict to backbone naming.
+
+    Mirrors the reference's two-step handshake (train_api.py:502-523 +
+    mmcv_custom/checkpoint.py:330-351): probe the ``module.`` DDP prefix,
+    then — where the reference ADDS a ``backbone.`` prefix to MEM
+    checkpoint keys so they match the mmseg EncoderDecoder — we instead
+    STRIP it from already-prefixed seg checkpoints, since our importer
+    targets the backbone subtree directly. A MEM pretraining/finetune
+    checkpoint (no ``backbone.`` keys) passes through unchanged.
+    """
+    if next(iter(sd)).startswith("module."):
+        sd = {k[len("module."):]: v for k, v in sd.items()}
+    if any(k.startswith("backbone.") for k in sd):
+        sd = {k[len("backbone."):]: v for k, v in sd.items()
+              if k.startswith("backbone.")}
+    return sd
+
+
 def import_vae_state_dict(sd: Dict, num_layers: int, num_resnet_blocks: int) -> Dict:
     """Map the reference DiscreteVAE state_dict (eventvae/vae/vae_model.py
     Sequential indices) to our named modules."""

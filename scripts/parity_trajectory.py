@@ -3,7 +3,7 @@ twin on the SAME synthetic dataset from IDENTICAL initialization and compare
 loss/mlm_acc/top-1 curves step for step (round-2 verdict item #1b — the
 strongest quality-parity evidence available without the real datasets).
 
-Five stages, mirroring every trainable pipeline in the reference:
+Six stages, mirroring every trainable pipeline in the reference:
   0. discrete-VAE tokenizer (Gumbel softmax, per-10k anneal quirk).
   A. MEM pretraining — make_pretrain_train_step (frozen VAE tokenizer,
      masked CE, AdamW betas (0.9, 0.95), cosine LR, clip 3.0) vs a torch
@@ -16,6 +16,10 @@ Five stages, mirroring every trainable pipeline in the reference:
      0.65, mIoU through both eval paths.
   D. MAE variant (--MAE 1) — argsort shuffle masking with shared noise,
      pixel-MSE (modeling_mae.py:101-313 dynamics).
+  E. MAE finetune (--MAE 1 classification) — stage D's encoder
+     surgery-loaded into the timm-style global-pool classifier, layer
+     decay 0.9 + smoothing 0.1 (run_class_finetuning.py:402-432), with
+     top-1 eval parity.
 
 Reference-faithful parity flags are pinned: fresh per-sample BEiT masks
 (mask_pool_size=0), per-sample host randomness, pure f32, mixup/EMA off,
@@ -439,6 +443,118 @@ def run_mae(epochs: int, data_dir: str):
             step_i += 1
         print(f"[mae e{epoch}] jax loss {curves['loss_jax'][-1]:.4f} "
               f"torch {curves['loss_torch'][-1]:.4f}", flush=True)
+    return params, curves
+
+
+def run_mae_finetune(epochs: int, data_dir: str, mae_params, val_dir: str):
+    """Stage E — MAE finetune (--MAE 1 on run_class_finetuning): the MAE
+    encoder surgery-loaded into the timm-style global-pool classifier
+    (run_class_finetuning.py:402-432), BEiT layer decay 0.9 + label
+    smoothing 0.1 through the production make_finetune_train_step, vs
+    TwinMAEClassifier with the SAME layer-decay groups; top-1 eval parity
+    like stage B."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from mem_tpu.data.device_pipeline import preprocess_batch
+    from mem_tpu.models.mae_classifier import MAEVisionTransformer
+    from mem_tpu.train.optim import (build_lr_scale_tree, build_wd_mask_tree,
+                                     scheduled_adamw)
+    from mem_tpu.train.schedules import as_schedule_fn, cosine_scheduler
+    from mem_tpu.train.steps import (make_finetune_eval_step,
+                                     make_finetune_train_step)
+    from mem_tpu.utils.surgery import surgery_for_mae_finetune
+
+    from torch_twin import (TwinMAEClassifier, build_torch_optimizer,
+                            load_flax_mae_classifier_params,
+                            smoothed_ce_torch, torch_step)
+
+    preproc, _, _ = build_jax_stack(jnp)
+    it = make_iterator(data_dir, True, masking=False)
+    val_it = make_iterator(val_dir, False, masking=False)
+
+    model = MAEVisionTransformer(
+        img_size=(IMG, IMG), patch_size=PATCH, num_classes=NCLS,
+        embed_dim=DIM, depth=DEPTH, num_heads=HEADS)
+    init = jax.jit(model.init)(jax.random.key(6), jnp.zeros((1, IMG, IMG, 3)))
+    params = surgery_for_mae_finetune(mae_params, init)
+
+    twin = TwinMAEClassifier(img_size=IMG, patch=PATCH, num_classes=NCLS,
+                             dim=DIM, depth=DEPTH, heads=HEADS)
+    load_flax_mae_classifier_params(twin, params)
+    twin.train()
+
+    def mae_path_fn(name):
+        # MAE classifier blocks live at tree top level (no "encoder")
+        parts = name.split(".")
+        if parts[0] == "blocks":
+            parts = [f"blocks_{parts[1]}"] + parts[2:]
+        return ("params",) + tuple(parts)
+
+    steps_per_epoch = it.steps_per_epoch()
+    total = epochs * steps_per_epoch
+    lr_arr = cosine_scheduler(4e-3, 1e-6, epochs=epochs,
+                              niter_per_ep=steps_per_epoch,
+                              warmup_steps=min(5, total // 4))
+    wd = 0.05
+    scales = build_lr_scale_tree(params, 0.9, DEPTH)
+    tx = scheduled_adamw(as_schedule_fn(lr_arr), (lambda s: wd), scales,
+                         build_wd_mask_tree(params), b1=0.9, b2=0.999,
+                         clip_grad=3.0)
+    opt_state = tx.init(params)
+    jstep = make_finetune_train_step(model, tx, preproc, NCLS,
+                                     mixup_fn=None, smoothing=0.1)
+    jeval = make_finetune_eval_step(model, preproc)
+    topt = build_torch_optimizer(twin, float(lr_arr[0]), wd,
+                                 betas=(0.9, 0.999), layer_decay=0.9,
+                                 num_layers=DEPTH, path_fn=mae_path_fn)
+    prep_t = jax.jit(lambda b: preprocess_batch(b, preproc, is_train=True))
+
+    curves = {"loss_jax": [], "loss_torch": [], "top1_jax": [],
+              "top1_torch": []}
+
+    def eval_both(p):
+        c_j = c_t = n = 0
+        for vb in val_it.epoch(0):
+            jb = jax.tree.map(jnp.asarray, vb)
+            out = jeval(p, jb)
+            imgs = np.asarray(jax.jit(
+                lambda b: preprocess_batch(b, preproc, is_train=False))(jb))
+            twin.eval()
+            with torch.no_grad():
+                lt = twin(torch.from_numpy(imgs.transpose(0, 3, 1, 2)))
+            twin.train()
+            bs = vb["label"].shape[0]
+            c_j += float(out["acc1"]) / 100.0 * bs
+            c_t += (lt.argmax(-1).numpy() == vb["label"]).sum()
+            n += bs
+        return 100.0 * c_j / n, 100.0 * c_t / n
+
+    step_i = 0
+    for epoch in range(epochs):
+        for batch in it.epoch(epoch):
+            jb = jax.tree.map(jnp.asarray, batch)
+            stacked = jax.tree.map(lambda x: x[None], jb)  # update_freq=1
+            images = np.asarray(prep_t(jb))
+            params, opt_state, m = jstep(params, opt_state, stacked,
+                                         jax.random.key(4000 + step_i))
+
+            timg = torch.from_numpy(images.transpose(0, 3, 1, 2).copy())
+            logits = twin(timg)
+            loss_t = smoothed_ce_torch(
+                logits, torch.from_numpy(batch["label"]), NCLS, 0.1)
+            torch_step(twin, topt, loss_t, float(lr_arr[step_i]), wd, 3.0)
+
+            curves["loss_jax"].append(float(m["loss"]))
+            curves["loss_torch"].append(float(loss_t.detach()))
+            step_i += 1
+        a_j, a_t = eval_both(params)
+        curves["top1_jax"].append(a_j)
+        curves["top1_torch"].append(a_t)
+        print(f"[mae_ft e{epoch}] jax loss {curves['loss_jax'][-1]:.4f} "
+              f"torch {curves['loss_torch'][-1]:.4f} "
+              f"top1 {a_j:.1f}/{a_t:.1f}", flush=True)
     return curves
 
 
@@ -630,7 +746,8 @@ def main(argv=None):
         vae_c = run_vae(args.epochs, train_dir)
         pt_params, _, pre = run_pretrain(args.epochs, train_dir)
         ft = run_finetune(args.epochs, train_dir, pt_params, val_dir)
-        mae_c = run_mae(args.epochs, train_dir)
+        mae_params, mae_c = run_mae(args.epochs, train_dir)
+        mft = run_mae_finetune(args.epochs, train_dir, mae_params, val_dir)
         seg = (run_seg(seg_iters, make_seg_dataset(os.path.join(tmp, "dsec")))
                if seg_iters else None)
 
@@ -641,11 +758,16 @@ def main(argv=None):
     top1_d = float(np.abs(np.asarray(ft["top1_jax"])
                           - np.asarray(ft["top1_torch"])).max())
     s_mae = summarize("mae", mae_c)
+    s_mft = summarize("mae_ft", mft)
+    mft_top1_d = float(np.abs(np.asarray(mft["top1_jax"])
+                              - np.asarray(mft["top1_torch"])).max())
     result = {"vae": s_vae, "pretrain": s_pre, "finetune": s_ft,
-              "mae": s_mae,
+              "mae": s_mae, "mae_ft": s_mft,
               "vae_curves": vae_c, "mae_curves": mae_c,
+              "mae_ft_curves": mft,
               "pretrain_curves": pre, "finetune_curves": ft,
               "max_mlm_acc_delta": acc_d, "max_top1_delta_pts": top1_d,
+              "max_mae_ft_top1_delta_pts": mft_top1_d,
               "epochs": args.epochs}
     if seg is not None:
         result["seg"] = summarize("seg", seg)
@@ -783,6 +905,34 @@ re-drawn on the host from the same PRNG key).
 - max |Δloss| {mae_s['max_abs_loss_delta']:.2e} \
 (mean rel {mae_s['mean_rel_loss_delta']:.2e}, max rel {mae_s['max_rel_loss_delta']:.2e})
 """)
+        mft_s, mfc = r.get("mae_ft"), r.get("mae_ft_curves")
+        if mft_s is not None:
+            f.write(f"""
+## Stage E — MAE finetune (--MAE 1 classification, timm-style global-pool ViT)
+
+Encoder surgery-loaded from stage D's final MAE params on both sides
+(surgery_for_mae_finetune: strict head+fc_norm missing-keys contract,
+run_class_finetuning.py:402-432); the production make_finetune_train_step
+drives the MAEVisionTransformer with BEiT layer decay 0.9 + smoothing 0.1
+vs TwinMAEClassifier with identical layer-decay groups.
+
+| epoch | loss (jax) | loss (torch) | top-1 (jax) | top-1 (torch) |
+|---|---|---|---|---|
+""")
+            spe = mft_s["steps"] // r["epochs"]
+            for e in range(r["epochs"]):
+                i = (e + 1) * spe - 1
+                f.write(f"| {e} | {mfc['loss_jax'][i]:.4f} | "
+                        f"{mfc['loss_torch'][i]:.4f} | "
+                        f"{mfc['top1_jax'][e]:.1f} | "
+                        f"{mfc['top1_torch'][e]:.1f} |\n")
+            f.write(f"""
+- steps: {mft_s['steps']}; final loss {mft_s['final_loss_jax']:.4f} (jax) vs \
+{mft_s['final_loss_torch']:.4f} (torch)
+- max |Δloss| {mft_s['max_abs_loss_delta']:.2e} \
+(mean rel {mft_s['mean_rel_loss_delta']:.2e}, max rel {mft_s['max_rel_loss_delta']:.2e})
+- max |Δtop-1| {r['max_mae_ft_top1_delta_pts']:.1f} pts
+""")
         seg_s, sc = r.get("seg"), r.get("seg_curves")
         if seg_s is not None:
             f.write(f"""
@@ -831,6 +981,7 @@ trajectory, (b) statistically indistinguishable curves after onset.
 | pretrain | {_onset(pc)} | {pre['steps']} |
 | finetune | {_onset(fc)} | {ft['steps']} |
 {f"| mae | {_onset(mc)} | {mae_s['steps']} |" if mae_s is not None else ""}
+{f"| mae_ft | {_onset(mfc)} | {mft_s['steps']} |" if mft_s is not None else ""}
 {f"| seg | {_onset(sc)} | {seg_s['steps']} |" if seg_s is not None else ""}
 
 ## What this proves / caveats
@@ -848,7 +999,7 @@ trajectory, (b) statistically indistinguishable curves after onset.
   0.65 backbone layer decay, and BOTH eval paths (mIoU through batch-norm
   running statistics); the MAE stage pins the argsort shuffle masking,
   mask-token unshuffle, sin-cos embeds and the summed-per-patch-mean pixel
-  loss — ALL FIVE reference training stages now have trajectory-level
+  loss — ALL SIX reference training stages now have trajectory-level
   parity.
 - RandAugment/mixup are off: their parity is statistical by design
   (different RNG streams; SURVEY §7) — module-level distribution tests

@@ -644,6 +644,49 @@ class TwinMAE(nn.Module):
         return loss.mean(dim=-1).sum()
 
 
+class TwinMAEClassifier(nn.Module):
+    """timm-style global-pool ViT — the reference's MAE-finetune model
+    (run_class_finetuning.py:43-82): cls token, learned abs pos embed added
+    AFTER the cls concat, standard timm blocks, mean-pool-without-cls ->
+    fc_norm -> head (global_pool branch)."""
+
+    def __init__(self, img_size=32, patch=8, in_chans=3, num_classes=5,
+                 dim=64, depth=2, heads=4, global_pool=True):
+        super().__init__()
+        self.grid = img_size // patch
+        self.global_pool = global_pool
+        self.patch_embed = nn.Conv2d(in_chans, dim, patch, stride=patch)
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, dim))
+        self.pos_embed = nn.Parameter(torch.zeros(1, self.grid**2 + 1, dim))
+        self.blocks = nn.ModuleList(
+            [TwinTimmBlock(dim, heads) for _ in range(depth)])
+        if global_pool:
+            self.fc_norm = nn.LayerNorm(dim, eps=1e-6)
+        else:
+            self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.head = nn.Linear(dim, num_classes)
+
+    def forward(self, imgs):
+        B = imgs.shape[0]
+        x = self.patch_embed(imgs).flatten(2).transpose(1, 2)
+        x = torch.cat([self.cls_token.expand(B, -1, -1), x], dim=1)
+        x = x + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x)
+        if self.global_pool:
+            return self.head(self.fc_norm(x[:, 1:].mean(1)))
+        return self.head(self.norm(x)[:, 0])
+
+
+def load_flax_mae_classifier_params(twin: nn.Module, params: dict) -> None:
+    from mem_tpu.utils.torch_import import export_mae_classifier_params
+
+    sd = to_torch_sd(export_mae_classifier_params(params))
+    missing, unexpected = twin.load_state_dict(sd, strict=False)
+    assert not missing, f"unmapped MAE-classifier-twin params: {missing}"
+    assert not unexpected, f"unconsumed MAE-classifier export keys: {unexpected}"
+
+
 def load_flax_mae_params(twin: nn.Module, params: dict) -> None:
     from mem_tpu.utils.torch_import import export_mae_params
 

@@ -139,10 +139,11 @@ def test_finetune_stage(synth_dataset, pretrain_dir, tmp_path, capsys):
     assert all(abs(sum(r["topk_probs"]) - 1.0) < 1e-3 for r in rows)
 
 
-def test_mae_variant(synth_dataset, tmp_path):
+@pytest.fixture(scope="module")
+def mae_dir(synth_dataset, tmp_path_factory):
     from mem_tpu.cli.run_mem_pretraining import main
 
-    out = str(tmp_path / "mae")
+    out = str(tmp_path_factory.mktemp("mae"))
     main([
         "--data_path", synth_dataset, "--output_dir", out,
         "--MAE", "1",
@@ -156,7 +157,68 @@ def test_mae_variant(synth_dataset, tmp_path):
         "--auto_resume", "0", "--color_jitter", "0",
         *COMMON,
     ])
-    assert os.path.isdir(os.path.join(out, "checkpoint-final"))
+    return out
+
+
+def test_mae_variant(mae_dir):
+    assert os.path.isdir(os.path.join(mae_dir, "checkpoint-final"))
+
+
+def test_mae_finetune_stage(synth_dataset, mae_dir, tmp_path, capsys):
+    """--MAE 1 finetune: the MAE pretraining checkpoint loads into the
+    timm-style global-pool classifier (run_class_finetuning.py:402-432) and
+    trains end to end — the other half of the MAE pipeline leg."""
+    from mem_tpu.cli.run_class_finetuning import main
+
+    out = str(tmp_path / "mae_ft")
+    main([
+        "--data_path", synth_dataset, "--output_dir", out,
+        "--MAE", "1",
+        "--finetune", os.path.join(mae_dir, "checkpoint-final"),
+        "--epochs", "2", "--batch_size", "8", "--update_freq", "1",
+        "--num_layers", "3",  # must match the MAE pretrain patch geometry
+        "--transformer_emb", "32", "--transformer_depth", "2",
+        "--transformer_heads", "2",
+        "--lr", "2e-3", "--warmup_epochs", "0", "--layer_decay", "0.9",
+        "--save_ckpt_freq", "2", "--auto_resume", "0", "--model_ema", "1",
+        "--mixup_prob", "0", "--drop_path", "0.1",
+        *COMMON,
+    ])
+    assert "MAE finetuning" in capsys.readouterr().out
+    assert os.path.isdir(os.path.join(out, "checkpoint-best"))
+
+    # EMA-flag flip across a resume boundary (ADVICE r3 medium): the EMA-on
+    # checkpoint must auto-resume EMA-off (extra 'ema' subtree dropped with
+    # a note, not an orbax tree-structure crash)...
+    main([
+        "--data_path", synth_dataset, "--output_dir", out,
+        "--MAE", "1",
+        "--epochs", "3", "--batch_size", "8", "--update_freq", "1",
+        "--num_layers", "3",
+        "--transformer_emb", "32", "--transformer_depth", "2",
+        "--transformer_heads", "2",
+        "--lr", "2e-3", "--warmup_epochs", "0", "--layer_decay", "0.9",
+        "--save_ckpt_freq", "3", "--auto_resume", "1", "--model_ema", "0",
+        "--mixup_prob", "0",
+        *COMMON,
+    ])
+    out_txt = capsys.readouterr().out
+    assert "dropping the checkpoint's EMA state" in out_txt
+    # ...and the EMA-less checkpoint written by that run must resume back
+    # EMA-on (EMA re-seeded from the restored params)
+    main([
+        "--data_path", synth_dataset, "--output_dir", out,
+        "--MAE", "1",
+        "--epochs", "4", "--batch_size", "8", "--update_freq", "1",
+        "--num_layers", "3",
+        "--transformer_emb", "32", "--transformer_depth", "2",
+        "--transformer_heads", "2",
+        "--lr", "2e-3", "--warmup_epochs", "0", "--layer_decay", "0.9",
+        "--save_ckpt_freq", "4", "--auto_resume", "1", "--model_ema", "1",
+        "--mixup_prob", "0",
+        *COMMON,
+    ])
+    assert "re-seeding EMA from the restored params" in capsys.readouterr().out
 
 
 def test_pretrain_fsdp_flag(synth_dataset, vae_dir, tmp_path):

@@ -127,3 +127,93 @@ def test_ft_vit_full_forward_parity(batch):
         want = twin(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
     assert got.shape == want.shape == (2, ncls)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+@pytest.mark.parametrize("global_pool", [True, False])
+def test_mae_classifier_full_forward_parity(batch, global_pool):
+    """--MAE finetune model (run_class_finetuning.py:43-82): timm-style
+    blocks + learned abs pos emb + global-pool fc_norm readout vs the torch
+    twin, weights exported through export_mae_classifier_params."""
+    from torch_twin import TwinMAEClassifier, load_flax_mae_classifier_params
+
+    from mem_tpu.models.mae_classifier import MAEVisionTransformer
+
+    x, _, _ = batch
+    ncls = 5
+    model = MAEVisionTransformer(
+        img_size=(IMG, IMG), patch_size=PATCH, num_classes=ncls,
+        embed_dim=DIM, depth=DEPTH, num_heads=HEADS, global_pool=global_pool,
+    )
+    params = _randomize(jax.jit(model.init)(
+        jax.random.key(3), jnp.asarray(x)), seed=11)
+    got = np.asarray(model.apply(params, jnp.asarray(x)))
+
+    twin = TwinMAEClassifier(img_size=IMG, patch=PATCH, num_classes=ncls,
+                             dim=DIM, depth=DEPTH, heads=HEADS,
+                             global_pool=global_pool)
+    load_flax_mae_classifier_params(twin, params)
+    twin.eval()
+    with torch.no_grad():
+        want = twin(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    assert got.shape == want.shape == (2, ncls)
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_mae_finetune_surgery_roundtrip():
+    """MAE-pretrain -> MAE-finetune handshake (run_class_finetuning.py:402-432):
+    encoder leaves transfer 1:1 from both our orbax tree AND a torch-named
+    state_dict (import_mae_state_dict), pos_embed interpolates, the strict
+    missing-keys set is {head, fc_norm}, and a mismatched head is dropped."""
+    from mem_tpu.models.mae import MaskedAutoencoderViT
+    from mem_tpu.models.mae_classifier import MAEVisionTransformer
+    from mem_tpu.utils.surgery import surgery_for_mae_finetune
+    from mem_tpu.utils.torch_import import (export_mae_params,
+                                            import_mae_state_dict)
+
+    mae = MaskedAutoencoderViT(
+        img_size=IMG, patch_size=PATCH, embed_dim=DIM, depth=DEPTH,
+        num_heads=HEADS, decoder_embed_dim=32, decoder_depth=1,
+        decoder_num_heads=2)
+    mp = _randomize(jax.jit(mae.init)(
+        {"params": jax.random.key(0), "mask": jax.random.key(1)},
+        jnp.zeros((2, IMG, IMG, 3))), seed=13)
+
+    clf = MAEVisionTransformer(img_size=(IMG, IMG), patch_size=PATCH,
+                               num_classes=7, embed_dim=DIM, depth=DEPTH,
+                               num_heads=HEADS)
+    cp = jax.jit(clf.init)(jax.random.key(4), jnp.zeros((2, IMG, IMG, 3)))
+
+    loaded = surgery_for_mae_finetune(mp, cp)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["blocks_1"]["qkv"]["kernel"]),
+        np.asarray(mp["params"]["blocks_1"]["qkv"]["kernel"]))
+    # head/fc_norm stay at init (the allowed missing keys)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["head"]["kernel"]),
+        np.asarray(cp["params"]["head"]["kernel"]))
+    # orbax source has no pos_embed -> classifier keeps its sin-cos init
+    np.testing.assert_array_equal(
+        np.asarray(loaded["params"]["pos_embed"]),
+        np.asarray(cp["params"]["pos_embed"]))
+
+    # torch-named round trip: export the MAE tree, re-import, same surgery
+    sd = export_mae_params(mp)
+    src2 = import_mae_state_dict(sd)
+    loaded2 = surgery_for_mae_finetune(src2, cp)
+    np.testing.assert_allclose(
+        np.asarray(loaded2["params"]["blocks_1"]["qkv"]["kernel"]),
+        np.asarray(mp["params"]["blocks_1"]["qkv"]["kernel"]), atol=0)
+
+    # a trained classifier checkpoint with a DIFFERENT class count: the
+    # mismatched head is removed, not an error (:405-408)
+    trained = jax.tree_util.tree_map(lambda v: v, loaded["params"])
+    import copy as _copy
+
+    trained = _copy.deepcopy({"params": trained})
+    trained["params"]["head"] = {
+        "kernel": np.zeros((DIM, 3), np.float32),
+        "bias": np.zeros((3,), np.float32)}
+    re = surgery_for_mae_finetune(trained, cp)
+    np.testing.assert_array_equal(
+        np.asarray(re["params"]["head"]["kernel"]),
+        np.asarray(cp["params"]["head"]["kernel"]))

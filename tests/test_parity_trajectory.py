@@ -60,3 +60,10 @@ def test_mae_trajectory_matches_torch(result):
     s = result["mae"]
     assert s["steps"] >= 6
     assert s["max_rel_loss_delta"] < 1e-4, s
+
+
+def test_mae_finetune_trajectory_matches_torch(result):
+    s = result["mae_ft"]
+    assert s["steps"] >= 6
+    assert s["max_rel_loss_delta"] < 1e-3, s
+    assert result["max_mae_ft_top1_delta_pts"] < 1e-6

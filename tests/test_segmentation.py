@@ -383,3 +383,208 @@ def test_tta_probs_matches_oracle(rng):
                                rtol=1e-5)
     # TTA must actually differ from single-scale for this flip-sensitive net
     assert np.abs(got / 6.0 - np.asarray(single)).max() > 1e-3
+
+
+# ---------------------------------------------------------------------------
+# Reference-checkpoint ingest for the seg backbone
+# (mmcv_custom/train_api.py:345-402, 502-523 + mmcv_custom/checkpoint.py:330-480)
+
+def _pretrain_style_sd(rng, D=32, heads=2, depth=2, window=4, in_chans=3):
+    """A reference MEM-pretrain-shaped state_dict: SHARED rel-pos table,
+    mask_token + lm_head (to be dropped), decomposed q/v bias."""
+    sd = {
+        "patch_embed.proj.weight": rng.standard_normal((D, in_chans, 16, 16)).astype(np.float32),
+        "patch_embed.proj.bias": rng.standard_normal(D).astype(np.float32),
+        "cls_token": rng.standard_normal((1, 1, D)).astype(np.float32),
+        "mask_token": rng.standard_normal((1, 1, D)).astype(np.float32),
+        "rel_pos_bias.relative_position_bias_table":
+            rng.standard_normal(((2 * window - 1) ** 2 + 3, heads)).astype(np.float32),
+        "lm_head.weight": rng.standard_normal((8, D)).astype(np.float32),
+        "lm_head.bias": rng.standard_normal(8).astype(np.float32),
+        "norm.weight": np.ones(D, np.float32),
+        "norm.bias": np.zeros(D, np.float32),
+    }
+    for i in range(depth):
+        b = f"blocks.{i}"
+        sd[f"{b}.norm1.weight"] = np.ones(D, np.float32)
+        sd[f"{b}.norm1.bias"] = np.zeros(D, np.float32)
+        sd[f"{b}.norm2.weight"] = np.ones(D, np.float32)
+        sd[f"{b}.norm2.bias"] = np.zeros(D, np.float32)
+        sd[f"{b}.attn.qkv.weight"] = rng.standard_normal((3 * D, D)).astype(np.float32)
+        sd[f"{b}.attn.q_bias"] = rng.standard_normal(D).astype(np.float32)
+        sd[f"{b}.attn.v_bias"] = rng.standard_normal(D).astype(np.float32)
+        sd[f"{b}.attn.proj.weight"] = rng.standard_normal((D, D)).astype(np.float32)
+        sd[f"{b}.attn.proj.bias"] = rng.standard_normal(D).astype(np.float32)
+        sd[f"{b}.mlp.fc1.weight"] = rng.standard_normal((4 * D, D)).astype(np.float32)
+        sd[f"{b}.mlp.fc1.bias"] = rng.standard_normal(4 * D).astype(np.float32)
+        sd[f"{b}.mlp.fc2.weight"] = rng.standard_normal((D, 4 * D)).astype(np.float32)
+        sd[f"{b}.mlp.fc2.bias"] = rng.standard_normal(D).astype(np.float32)
+        sd[f"{b}.gamma_1"] = rng.standard_normal(D).astype(np.float32)
+        sd[f"{b}.gamma_2"] = rng.standard_normal(D).astype(np.float32)
+    return sd
+
+
+SEG_TINY = [
+    "--num_classes", "3",
+    "--seg_input_size", "64", "--embed_dim", "32", "--depth", "2",
+    "--num_heads", "2",
+    "--max_iters", "1", "--batch_size", "8",  # divisible over the 8-dev mesh
+    # lr 0 + wd 0: the single "training" step is a no-op, so checkpoint-final
+    # holds exactly the ingested backbone weights for leaf-level assertions
+    "--lr", "0", "--weight_decay", "0",
+    "--warmup_iters", "0", "--eval_interval", "1000",
+    "--save_interval", "1000", "--rand_aug", "0",
+    "--slice_max_evs", "5000",
+    "--auto_resume", "0", "--dtype", "float32",
+]
+
+
+def test_seg_pretrained_pth_ingest(synth_seg_dataset, tmp_path, capsys):
+    """train_seg --pretrained <MEM .pth>: model_key probe, shared->per-block
+    rel-pos expansion, mask_token/lm_head drop — the reference handshake at
+    train_api.py:502-523 (which backbone.-prefixes MEM keys to match the
+    mmseg model; here the importer targets the backbone subtree directly)."""
+    import torch
+
+    from mem_tpu.cli.train_seg import main
+    from mem_tpu.utils.checkpoint import load_checkpoint
+
+    rng = np.random.default_rng(17)
+    sd = _pretrain_style_sd(rng)
+    pth = str(tmp_path / "mem_pt.pth")
+    torch.save({"model": {k: torch.from_numpy(v) for k, v in sd.items()}}, pth)
+
+    out = str(tmp_path / "seg_pth")
+    main(["--data_root", synth_seg_dataset, "--output_dir", out,
+          "--pretrained", pth, *SEG_TINY])
+    assert "backbone initialized from" in capsys.readouterr().out
+
+    payload = load_checkpoint(os.path.join(out, "checkpoint-final"))
+    bb = payload["params"]["backbone"]
+    np.testing.assert_allclose(
+        np.asarray(bb["encoder"]["blocks_1"]["attn"]["qkv_kernel"]),
+        sd["blocks.1.attn.qkv.weight"].T, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(bb["patch_embed"]["proj"]["kernel"]),
+        np.transpose(sd["patch_embed.proj.weight"], (2, 3, 1, 0)), atol=1e-6)
+    # shared table expanded into BOTH per-block tables (same 4x4 window ->
+    # copied verbatim, checkpoint.py:360-366)
+    for i in range(2):
+        np.testing.assert_allclose(
+            np.asarray(bb["encoder"][f"blocks_{i}"]["attn"]["rel_pos"]
+                       ["relative_position_bias_table"]),
+            sd["rel_pos_bias.relative_position_bias_table"], atol=1e-6)
+
+
+def test_seg_pretrained_backbone_prefixed_pth(tmp_path):
+    """A reference SEG checkpoint (keys already backbone.-prefixed, plus DDP
+    module. wrap) reduces to plain backbone naming
+    (mmcv_custom/checkpoint.py:344-351)."""
+    from mem_tpu.utils.torch_import import normalize_backbone_state_dict
+
+    rng = np.random.default_rng(3)
+    sd = _pretrain_style_sd(rng, depth=1)
+    wrapped = {f"module.backbone.{k}": v for k, v in sd.items()}
+    wrapped["module.decode_head.conv_seg.weight"] = np.zeros((3, 8, 1, 1), np.float32)
+    got = normalize_backbone_state_dict(wrapped)
+    assert set(got) == set(sd)  # head keys dropped, prefixes stripped
+    # MEM pretraining checkpoints (no backbone. keys) pass through unchanged
+    assert normalize_backbone_state_dict(sd) is sd or \
+        set(normalize_backbone_state_dict(sd)) == set(sd)
+
+
+def test_seg_pretrained_npz_ingest(synth_seg_dataset, tmp_path, capsys):
+    """train_seg --pretrained <timm .npz> (load_checkpoint_npz,
+    train_api.py:345-373): jax-ViT naming fuses q/k/v into the qkv kernel;
+    only name-matching backbone keys transfer (pos_embed/norm/head skipped,
+    copy_tmpModelTimm_to_semsegBackbone:105-142)."""
+    from mem_tpu.cli.train_seg import main
+    from mem_tpu.utils.checkpoint import load_checkpoint
+
+    rng = np.random.default_rng(23)
+    D, H_, hd, depth = 32, 2, 16, 2
+    z = {
+        "embedding/kernel": rng.standard_normal((16, 16, 3, D)).astype(np.float32),
+        "embedding/bias": rng.standard_normal(D).astype(np.float32),
+        "cls": rng.standard_normal((1, 1, D)).astype(np.float32),
+        "Transformer/posembed_input/pos_embedding":
+            rng.standard_normal((1, 17, D)).astype(np.float32),
+        "Transformer/encoder_norm/scale": np.ones(D, np.float32),
+        "Transformer/encoder_norm/bias": np.zeros(D, np.float32),
+        "head/kernel": rng.standard_normal((D, 10)).astype(np.float32),
+        "head/bias": rng.standard_normal(10).astype(np.float32),
+    }
+    for i in range(depth):
+        b = f"Transformer/encoderblock_{i}"
+        a = f"{b}/MultiHeadDotProductAttention_1"
+        z[f"{b}/LayerNorm_0/scale"] = np.ones(D, np.float32)
+        z[f"{b}/LayerNorm_0/bias"] = np.zeros(D, np.float32)
+        z[f"{b}/LayerNorm_2/scale"] = np.ones(D, np.float32)
+        z[f"{b}/LayerNorm_2/bias"] = np.zeros(D, np.float32)
+        for n in ("query", "key", "value"):
+            z[f"{a}/{n}/kernel"] = rng.standard_normal((D, H_, hd)).astype(np.float32)
+            z[f"{a}/{n}/bias"] = rng.standard_normal((H_, hd)).astype(np.float32)
+        z[f"{a}/out/kernel"] = rng.standard_normal((H_, hd, D)).astype(np.float32)
+        z[f"{a}/out/bias"] = rng.standard_normal(D).astype(np.float32)
+        z[f"{b}/MlpBlock_3/Dense_0/kernel"] = rng.standard_normal((D, 4 * D)).astype(np.float32)
+        z[f"{b}/MlpBlock_3/Dense_0/bias"] = rng.standard_normal(4 * D).astype(np.float32)
+        z[f"{b}/MlpBlock_3/Dense_1/kernel"] = rng.standard_normal((4 * D, D)).astype(np.float32)
+        z[f"{b}/MlpBlock_3/Dense_1/bias"] = rng.standard_normal(D).astype(np.float32)
+    npz = str(tmp_path / "B_16-i1k.npz")
+    np.savez(npz, **z)
+
+    out = str(tmp_path / "seg_npz")
+    main(["--data_root", synth_seg_dataset, "--output_dir", out,
+          "--pretrained", npz, *SEG_TINY])
+    assert "loading timm npz checkpoint" in capsys.readouterr().out
+
+    payload = load_checkpoint(os.path.join(out, "checkpoint-final"))
+    bb = payload["params"]["backbone"]
+    # fused qkv kernel: columns ordered q;k;v, each (D,H,hd) flattened
+    want = np.concatenate(
+        [z[f"Transformer/encoderblock_0/MultiHeadDotProductAttention_1/{n}/kernel"]
+         .reshape(D, -1) for n in ("query", "key", "value")], axis=1)
+    np.testing.assert_allclose(
+        np.asarray(bb["encoder"]["blocks_0"]["attn"]["qkv_kernel"]),
+        want, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(bb["encoder"]["blocks_0"]["attn"]["proj"]["kernel"]),
+        z["Transformer/encoderblock_0/MultiHeadDotProductAttention_1/out/kernel"]
+        .reshape(-1, D), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(bb["patch_embed"]["proj"]["kernel"]),
+        z["embedding/kernel"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bb["cls_token"]), z["cls"], atol=1e-6)
+
+
+def test_seg_schedule_320k():
+    """The reference's second seg schedule (configs/_base_/schedules/
+    schedule_320k.py: poly power 0.9, max_iters 320000, by_epoch=False) is
+    just --max_iters 320000 on this CLI — assert the flag parses and the
+    poly decay actually spans the 320k horizon."""
+    from mem_tpu.cli.train_seg import get_args, poly_lr_schedule
+
+    args = get_args(["--data_root", "/nonexistent",
+                     "--max_iters", "320000", "--lr", "1e-2"])
+    assert args.max_iters == 320000
+    # exactly main()'s wiring (train_seg.py:256): poly power 1.0 like the
+    # MEM seg config (mem_224_160k.py lr_config), horizon from --max_iters
+    fn = poly_lr_schedule(args.lr, args.max_iters,
+                          warmup_iters=args.warmup_iters)
+    lr0 = float(fn(args.warmup_iters))      # decay start
+    lr_mid = float(fn(160_000))
+    lr_end = float(fn(320_000))
+    assert lr0 == pytest.approx(args.lr, rel=2e-2)
+    # linear-poly midpoint of the 320k horizon, not a 160k schedule's end
+    assert lr_mid == pytest.approx(args.lr * 0.5, rel=1e-2)
+    assert lr_end == pytest.approx(0.0, abs=1e-9)
+
+
+def test_seg_pretrained_pt21k_refused():
+    """PT21k needs the timm hub (train_api.py:377-402) — zero egress here,
+    so the CLI must explain instead of hanging on a download."""
+    from mem_tpu.cli.train_seg import main
+
+    with pytest.raises(SystemExit, match="PT21k"):
+        main(["--data_root", "/nonexistent", "--pretrained", "PT21k",
+              *SEG_TINY])
