@@ -151,6 +151,7 @@ def build_pipeline(
             and not bool(getattr(args, "timesurface", 0))
             and scale_xy is None
         ),
+        profile=bool(getattr(args, "loader_profile", 0)),
     )
     return folder, EventBatchIterator(folder, cfg)
 
@@ -347,3 +348,7 @@ def add_preprocessing_args(parser) -> None:
                              "timestamp column is dead (timesurface off): "
                              "2.7x less host->device traffic. 0 = always "
                              "send (B, N, 4) float32")
+    parser.add_argument("--loader_profile", type=int, default=0,
+                        help="print per-item load/transform k-items/sec "
+                             "(dataset_folder.py:203-227 profile feature; "
+                             "forces the python loader path)")

@@ -19,6 +19,7 @@ drives all host randomness, so any batch is exactly reproducible.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import time
 from dataclasses import dataclass
 from typing import Iterator, Optional
 
@@ -64,6 +65,10 @@ class PipelineConfig:
     # multi-host sharding
     shard_id: int = 0
     num_shards: int = 1
+    # per-item load/transform timers (the reference's dead `profile`
+    # feature, dataset_folder.py:203-227 — prints k-items/sec per sample);
+    # scripts/bench_host_loader.py is the aggregate-stats successor
+    profile: bool = False
 
 
 class EventBatchIterator:
@@ -111,7 +116,13 @@ class EventBatchIterator:
     def _load_one(self, epoch: int, index: int):
         cfg = self.cfg
         rng = np.random.default_rng((cfg.seed, epoch, index))
+        if cfg.profile:
+            t0 = time.perf_counter()
         events, label = self.ds[index]
+        if cfg.profile:
+            # per-item rate prints, dataset_folder.py:214-216
+            print(f"Loading {1/(time.perf_counter()-t0)/1e3} k-items/sec")
+            t0 = time.perf_counter()
         events = np.asarray(events, dtype=np.float64)
         if events.ndim != 2 or events.shape[1] != 4:
             events = events.reshape(-1, 4)
@@ -168,6 +179,11 @@ class EventBatchIterator:
         out["aug_seed"] = rng.integers(0, 2**31 - 1, dtype=np.int64).astype(np.uint32)
         if self.mask_gen is not None:
             out["mask"] = self._sample_mask(rng)
+        if cfg.profile:
+            # the reference's "Transforming" half (dataset_folder.py:224-226)
+            # covers its host transform chain; here that is the slice/extent/
+            # mask work above — the photometric chain runs on-chip
+            print(f"Transforming {1/(time.perf_counter()-t0)/1e3} k-items/sec")
         return out
 
     def _sample_mask(self, rng: np.random.Generator) -> np.ndarray:
@@ -194,6 +210,10 @@ class EventBatchIterator:
         coordinate rescaling (caltech/ncars); structured/remapped loaders
         (imagenet/dsec) stay on the python path."""
         if not self.cfg.use_native:
+            return False
+        if self.cfg.profile:
+            # per-item timers need the python path (the C++ loader reads
+            # whole batches inside its own threads)
             return False
         from mem_tpu.data.folder import caltech_npy_loader, ncars_npy_loader
 

@@ -103,6 +103,25 @@ def test_compact_wire_equivalent(rng, tmp_path):
 
     a, b = batch_for(False), batch_for(True)
     assert "events_xyp" in b and b["events_xyp"].dtype == np.int16
+
+    # per-item profile timers (the reference's dataset_folder.py:203-227
+    # profile feature): prints Loading/Transforming k-items/sec rates,
+    # forces the python path, and yields the identical batch
+    import contextlib
+    import io
+
+    cfg = PipelineConfig(batch_size=4, slice_max_evs=2000, is_train=True,
+                         max_random_shift_evs=2, canvas_h=96, canvas_w=96,
+                         seed=3, num_workers=0, use_native=True,
+                         compact_wire=False, profile=True)
+    it = EventBatchIterator(folder, cfg)
+    assert not it._native_eligible()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        p = next(iter(it.epoch(0)))
+    out = buf.getvalue()
+    assert "Loading" in out and "Transforming" in out
+    np.testing.assert_array_equal(p["events"], a["events"])
     pc = PreprocConfig(input_h=32, input_w=32, canvas_h=96, canvas_w=96,
                        rand_aug=False)
     ia = jax.jit(lambda x: preprocess_batch(x, pc, True))(
