@@ -111,6 +111,11 @@ def get_args(argv=None):
                         "(0.9, 0.95) exactly like the reference "
                         "(optim_factory.py:121)")
     p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--bf16_moments", type=int, default=0,
+                   help="store AdamW mu/nu in bfloat16 (f32 arithmetic, "
+                        "bf16 storage): halves optimizer HBM — the "
+                        "counter-move to XLA's B>=256 activation auto-remat "
+                        "(docs/PERF.md). 0 = exact f32 moments")
     p.add_argument("--save_ckpt_freq", "--pt_save_ckpt_freq", type=int, default=25)
     p.add_argument("--output_dir", type=str, default="./pt_out")
     p.add_argument("--log_dir", type=str, default=None,
@@ -388,6 +393,7 @@ def main(argv=None):
         opt=args.opt,
         opt_eps=args.opt_eps,
         momentum=args.momentum,
+        moment_dtype=jnp.bfloat16 if args.bf16_moments else None,
         # --opt_betas is accepted but ignored: betas are forced to
         # (0.9, 0.95), the reference's hard override (optim_factory.py:121)
     )

@@ -119,6 +119,7 @@ def scheduled_adamw(
     b2: float = 0.95,
     eps: float = 1e-8,
     clip_grad: Optional[float] = None,
+    moment_dtype=None,
 ) -> optax.GradientTransformation:
     """AdamW with step-indexed LR/WD schedules, per-leaf LR scaling (layer
     decay) and decoupled weight decay masked like the reference param groups.
@@ -126,13 +127,24 @@ def scheduled_adamw(
     Update: p <- p - lr(t)*scale * (mhat/(sqrt(vhat)+eps) + wd(t)*mask*p)
     — identical to torch AdamW with per-group lr = lr(t)*scale and
     weight_decay = wd(t)*mask.
+
+    ``moment_dtype`` (e.g. jnp.bfloat16) stores mu/nu in reduced precision
+    while keeping ALL arithmetic f32 (cast up, blend, cast back) — halves
+    optimizer HBM (the standard TPU counter-move to activation-pressure
+    auto-remat; docs/PERF.md round-4 B=256 attempt). Params stay f32 master
+    copies. None = exact f32 moments (the parity-tested default).
     """
+
+    def _store(tree):
+        if moment_dtype is None:
+            return tree
+        return jax.tree.map(lambda x: x.astype(moment_dtype), tree)
 
     def init(params):
         return ScheduledAdamWState(
             count=jnp.zeros([], jnp.int32),
-            mu=jax.tree.map(jnp.zeros_like, params),
-            nu=jax.tree.map(jnp.zeros_like, params),
+            mu=_store(jax.tree.map(jnp.zeros_like, params)),
+            nu=_store(jax.tree.map(jnp.zeros_like, params)),
         )
 
     def update(updates, state, params):
@@ -143,8 +155,12 @@ def scheduled_adamw(
             g = jax.tree.map(lambda u: u * factor, g)
 
         count = state.count + 1
-        mu = jax.tree.map(lambda m, u: b1 * m + (1 - b1) * u, state.mu, g)
-        nu = jax.tree.map(lambda v, u: b2 * v + (1 - b2) * u * u, state.nu, g)
+        # blend in the GRAD's dtype (f32): with bf16 storage the moments are
+        # upcast here, so only the final store rounds
+        mu = jax.tree.map(
+            lambda m, u: b1 * m.astype(u.dtype) + (1 - b1) * u, state.mu, g)
+        nu = jax.tree.map(
+            lambda v, u: b2 * v.astype(u.dtype) + (1 - b2) * u * u, state.nu, g)
         c1 = 1 - b1 ** count.astype(jnp.float32)
         c2 = 1 - b2 ** count.astype(jnp.float32)
 
@@ -157,7 +173,7 @@ def scheduled_adamw(
             return -lr * scale * (mhat / (jnp.sqrt(vhat) + eps) + wd * mask * p)
 
         new_updates = jax.tree.map(step, mu, nu, params, lr_scale_tree, wd_mask_tree)
-        return new_updates, ScheduledAdamWState(count, mu, nu)
+        return new_updates, ScheduledAdamWState(count, _store(mu), _store(nu))
 
     return optax.GradientTransformation(init, update)
 
@@ -491,6 +507,7 @@ def create_optimizer(
     momentum: float = 0.9,
     clip_grad: Optional[float] = None,
     skip_names=("pos_embed", "cls_token"),
+    moment_dtype=None,
 ):
     """create_optimizer surface — the reference's full 20-way switch
     (optim_factory.py:98-181), TPU-natively:
@@ -544,7 +561,7 @@ def create_optimizer(
             return scheduled_adamw(
                 lr_schedule, wd_schedule, lr_scales, wd_masks,
                 b1=opt_betas[0], b2=opt_betas[1], eps=opt_eps,
-                clip_grad=clip_grad,
+                clip_grad=clip_grad, moment_dtype=moment_dtype,
             )
         if name == "adam":
             # torch Adam: wd as L2 in the gradient, not decoupled

@@ -28,7 +28,7 @@ from mem_tpu.train.steps import make_pretrain_train_step
 from mem_tpu.parallel import get_mesh, replicate, shard_batch
 
 
-def build(batch_ops=True, gathered=True, B=128, N=30000):
+def build(batch_ops=True, gathered=True, B=128, N=30000, bf16_moments=False):
     kw = dict(dtype=jnp.bfloat16, init_values=0.1,
               use_shared_rel_pos_bias=True, drop_path_rate=0.1)
     if gathered:
@@ -59,7 +59,8 @@ def build(batch_ops=True, gathered=True, B=128, N=30000):
         {"params": jax.random.key(1), "gumbel": jax.random.key(2)}, imgs0, 1.0)
     lr = cosine_scheduler(5e-4, 1e-5, 10, 100, warmup_steps=10)
     tx = create_optimizer(params, as_schedule_fn(lr), weight_decay=0.05,
-                          clip_grad=30.0)
+                          clip_grad=30.0,
+                          moment_dtype=jnp.bfloat16 if bf16_moments else None)
     os_ = tx.init(params)
     params, os_, vp = (replicate(params, mesh), replicate(os_, mesh),
                        replicate(vp, mesh))
@@ -203,9 +204,11 @@ def main():
     gathered = bool(int(kv.get("gathered", 1)))
     B = int(kv.get("B", 128))
     nsteps = int(kv.get("steps", 3))
+    bf16_mom = bool(int(kv.get("bf16_moments", 0)))
     tdir = kv.get("dir", f"/tmp/trace_pt_b{int(batch_ops)}_g{int(gathered)}")
 
-    step, params, os_, vp, jb = build(batch_ops, gathered, B)
+    step, params, os_, vp, jb = build(batch_ops, gathered, B,
+                                      bf16_moments=bf16_mom)
     p, o, m = step(params, os_, vp, jb, jax.random.key(3))
     jax.block_until_ready(m)
     p, o, m = step(p, o, vp, jb, jax.random.key(5))

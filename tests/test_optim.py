@@ -349,3 +349,33 @@ def test_lamb_honors_wd_schedule(rng):
     sched_zero = run(wd_schedule=lambda s: 0.0)
     np.testing.assert_allclose(const, sched_const, atol=1e-7)
     assert np.abs(const - sched_zero).max() > 1e-4
+
+
+def test_bf16_moments_tracks_f32(rng):
+    """moment_dtype=bf16 (the B>=256 HBM counter-move, docs/PERF.md round 4)
+    must stay a small bounded perturbation of the exact-f32 trajectory:
+    arithmetic is f32 (cast up, blend, cast back), so only the storage
+    rounds — and the state really is stored in bf16."""
+    w = rng.standard_normal((16, 8)).astype(np.float32)
+    grads = [rng.standard_normal((16, 8)).astype(np.float32) * 0.1
+             for _ in range(50)]
+
+    def run(moment_dtype):
+        params = {"w": jnp.asarray(w)}
+        tx = create_optimizer(params, lambda s: 1e-3, weight_decay=0.05,
+                              clip_grad=1.0, moment_dtype=moment_dtype)
+        state = tx.init(params)
+        for g in grads:
+            up, state = tx.update({"w": jnp.asarray(g)}, state, params)
+            params = jax.tree.map(lambda p, u: p + u, params, up)
+        return np.asarray(params["w"]), state
+
+    exact, _ = run(None)
+    approx, state = run(jnp.bfloat16)
+    assert state.mu["w"].dtype == jnp.bfloat16
+    assert state.nu["w"].dtype == jnp.bfloat16
+    # param drift after 50 steps stays ~bf16-epsilon-scaled relative to the
+    # total parameter movement (NOT machine-epsilon: storage rounds)
+    moved = np.abs(exact - w).max()
+    drift = np.abs(approx - exact).max()
+    assert drift < 0.05 * moved, (drift, moved)
