@@ -123,23 +123,58 @@ class EventBatchIterator:
             # per-item rate prints, dataset_folder.py:214-216
             print(f"Loading {1/(time.perf_counter()-t0)/1e3} k-items/sec")
             t0 = time.perf_counter()
-        events = np.asarray(events, dtype=np.float64)
-        if events.ndim != 2 or events.shape[1] != 4:
-            events = events.reshape(-1, 4)
-
-        if cfg.scale_xy is not None:
-            events = events.copy()
-            events[:, 0] *= cfg.scale_xy[0]
-            events[:, 1] *= cfg.scale_xy[1]
-
-        # SliceRandomMaxEvs (host memcpy; applied train AND eval like the
-        # reference, datasets.py:611-660)
-        n = events.shape[0]
         cap = cfg.slice_max_evs
-        if n > cap:
-            start = int(rng.integers(0, n - cap + 1))
-            events = events[start : start + cap]
-            n = cap
+        from mem_tpu.data.folder import is_event_columns
+
+        if is_event_columns(events):
+            # column-form samples (N-ImageNet structured/.npz): take the
+            # SliceRandomMaxEvs window on the COLUMNS first, then build the
+            # (n, 4) array from only the surviving rows. Elementwise
+            # rescale/remap commute with row selection and the x/y rescale
+            # still multiplies in f64 before the single f32 round, so
+            # batches are bit-identical to the eager reference path
+            # (imgnet_npy_loader); the rng draw order is unchanged.
+            cols = events
+            lazy = hasattr(cols, "column")   # LazyNpzColumns byte-range IO
+            n = cols.n if lazy else cols["x"].shape[0]
+            if n > cap:
+                start = int(rng.integers(0, n - cap + 1))
+                sl = slice(start, start + cap)
+                n = cap
+            else:
+                sl = slice(0, n)
+
+            def col(name):
+                return cols.column(name, sl) if lazy else cols[name][sl]
+
+            ev = np.empty((n, 4), np.float32)
+            xs = col("x").astype(np.float64)
+            ys = col("y").astype(np.float64)
+            if cfg.scale_xy is not None:
+                xs *= cfg.scale_xy[0]
+                ys *= cfg.scale_xy[1]
+            ev[:, 0] = xs
+            ev[:, 1] = ys
+            ev[:, 2] = col("t")
+            ev[:, 3] = col("p").astype(np.int8) * 2 - 1
+            events = ev
+        else:
+            events = np.asarray(events, dtype=np.float64)
+            if events.ndim != 2 or events.shape[1] != 4:
+                events = events.reshape(-1, 4)
+
+            if cfg.scale_xy is not None:
+                events = events.copy()
+                events[:, 0] *= cfg.scale_xy[0]
+                events[:, 1] *= cfg.scale_xy[1]
+
+            # SliceRandomMaxEvs (host memcpy; applied train AND eval like
+            # the reference, datasets.py:611-660)
+            n = events.shape[0]
+            if n > cap:
+                start = int(rng.integers(0, n - cap + 1))
+                events = events[start : start + cap]
+                n = cap
 
         # per-sample logical extents (the reference infers W=max_x+1 when the
         # dataset has no fixed resolution, datasets.py:555-575)
@@ -194,10 +229,13 @@ class EventBatchIterator:
     def _collate(self, items):
         cap = self.cfg.slice_max_evs
         B = len(items)
-        events = np.zeros((B, cap, 4), np.float32)
+        # empty + explicit tail-zero: most samples fill the whole cap, so
+        # zeros() would zero-fill 61 MB (B=128 x 30k) just to overwrite it
+        events = np.empty((B, cap, 4), np.float32)
         for i, it in enumerate(items):
             e = it["events"]
             events[i, : len(e)] = e
+            events[i, len(e):] = 0.0
         batch = {"events": events}
         for k in items[0]:
             if k == "events":

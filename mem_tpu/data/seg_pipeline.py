@@ -108,15 +108,20 @@ class SegBatchIterator:
 
     def _load_one(self, rng: np.random.Generator, index: int) -> dict:
         img_path, ann_path = self.pairs[index]
-        ev = np.load(img_path).astype(np.float32)
-        ev[:, 3] = 2 * ev[:, 3] - 1
-        ev = ev[ev[:, 1] < SEG_H]
-        n = ev.shape[0]
+        # crop/slice BEFORE the dtype convert + polarity remap so those
+        # passes touch only the kept <=180k rows (elementwise ops commute
+        # with row selection — bit-identical, ~2x less loader work; the
+        # round-4 host-feed stress rows showed this path loader-bound)
+        raw = np.load(img_path)
+        raw = raw[raw[:, 1] < SEG_H]
+        n = raw.shape[0]
         cap = self.cfg.max_evs
         if n > cap:
             start = int(rng.integers(0, n - cap + 1))
-            ev = ev[start : start + cap]
+            raw = raw[start : start + cap]
             n = cap
+        ev = raw.astype(np.float32)
+        ev[:, 3] = 2 * ev[:, 3] - 1
         if self.cfg.presort_y:
             ev = ev[np.argsort(ev[:, 1])]
         label = load_seg_label(ann_path)
@@ -183,9 +188,6 @@ class SegBatchIterator:
 
     def _collate(self, items) -> dict:
         B = len(items)
-        events = np.zeros((B, self.cfg.max_evs, 4), np.float32)
-        for i, it in enumerate(items):
-            events[i, : len(it["events"])] = it["events"]
         batch = {
             "n_valid": np.stack([it["n_valid"] for it in items]),
             "label": np.stack([it["label"] for it in items]).astype(np.int32),
@@ -196,9 +198,22 @@ class SegBatchIterator:
             batch["resize_jitter"] = np.stack(
                 [it["resize_jitter"] for it in items])
         if self.cfg.compact_wire:
-            batch["events_xyp"] = np.ascontiguousarray(
-                events[..., [0, 1, 3]]).astype(np.int16)
+            # pack straight into the int16 wire buffer with per-column
+            # sliced stores (same trick as data/pipeline.py) — the previous
+            # f32-staging + fancy-index + ascontiguousarray + astype chain
+            # made three extra passes over a 46 MB intermediate
+            exyp = np.zeros((B, self.cfg.max_evs, 3), np.int16)
+            for i, it in enumerate(items):
+                e = it["events"]
+                m = len(e)
+                exyp[i, :m, 0] = e[:, 0]
+                exyp[i, :m, 1] = e[:, 1]
+                exyp[i, :m, 2] = e[:, 3]
+            batch["events_xyp"] = exyp
         else:
+            events = np.zeros((B, self.cfg.max_evs, 4), np.float32)
+            for i, it in enumerate(items):
+                events[i, : len(it["events"])] = it["events"]
             batch["events"] = events
         return batch
 

@@ -29,6 +29,8 @@ import numpy as np
 B = 128
 N = 30000
 STEP_MS = 160.4          # round-3 fused pretrain step, docs/PERF.md
+SEG_STEP_MS = 372.0      # round-3 DSEC seg step measured 186.0 ms at B=8;
+                         # the reference's per-GPU batch is 16 -> ~2x
 TUNNEL_MBS = 41.0        # measured round 2 (docs/PERF.md host-ingest)
 PCIE_GBS = 12.0          # gen3 x16 effective
 DCN_GBS = 25.0           # one 200 Gb/s NIC
@@ -63,33 +65,137 @@ def measure_staging():
     return nbytes, dt
 
 
-def main():
-    loader_sps = measure_loader()
-    nbytes, stage_s = measure_staging()
-    step_s = STEP_MS / 1e3
-    loader_s = B / loader_sps
-    print(f"batch: B={B} x {N} events, compact wire = {nbytes/1e6:.1f} MB")
-    print(f"loader (native, mask pool, 1 core): {loader_sps:.0f} samples/s "
-          f"-> {loader_s*1e3:.1f} ms/batch")
-    print(f"host staging (device_put memcpy):   {nbytes/stage_s/1e9:.2f} GB/s "
-          f"-> {stage_s*1e3:.1f} ms/batch")
-    print(f"device step: {STEP_MS:.1f} ms/batch "
-          f"({B/step_s:.0f} samples/s/chip)\n")
+def measure_nimagenet_loader(tmp="/tmp/host_feed_nimagenet", B_=128,
+                             nbatches=4):
+    """N-ImageNet-shaped ingest (round-4 verdict #6): structured .npz
+    records (imgnet_npy_loader: field decode + vstack.T), ReshapeScaleXandY
+    as the scale_xy column multiply, slice to 30k — the python path (the
+    native loader handles only raw-(N,4) datasets). Samples drawn at the
+    real distribution's scale (30k..120k events per .npz)."""
+    from mem_tpu.data.folder import NpyFolder, imgnet_columns_loader
+    from mem_tpu.data.pipeline import EventBatchIterator, PipelineConfig
+
+    if not os.path.isdir(f"{tmp}/train/cls"):
+        rng = np.random.default_rng(1)
+        os.makedirs(f"{tmp}/train/cls", exist_ok=True)
+        for i in range(192):
+            n = int(rng.integers(30000, 120000))
+            rec = np.zeros(n, dtype=[("x", "<u2"), ("y", "<u2"),
+                                     ("t", "<i8"), ("p", "u1")])
+            rec["x"] = rng.integers(0, 640, n)
+            rec["y"] = rng.integers(0, 480, n)
+            rec["t"] = np.sort(rng.integers(0, 10**6, n))
+            rec["p"] = rng.integers(0, 2, n)
+            np.savez(f"{tmp}/train/cls/s{i}.npz",
+                     **{k: rec[k] for k in ("x", "y", "t", "p")})
+    ds = NpyFolder(f"{tmp}/train", loader=imgnet_columns_loader)
+    s = 256.0 / 480.0
+    cfg = PipelineConfig(
+        batch_size=B_, slice_max_evs=N, is_train=True,
+        max_random_shift_evs=15, sample_hw_from_data=False,
+        canvas_h=256, canvas_w=342, fixed_hw=(256, 342), scale_xy=(s, s),
+        masking="block", window_size=(14, 14), num_mask_patches=98,
+        min_mask_patches_per_block=16, mask_pool_size=4096,
+        num_workers=0, seed=0,
+    )
+    it = EventBatchIterator(ds, cfg)
+
+    def stream():
+        e = 0
+        while True:
+            yield from it.epoch(e)
+            e += 1
+
+    gen = stream()
+    for _ in range(2):   # cover the whole file set: page cache + zip tables
+        b0 = next(gen)
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(nbatches):
+        b0 = next(gen)
+        n += B_
+    sps = n / (time.perf_counter() - t0)
+    nbytes = sum(np.asarray(v).nbytes for v in b0.values())
+    return sps, nbytes
+
+
+def measure_dsec_loader(tmp="/tmp/host_feed_dsec", B_=16, nbatches=4):
+    """DSEC seg ingest (round-4 verdict #6): 180k-event npy pairs through
+    SegBatchIterator — y<440 crop, 180k slice, host y-presort for the
+    row-tiled Pallas histogram, compact int16 wire + label PNG decode."""
+    from mem_tpu.data.seg_pipeline import (SegBatchIterator,
+                                           SegPipelineConfig)
+
+    if not os.path.isdir(f"{tmp}/imgs"):
+        from PIL import Image
+
+        rng = np.random.default_rng(2)
+        os.makedirs(f"{tmp}/imgs", exist_ok=True)
+        os.makedirs(f"{tmp}/anns", exist_ok=True)
+        for i in range(48):
+            n = int(rng.integers(180000, 260000))
+            ev = np.zeros((n, 4), np.float32)
+            ev[:, 0] = rng.integers(0, 640, n)
+            ev[:, 1] = rng.integers(0, 480, n)
+            ev[:, 3] = rng.integers(0, 2, n)
+            np.save(f"{tmp}/imgs/s{i}.npy", ev)
+            Image.fromarray(
+                rng.integers(0, 11, (440, 640)).astype(np.uint8)
+            ).save(f"{tmp}/anns/s{i}.png")
+    pairs = [(f"{tmp}/imgs/s{i}.npy", f"{tmp}/anns/s{i}.png")
+             for i in range(48)]
+    it = SegBatchIterator(pairs, SegPipelineConfig(
+        batch_size=B_, num_workers=0, seed=0))
+    gen = it.batches(start_iter=0)
+    b0 = next(gen)
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(nbatches):
+        b0 = next(gen)
+        n += B_
+    sps = n / (time.perf_counter() - t0)
+    nbytes = sum(np.asarray(v).nbytes for v in b0.values())
+    return sps, nbytes
+
+
+def report(title, loader_sps, nbytes, step_ms, B_):
+    step_s = step_ms / 1e3
+    loader_s = B_ / loader_sps
+    # staging bandwidth is config-independent (a host memcpy); reuse the
+    # measured rate from the caltech row via the module-level cache
+    stage_s = nbytes / report.stage_bps
+    print(f"\n== {title}: B={B_}, wire {nbytes/1e6:.1f} MB/batch, "
+          f"device step {step_ms:.1f} ms ({B_/step_s:.0f} samples/s/chip)")
+    print(f"loader (1 core): {loader_sps:.0f} samples/s "
+          f"-> {loader_s*1e3:.1f} ms/batch "
+          f"({loader_sps*step_s/B_:.2f}x one chip's demand per core)")
     for name, rate_bps in [("tunnel (this box, measured)", TUNNEL_MBS * 1e6),
                            ("PCIe gen3 x16", PCIE_GBS * 1e9),
                            ("DCN 200Gb NIC", DCN_GBS * 1e9)]:
         wire_s = nbytes / rate_bps
-        # loader runs on its own core(s); staging+wire serialize with the
-        # step only when not overlapped — data/prefetch.py overlaps them,
-        # so the binding constraint is max(), reported alongside the
-        # conservative sum
         total = max(loader_s, stage_s + wire_s, step_s)
-        sps = B / total
+        sps = B_ / total
         bound = ("device" if total == step_s else
                  "loader" if total == loader_s else "wire")
         print(f"{name:28s} wire {wire_s*1e3:7.1f} ms/batch | "
               f"pipelined {sps:6.0f} samples/s ({bound}-bound) | "
               f"duty {100*(stage_s+wire_s)/step_s:5.1f}% of step")
+
+
+def main():
+    loader_sps = measure_loader()
+    nbytes, stage_s = measure_staging()
+    report.stage_bps = nbytes / stage_s
+    print(f"host staging (device_put memcpy): "
+          f"{report.stage_bps/1e9:.2f} GB/s")
+    report("N-Caltech101 pretrain (native, mask pool)", loader_sps, nbytes,
+           STEP_MS, B)
+    ni_sps, ni_bytes = measure_nimagenet_loader()
+    report("N-ImageNet pretrain (.npz structured + ReshapeScaleXandY, "
+           "python path)", ni_sps, ni_bytes, STEP_MS, B)
+    ds_sps, ds_bytes = measure_dsec_loader()
+    report("DSEC seg (180k evs, y-presort, compact wire)", ds_sps, ds_bytes,
+           SEG_STEP_MS, 16)
 
 
 if __name__ == "__main__":

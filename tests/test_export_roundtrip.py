@@ -172,3 +172,55 @@ def test_finetune_cli_accepts_pth(trained_ckpt, tmp_path):
     for k in a:
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
                                       err_msg=k)
+
+
+def test_export_torch_mae_autodetect(tmp_path):
+    """cli/export_torch --model_type auto sniffs MAE and MAE-classifier
+    trees; the classifier .pth re-imports through import_mae_state_dict +
+    surgery_for_mae_finetune to the identical encoder (the --MAE 1
+    cross-ecosystem handshake both ways)."""
+    from mem_tpu.cli.export_torch import main as export_main
+    from mem_tpu.models.mae import MaskedAutoencoderViT
+    from mem_tpu.models.mae_classifier import MAEVisionTransformer
+    from mem_tpu.utils.checkpoint import save_checkpoint
+    from mem_tpu.utils.surgery import surgery_for_mae_finetune
+    from mem_tpu.utils.torch_import import (import_mae_state_dict,
+                                            load_torch_checkpoint)
+
+    clf = MAEVisionTransformer(img_size=(IMG, IMG), patch_size=PATCH,
+                               num_classes=NCLS, embed_dim=DIM, depth=DEPTH,
+                               num_heads=HEADS)
+    cp = jax.jit(clf.init)(jax.random.key(7), jnp.zeros((1, IMG, IMG, 3)))
+    ck = save_checkpoint(str(tmp_path / "c1"), "final",
+                         {"params": cp, "epoch": 0})
+    pth = str(tmp_path / "mae_ft.pth")
+    export_main(["--checkpoint", ck, "--output", pth])
+
+    back = import_mae_state_dict(load_torch_checkpoint(pth)["model"])
+    # load the re-imported .pth into a fresh classifier: every encoder +
+    # readout leaf must round-trip exactly (head/fc_norm are present in the
+    # state_dict, so nothing stays at the fresh init except nothing)
+    fresh = jax.jit(clf.init)(jax.random.key(8), jnp.zeros((1, IMG, IMG, 3)))
+    merged = surgery_for_mae_finetune(back, fresh, strict=False)
+    want = {jax.tree_util.keystr(p): v for p, v in
+            jax.tree_util.tree_flatten_with_path(cp)[0]}
+    got = {jax.tree_util.keystr(p): v for p, v in
+           jax.tree_util.tree_flatten_with_path(merged)[0]}
+    assert want.keys() == got.keys()
+    for k in want:
+        np.testing.assert_array_equal(np.asarray(want[k]),
+                                      np.asarray(got[k]), err_msg=k)
+
+    # MAE pretraining tree: auto-detected as "mae"
+    mae = MaskedAutoencoderViT(img_size=IMG, patch_size=PATCH, embed_dim=DIM,
+                               depth=DEPTH, num_heads=HEADS,
+                               decoder_embed_dim=32, decoder_depth=1,
+                               decoder_num_heads=2)
+    mp = mae.init({"params": jax.random.key(0), "mask": jax.random.key(1)},
+                  jnp.zeros((1, IMG, IMG, 3)))
+    ck2 = save_checkpoint(str(tmp_path / "c2"), "final",
+                          {"params": mp, "epoch": 0})
+    pth2 = str(tmp_path / "mae.pth")
+    export_main(["--checkpoint", ck2, "--output", pth2])
+    sd2 = load_torch_checkpoint(pth2)["model"]
+    assert "mask_token" in sd2 and "decoder_blocks.0.qkv.weight" in sd2

@@ -75,6 +75,64 @@ def test_imagenet_loader_and_scaling(imagenet_ds, rng):
     assert float(vimgs.max()) > 0  # events actually landed on the canvas
 
 
+def test_columns_fast_path_bit_identical(imagenet_ds):
+    """The slice-first column loader (imgnet_columns_loader + the pipeline's
+    columns fast path) must produce BIT-identical batches to the reference's
+    eager float64 vstack.T form (imgnet_npy_loader) — same rng draw order,
+    f64 rescale before the single f32 round."""
+    from mem_tpu.data.folder import (NpyFolder, imgnet_columns_loader,
+                                     imgnet_npy_loader)
+    from mem_tpu.data.pipeline import EventBatchIterator, PipelineConfig
+
+    def batch_for(loader):
+        ds = NpyFolder(imagenet_ds + "/train", loader=loader)
+        s = 256.0 / 480.0
+        cfg = PipelineConfig(
+            batch_size=4, slice_max_evs=600, is_train=True,
+            max_random_shift_evs=4, sample_hw_from_data=False,
+            canvas_h=256, canvas_w=342, fixed_hw=(256, 342), scale_xy=(s, s),
+            seed=5, num_workers=0, use_native=False)
+        return next(iter(EventBatchIterator(ds, cfg).epoch(0)))
+
+    a = batch_for(imgnet_npy_loader)
+    b = batch_for(imgnet_columns_loader)
+    assert set(a) == set(b)
+    for k in a:
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+
+
+def test_lazy_npz_reader_matches_np_load(tmp_path, rng):
+    """LazyNpzColumns (direct-seek byte-range .npz reads) returns exactly
+    what np.load returns, full columns and sliced windows alike; compressed
+    archives fall back to np.load."""
+    from mem_tpu.data.folder import (LazyNpzColumns, imgnet_columns_loader,
+                                     is_event_columns)
+
+    n = 1777
+    cols = {
+        "x": rng.integers(0, 640, n).astype("<u2"),
+        "y": rng.integers(0, 480, n).astype("<u2"),
+        "t": np.sort(rng.integers(0, 10**7, n)).astype("<i8"),
+        "p": rng.integers(0, 2, n).astype("u1"),
+    }
+    p = str(tmp_path / "s.npz")
+    np.savez(p, **cols)
+    lz = imgnet_columns_loader(p)
+    assert isinstance(lz, LazyNpzColumns) and is_event_columns(lz)
+    assert lz.n == n
+    ref = np.load(p)
+    for k in cols:
+        np.testing.assert_array_equal(lz[k], ref[k], err_msg=k)
+        np.testing.assert_array_equal(
+            lz.column(k, slice(123, 900)), ref[k][123:900], err_msg=k)
+
+    pc = str(tmp_path / "c.npz")
+    np.savez_compressed(pc, **cols)
+    fz = imgnet_columns_loader(pc)
+    assert not isinstance(fz, LazyNpzColumns)   # np.load fallback
+    np.testing.assert_array_equal(fz["x"], cols["x"])
+
+
 def test_mixup_semantics(rng):
     from mem_tpu.train.mixup import make_mixup
 
