@@ -245,16 +245,27 @@ class EventBatchIterator:
 
     def _native_eligible(self) -> bool:
         """The libmemev fast path handles raw-(N,4)-npy datasets without
-        coordinate rescaling (caltech/ncars); structured/remapped loaders
-        (imagenet/dsec) stay on the python path."""
+        coordinate rescaling (caltech/ncars) and, round 4, N-ImageNet
+        ZIP_STORED .npz column samples (incl. the ReshapeScaleXandY rescale
+        inside the C read loop); dsec stays on the python path."""
         if not self.cfg.use_native:
             return False
         if self.cfg.profile:
             # per-item timers need the python path (the C++ loader reads
             # whole batches inside its own threads)
             return False
-        from mem_tpu.data.folder import caltech_npy_loader, ncars_npy_loader
+        from mem_tpu.data.folder import (caltech_npy_loader,
+                                         imgnet_columns_loader,
+                                         ncars_npy_loader)
 
+        if self.ds.loader is imgnet_columns_loader:
+            # the C reader parses ZIP_STORED .npz; structured .npy samples
+            # stay on the python columns path
+            if not self.ds.samples[0][0].endswith(".npz"):
+                return False
+            from mem_tpu import native
+
+            return native.available()
         if self.ds.loader not in (caltech_npy_loader, ncars_npy_loader):
             return False
         if self.cfg.scale_xy is not None:
@@ -274,7 +285,16 @@ class EventBatchIterator:
         labels = [self.ds.samples[int(i)][1] for i in chunk]
         rngs = [np.random.default_rng((cfg.seed, epoch, int(i))) for i in chunk]
         fracs = [r.random() for r in rngs]
-        if cfg.compact_wire:
+        from mem_tpu.data.folder import imgnet_columns_loader
+
+        if self.ds.loader is imgnet_columns_loader:
+            # N-ImageNet .npz: slice-first column reads + in-loop rescale
+            events, n_valid, maxxy = native.load_batch_imgnet(
+                paths, fracs, cfg.slice_max_evs, scale_xy=cfg.scale_xy,
+                num_threads=max(cfg.num_workers, 1),
+            )
+            events_key = "events"
+        elif cfg.compact_wire:
             # C threads emit the int16 [x, y, p] wire format directly
             events, n_valid, maxxy = native.load_batch_xyp(
                 paths, fracs, cfg.slice_max_evs,

@@ -65,6 +65,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32)]
+    lib.memev_load_batch_imgnet.restype = ctypes.c_int64
+    lib.memev_load_batch_imgnet.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32)]
     _lib = lib
     return _lib
 
@@ -114,6 +121,35 @@ def load_batch(paths: Sequence[str], slice_fracs: Sequence[float], cap: int,
     c_fracs = (ctypes.c_double * B)(*[float(s) for s in slice_fracs])
     rc = lib.memev_load_batch(
         c_paths, c_fracs, B, cap, num_threads,
+        events.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        nvalid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        maxxy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise IOError(f"libmemev: failed loading {paths[rc - 1]!r}")
+    return events, nvalid, maxxy
+
+
+def load_batch_imgnet(paths: Sequence[str], slice_fracs: Sequence[float],
+                      cap: int, scale_xy=None, num_threads: int = 4):
+    """Threaded N-ImageNet .npz batch assembly: slice-first column reads
+    (ZIP_STORED members parsed directly — no zipfile/crc32 pass), rows
+    [x*sx, y*sy, t, 2p-1] float32, x/y rescaled in double before the single
+    float round (bit-identical to the python columns path). Returns
+    (events (B, cap, 4) f32, n_valid, maxxy) or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    sx, sy = (1.0, 1.0) if scale_xy is None else (float(scale_xy[0]),
+                                                  float(scale_xy[1]))
+    B = len(paths)
+    events = np.empty((B, cap, 4), dtype=np.float32)
+    nvalid = np.zeros((B,), dtype=np.int32)
+    maxxy = np.zeros((B, 2), dtype=np.int32)
+    c_paths = (ctypes.c_char_p * B)(*[p.encode() for p in paths])
+    c_fracs = (ctypes.c_double * B)(*[float(s) for s in slice_fracs])
+    rc = lib.memev_load_batch_imgnet(
+        c_paths, c_fracs, B, cap, sx, sy, num_threads,
         events.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         nvalid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         maxxy.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

@@ -132,6 +132,234 @@ bool read_file(const char* path, std::vector<uint8_t>* out) {
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// minimal ZIP_STORED .npz column reader (N-ImageNet x/y/t/p samples)
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// dtype codes for 1-D npy columns
+enum ColCode {
+  kU1 = 1, kI1, kU2, kI2, kU4, kI4, kU8, kI8, kF4, kF8
+};
+
+struct NpzCol {
+  int64_t off = -1;   // payload offset in the file
+  int code = 0;
+  int64_t n = 0;
+};
+
+int dtype_code_from_header(const std::string& hdr) {
+  struct { const char* pat; int code; } table[] = {
+      {"'|u1'", kU1}, {"'|i1'", kI1}, {"'<u2'", kU2}, {"'<i2'", kI2},
+      {"'<u4'", kU4}, {"'<i4'", kI4}, {"'<u8'", kU8}, {"'<i8'", kI8},
+      {"'<f4'", kF4}, {"'<f8'", kF8}, {"'|b1'", kU1},
+  };
+  for (auto& t : table)
+    if (hdr.find(t.pat) != std::string::npos) return t.code;
+  return 0;
+}
+
+// parse a 1-D npy member at `base`; returns payload offset or -1
+int64_t parse_npy_1d(const uint8_t* buf, int64_t len, int64_t base,
+                     int* code, int64_t* n) {
+  if (base + 10 > len || std::memcmp(buf + base, "\x93NUMPY", 6) != 0)
+    return -1;
+  const int major = buf[base + 6];
+  int64_t hlen, hoff;
+  if (major == 1) {
+    uint16_t h;
+    std::memcpy(&h, buf + base + 8, 2);
+    hlen = h;
+    hoff = base + 10;
+  } else {
+    uint32_t h;
+    std::memcpy(&h, buf + base + 8, 4);
+    hlen = h;
+    hoff = base + 12;
+  }
+  if (hoff + hlen > len) return -1;
+  std::string hdr(reinterpret_cast<const char*>(buf + hoff), size_t(hlen));
+  if (hdr.find("'fortran_order': True") != std::string::npos) return -1;
+  *code = dtype_code_from_header(hdr);
+  if (*code == 0) return -1;
+  auto sp = hdr.find("'shape':");
+  if (sp == std::string::npos) return -1;
+  auto lp = hdr.find('(', sp);
+  long long rows = -1;
+  if (std::sscanf(hdr.c_str() + lp, "(%lld", &rows) != 1) return -1;
+  // must be 1-D: "(N,)" — reject "(N, M"
+  auto comma = hdr.find(',', lp);
+  auto rp = hdr.find(')', lp);
+  if (comma != std::string::npos && comma < rp) {
+    // 1-D tuples are "(N,)": the char after the comma is ')'
+    auto q = hdr.find_first_not_of(" ", comma + 1);
+    if (q == std::string::npos || hdr[q] != ')') return -1;
+  }
+  *n = rows;
+  return hoff + hlen;
+}
+
+int col_itemsize(int code) {
+  switch (code) {
+    case kU1: case kI1: return 1;
+    case kU2: case kI2: return 2;
+    case kU4: case kI4: case kF4: return 4;
+    default: return 8;
+  }
+}
+
+inline double col_get(const uint8_t* p, int code, int64_t i) {
+  switch (code) {
+    case kU1: return double(p[i]);
+    case kI1: return double(reinterpret_cast<const int8_t*>(p)[i]);
+    case kU2: { uint16_t v; std::memcpy(&v, p + 2 * i, 2); return double(v); }
+    case kI2: { int16_t v; std::memcpy(&v, p + 2 * i, 2); return double(v); }
+    case kU4: { uint32_t v; std::memcpy(&v, p + 4 * i, 4); return double(v); }
+    case kI4: { int32_t v; std::memcpy(&v, p + 4 * i, 4); return double(v); }
+    case kU8: { uint64_t v; std::memcpy(&v, p + 8 * i, 8); return double(v); }
+    case kI8: { int64_t v; std::memcpy(&v, p + 8 * i, 8); return double(v); }
+    case kF4: { float v; std::memcpy(&v, p + 4 * i, 4); return double(v); }
+    default:  { double v; std::memcpy(&v, p + 8 * i, 8); return v; }
+  }
+}
+
+// locate the x/y/t/p members of a ZIP_STORED npz; cols indexed x=0 y=1 t=2 p=3
+bool parse_npz_columns(const uint8_t* buf, int64_t len, NpzCol cols[4]) {
+  // EOCD: search the last 64KB + 22 for the signature
+  const uint32_t kEOCD = 0x06054b50, kCDE = 0x02014b50, kLFH = 0x04034b50;
+  int64_t eocd = -1;
+  const int64_t lo = len - 22 - 65535 > 0 ? len - 22 - 65535 : 0;
+  for (int64_t i = len - 22; i >= lo; --i) {
+    uint32_t sig;
+    std::memcpy(&sig, buf + i, 4);
+    if (sig == kEOCD) { eocd = i; break; }
+  }
+  if (eocd < 0) return false;
+  uint16_t nent;
+  uint32_t cdoff;
+  std::memcpy(&nent, buf + eocd + 10, 2);
+  std::memcpy(&cdoff, buf + eocd + 16, 4);
+  int64_t p = cdoff;
+  for (int e = 0; e < nent; ++e) {
+    if (p + 46 > len) return false;
+    uint32_t sig;
+    std::memcpy(&sig, buf + p, 4);
+    if (sig != kCDE) return false;
+    uint16_t method, nlen, elen, clen;
+    uint32_t lho;
+    std::memcpy(&method, buf + p + 10, 2);
+    std::memcpy(&nlen, buf + p + 28, 2);
+    std::memcpy(&elen, buf + p + 30, 2);
+    std::memcpy(&clen, buf + p + 32, 2);
+    std::memcpy(&lho, buf + p + 42, 4);
+    std::string name(reinterpret_cast<const char*>(buf + p + 46), nlen);
+    p += 46 + nlen + elen + clen;
+    int idx = -1;
+    if (name == "x.npy") idx = 0;
+    else if (name == "y.npy") idx = 1;
+    else if (name == "t.npy") idx = 2;
+    else if (name == "p.npy") idx = 3;
+    if (idx < 0) continue;
+    if (method != 0) return false;   // compressed: python fallback
+    // local header: its name/extra lengths may differ from the central ones
+    if (lho + 30 > uint32_t(len)) return false;
+    uint32_t lsig;
+    std::memcpy(&lsig, buf + lho, 4);
+    if (lsig != kLFH) return false;
+    uint16_t lnlen, lelen;
+    std::memcpy(&lnlen, buf + lho + 26, 2);
+    std::memcpy(&lelen, buf + lho + 28, 2);
+    const int64_t base = int64_t(lho) + 30 + lnlen + lelen;
+    int code;
+    int64_t n;
+    const int64_t doff = parse_npy_1d(buf, len, base, &code, &n);
+    if (doff < 0) return false;
+    cols[idx].off = doff;
+    cols[idx].code = code;
+    cols[idx].n = n;
+  }
+  for (int i = 0; i < 4; ++i)
+    if (cols[i].off < 0) return false;
+  return cols[0].n == cols[1].n && cols[0].n == cols[2].n &&
+         cols[0].n == cols[3].n;
+}
+
+}  // namespace
+
+// Load one N-ImageNet .npz (structured x/y/t/p columns, ZIP_STORED) into
+// float32 (cap, 4) rows [x*sx, y*sy, t, 2p-1], slicing the
+// SliceRandomMaxEvs window on the COLUMNS first. The x/y rescale multiplies
+// in double before the single float round — bit-identical to the python
+// path (data/pipeline.py columns fast path). Returns rows written or -1.
+int64_t memev_load_npz_imgnet(const char* path, double slice_frac,
+                              int64_t cap, double sx, double sy, float* out,
+                              int32_t* out_maxxy) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, &buf)) return -1;
+  NpzCol cols[4];
+  if (!parse_npz_columns(buf.data(), int64_t(buf.size()), cols)) return -1;
+  const int64_t rows = cols[0].n;
+  int64_t start = 0, take = rows;
+  if (rows > cap) {
+    start = int64_t(slice_frac * double(rows - cap + 1));
+    if (start < 0) start = 0;
+    if (start > rows - cap) start = rows - cap;
+    take = cap;
+  }
+  const uint8_t* xd = buf.data() + cols[0].off;
+  const uint8_t* yd = buf.data() + cols[1].off;
+  const uint8_t* td = buf.data() + cols[2].off;
+  const uint8_t* pd = buf.data() + cols[3].off;
+  float mx = -1.0f, my = -1.0f;
+  for (int64_t i = 0; i < take; ++i) {
+    const float x = float(col_get(xd, cols[0].code, start + i) * sx);
+    const float y = float(col_get(yd, cols[1].code, start + i) * sy);
+    out[i * 4 + 0] = x;
+    out[i * 4 + 1] = y;
+    out[i * 4 + 2] = float(col_get(td, cols[2].code, start + i));
+    out[i * 4 + 3] = float(2.0 * col_get(pd, cols[3].code, start + i) - 1.0);
+    if (x > mx) mx = x;
+    if (y > my) my = y;
+  }
+  for (int64_t i = take * 4; i < cap * 4; ++i) out[i] = 0.0f;
+  out_maxxy[0] = int32_t(mx) + 1;
+  out_maxxy[1] = int32_t(my) + 1;
+  return take;
+}
+
+int64_t memev_load_batch_imgnet(const char** paths, const double* slice_fracs,
+                                int64_t batch, int64_t cap, double sx,
+                                double sy, int64_t num_threads,
+                                float* out_events, int32_t* out_nvalid,
+                                int32_t* out_maxxy) {
+  std::atomic<int64_t> next(0), failed(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t i = next.fetch_add(1);
+      if (i >= batch) return;
+      const int64_t n = memev_load_npz_imgnet(
+          paths[i], slice_fracs[i], cap, sx, sy, out_events + i * cap * 4,
+          out_maxxy + i * 2);
+      if (n < 0) {
+        int64_t expect = 0;
+        failed.compare_exchange_strong(expect, i + 1);
+        out_nvalid[i] = 0;
+      } else {
+        out_nvalid[i] = int32_t(n);
+      }
+    }
+  };
+  if (num_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < num_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failed.load();
+}
+
 // Load one .npy event file into float32 (cap, 4) at out, applying
 // SliceRandomMaxEvs with the pre-sampled uniform fraction `slice_frac`
 // (start = floor(frac * (rows - cap + 1)) when rows > cap — identical

@@ -192,7 +192,7 @@ def main():
            STEP_MS, B)
     ni_sps, ni_bytes = measure_nimagenet_loader()
     report("N-ImageNet pretrain (.npz structured + ReshapeScaleXandY, "
-           "python path)", ni_sps, ni_bytes, STEP_MS, B)
+           "native column reader)", ni_sps, ni_bytes, STEP_MS, B)
     ds_sps, ds_bytes = measure_dsec_loader()
     report("DSEC seg (180k evs, y-presort, compact wire)", ds_sps, ds_bytes,
            SEG_STEP_MS, 16)

@@ -23,12 +23,21 @@ from mem_tpu.train.steps import make_finetune_train_step
 from scripts.trace_pretrain import analyze
 
 
-def build(B=128, N=30000, num_classes=101):
-    model = create_model(
-        "ft_vit", num_classes=num_classes, dtype=jnp.bfloat16,
-        init_values=0.1, use_shared_rel_pos_bias=True, drop_path_rate=0.1,
-        use_mean_pooling=True,
-    )
+def build(B=128, N=30000, num_classes=101, mae=False):
+    if mae:
+        # the --MAE 1 finetune model: timm-style global-pool ViT-B/16
+        # (models/mae_classifier.py, run_class_finetuning.py:43-82)
+        model = create_model(
+            "vit_base_patch16", num_classes=num_classes,
+            img_size=(224, 224), in_chans=3, drop_path_rate=0.1,
+            global_pool=True, dtype=jnp.bfloat16,
+        )
+    else:
+        model = create_model(
+            "ft_vit", num_classes=num_classes, dtype=jnp.bfloat16,
+            init_values=0.1, use_shared_rel_pos_bias=True,
+            drop_path_rate=0.1, use_mean_pooling=True,
+        )
     rng = np.random.default_rng(0)
     batch = {
         "events": rng.random((1, B, N, 4)).astype(np.float32) * [240, 180, 1e6, 1],
@@ -67,7 +76,7 @@ def main():
     kv = dict(a.split("=") for a in sys.argv[1:])
     B = int(kv.get("B", 128))
     nsteps = int(kv.get("steps", 3))
-    step, p, o, ema, jb = build(B)
+    step, p, o, ema, jb = build(B, mae=bool(int(kv.get("mae", 0))))
     p, o, ema, m = step(p, o, ema, jb, jax.random.key(2))
     float(m["loss"])
     p, o, ema, m = step(p, o, ema, jb, jax.random.key(3))

@@ -118,3 +118,102 @@ def test_native_xyp_matches_python_compact(tmp_path, rng):
     np.testing.assert_array_equal(e16[..., 0], e32[..., 0].astype(np.int16))
     np.testing.assert_array_equal(e16[..., 1], e32[..., 1].astype(np.int16))
     np.testing.assert_array_equal(e16[..., 2], e32[..., 3].astype(np.int16))
+
+
+def test_native_imgnet_npz_matches_python_columns(tmp_path, rng):
+    """memev_load_batch_imgnet == the python columns fast path, bit for bit:
+    slice window from the same frac, f64 rescale before the single f32
+    round, [x*sx, y*sy, t, 2p-1] rows, zero tail, maxxy extents."""
+    from mem_tpu import native
+    from mem_tpu.data.folder import imgnet_columns_loader
+
+    if not native.available():
+        pytest.skip("toolchain unavailable")
+    cap = 700
+    sx, sy = 256.0 / 480.0, 256.0 / 480.0
+    paths, fracs, want_ev, want_nv = [], [], [], []
+    for i in range(5):
+        n = int(rng.integers(300, 1500))
+        cols = {
+            "x": rng.integers(0, 640, n).astype("<u2"),
+            "y": rng.integers(0, 480, n).astype("<u2"),
+            "t": np.sort(rng.integers(0, 10**7, n)).astype("<i8"),
+            "p": rng.integers(0, 2, n).astype("u1"),
+        }
+        p = str(tmp_path / f"s{i}.npz")
+        np.savez(p, **cols)
+        paths.append(p)
+        frac = rng.random()
+        fracs.append(frac)
+        if n > cap:
+            start = int(frac * (n - cap + 1))
+            sl = slice(start, start + cap)
+            m = cap
+        else:
+            sl = slice(0, n)
+            m = n
+        ev = np.zeros((cap, 4), np.float32)
+        ev[:m, 0] = cols["x"][sl].astype(np.float64) * sx
+        ev[:m, 1] = cols["y"][sl].astype(np.float64) * sy
+        ev[:m, 2] = cols["t"][sl]
+        ev[:m, 3] = cols["p"][sl].astype(np.int8) * 2 - 1
+        want_ev.append(ev)
+        want_nv.append(m)
+
+    events, nvalid, maxxy = native.load_batch_imgnet(
+        paths, fracs, cap, scale_xy=(sx, sy), num_threads=2)
+    np.testing.assert_array_equal(events, np.stack(want_ev))
+    np.testing.assert_array_equal(nvalid, np.asarray(want_nv, np.int32))
+    for i, m in enumerate(want_nv):
+        assert maxxy[i, 0] == int(want_ev[i][:m, 0].max()) + 1
+        assert maxxy[i, 1] == int(want_ev[i][:m, 1].max()) + 1
+
+    # unscaled variant == raw integer coords cast once
+    ev2, _, _ = native.load_batch_imgnet(paths, fracs, cap, scale_xy=None)
+    lz = imgnet_columns_loader(paths[0])
+    np.testing.assert_array_equal(
+        ev2[0][: want_nv[0], 2], want_ev[0][: want_nv[0], 2])
+    assert lz.n >= want_nv[0]
+
+
+def test_native_imgnet_pipeline_batch_equals_python(tmp_path, rng):
+    """The full pipeline batch via the native imgnet path == the python
+    columns path when samples fit under the cap (the slice rng streams
+    intentionally differ above it, like the caltech native path)."""
+    from mem_tpu import native
+    from mem_tpu.data.folder import NpyFolder, imgnet_columns_loader
+    from mem_tpu.data.pipeline import EventBatchIterator, PipelineConfig
+
+    if not native.available():
+        pytest.skip("toolchain unavailable")
+    d = tmp_path / "nimagenet" / "train" / "c0"
+    d.mkdir(parents=True)
+    for i in range(4):
+        n = int(rng.integers(300, 900))
+        np.savez(d / f"s{i}.npz",
+                 x=rng.integers(0, 640, n).astype("<u2"),
+                 y=rng.integers(0, 480, n).astype("<u2"),
+                 t=np.sort(rng.integers(0, 10**6, n)).astype("<i8"),
+                 p=rng.integers(0, 2, n).astype("u1"))
+    ds = NpyFolder(str(tmp_path / "nimagenet" / "train"),
+                   loader=imgnet_columns_loader)
+    s = 256.0 / 480.0
+
+    def batch_for(use_native):
+        cfg = PipelineConfig(
+            batch_size=4, slice_max_evs=1000, is_train=True,
+            max_random_shift_evs=4, sample_hw_from_data=False,
+            canvas_h=256, canvas_w=342, fixed_hw=(256, 342), scale_xy=(s, s),
+            seed=9, num_workers=0, use_native=use_native)
+        it = EventBatchIterator(ds, cfg)
+        assert it._native_eligible() == use_native
+        return next(iter(it.epoch(0)))
+
+    a, b = batch_for(False), batch_for(True)
+    assert set(a) == set(b)
+    # the aug-randomness stream differs between the two paths by design
+    # (the native path pre-draws the slice frac unconditionally, like the
+    # caltech native loader); the DATA fields must agree exactly
+    for k in ("events", "n_valid", "label", "sample_h", "sample_w"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
