@@ -93,6 +93,9 @@ class SegPipelineConfig:
     # order-invariant and the seg raster has no time surface, so this is
     # semantically free (the downstream hflip acts on the IMAGE).
     presort_y: bool = True
+    # libmemev threaded crop+slice+counting-sort+int16-pack fast path
+    # (native/memev.cpp memev_load_batch_dsec); label PNGs stay on PIL
+    use_native: bool = True
 
 
 class SegBatchIterator:
@@ -143,11 +146,60 @@ class SegBatchIterator:
                 [hs / SEG_H, ws / SEG_W, oy, ox], np.float32)
         return item
 
+    def _native_eligible(self) -> bool:
+        cfg = self.cfg
+        if not (cfg.use_native and cfg.compact_wire and cfg.presort_y):
+            return False
+        from mem_tpu import native
+
+        return native.available()
+
+    def _load_batch_native(self, rngs, idxs) -> dict:
+        """Threaded C++ crop+slice+counting-sort+int16 pack (the event
+        work was ~60% of the measured python batch, docs/PERF.md round-4
+        host-ingest section); per-sample aug randomness stays host-drawn.
+        Like the classification native path, the slice rng stream differs
+        from the python path's (frac pre-drawn unconditionally) — both
+        deterministic under the (seed, iter, index) convention."""
+        from mem_tpu import native
+
+        cfg = self.cfg
+        paths = [self.pairs[int(i)][0] for i in idxs]
+        fracs = [r.random() for r in rngs]
+        events, n_valid = native.load_batch_dsec(
+            paths, fracs, cfg.max_evs, SEG_H,
+            num_threads=max(cfg.num_workers, 1))
+        labels = np.stack([load_seg_label(self.pairs[int(i)][1])
+                           for i in idxs]).astype(np.int32)
+        batch = {
+            "events_xyp": events,
+            "n_valid": n_valid,
+            "label": labels,
+            "flip": np.array([cfg.is_train and r.random() < cfg.flip_prob
+                              for r in rngs]),
+            "aug_seed": np.stack([
+                r.integers(0, 2**31 - 1, dtype=np.int64).astype(np.uint32)
+                for r in rngs]),
+        }
+        if cfg.is_train and cfg.ratio_range is not None:
+            jit = []
+            for r in rngs:
+                ratio = r.uniform(*cfg.ratio_range)
+                hs = int(SEG_H * ratio + 0.5)
+                ws = int(SEG_W * ratio + 0.5)
+                oy = int(r.integers(0, hs - SEG_H + 1))
+                ox = int(r.integers(0, ws - SEG_W + 1))
+                jit.append(np.array([hs / SEG_H, ws / SEG_W, oy, ox],
+                                    np.float32))
+            batch["resize_jitter"] = np.stack(jit)
+        return batch
+
     def batches(self, start_iter: int = 0) -> Iterator[dict]:
         cfg = self.cfg
         order_rng = np.random.default_rng(cfg.seed)
         order = []
         it = start_iter
+        native_ok = self._native_eligible()
         while True:
             while len(order) < cfg.batch_size:
                 idx = np.arange(len(self.pairs))
@@ -159,11 +211,19 @@ class SegBatchIterator:
             # would make sample augmentation depend on which process/slot
             # drew it, breaking process-count invariance (the multi-process
             # run must equal the single-process run, tests/test_multiprocess)
-            items = [
-                self._load_one(np.random.default_rng((cfg.seed, it, int(i))),
-                               int(i))
-                for i in take
-            ]
+            rngs = [np.random.default_rng((cfg.seed, it, int(i)))
+                    for i in take]
+            if native_ok:
+                try:
+                    yield self._load_batch_native(rngs, take)
+                    it += 1
+                    continue
+                except IOError:
+                    # corrupt/odd file: retry on the python path with FRESH
+                    # rng streams (the native attempt consumed draws)
+                    rngs = [np.random.default_rng((cfg.seed, it, int(i)))
+                            for i in take]
+            items = [self._load_one(r, int(i)) for r, i in zip(rngs, take)]
             yield self._collate(items)
             it += 1
 
@@ -176,12 +236,23 @@ class SegBatchIterator:
             # deterministic per SAMPLE, independent of shard/process layout.
             # 2**32 - 1 = an "epoch" sentinel train iteration counts never
             # reach (SeedSequence entries must be non-negative)
-            items = [self._load_one(
-                np.random.default_rng((cfg.seed, 2**32 - 1, int(j))), int(j))
-                for j in chunk]
-            n_real = len(items)
-            while len(items) < cfg.batch_size:
-                items.append(items[-1])
+            n_real = len(chunk)
+            # pad by duplicating the last index: its (seed, sentinel, idx)
+            # rng reproduces identical rows, matching the item-duplication
+            # of the python path
+            full = chunk + [chunk[-1]] * (cfg.batch_size - n_real)
+            rngs = [np.random.default_rng((cfg.seed, 2**32 - 1, int(j)))
+                    for j in full]
+            if self._native_eligible():
+                try:
+                    b = self._load_batch_native(rngs, full)
+                    b["n_real"] = np.int32(n_real)
+                    yield b
+                    continue
+                except IOError:
+                    rngs = [np.random.default_rng(
+                        (cfg.seed, 2**32 - 1, int(j))) for j in full]
+            items = [self._load_one(r, int(j)) for r, j in zip(rngs, full)]
             b = self._collate(items)
             b["n_real"] = np.int32(n_real)
             yield b

@@ -65,6 +65,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32)]
+    lib.memev_load_batch_dsec.restype = ctypes.c_int64
+    lib.memev_load_batch_dsec.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int32)]
     lib.memev_load_batch_imgnet.restype = ctypes.c_int64
     lib.memev_load_batch_imgnet.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_double),
@@ -157,6 +162,30 @@ def load_batch_imgnet(paths: Sequence[str], slice_fracs: Sequence[float],
     if rc != 0:
         raise IOError(f"libmemev: failed loading {paths[rc - 1]!r}")
     return events, nvalid, maxxy
+
+
+def load_batch_dsec(paths: Sequence[str], slice_fracs: Sequence[float],
+                    cap: int, seg_h: int = 440, num_threads: int = 4):
+    """Threaded DSEC seg batch assembly: y<seg_h crop + SliceRandomMaxEvs
+    over the kept rows + counting-sort by y (the host presort for the
+    row-tiled Pallas histogram), emitted directly as the int16 [x, y, 2p-1]
+    wire. Returns (events_xyp (B, cap, 3) int16, n_valid) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    B = len(paths)
+    events = np.empty((B, cap, 3), dtype=np.int16)
+    nvalid = np.zeros((B,), dtype=np.int32)
+    c_paths = (ctypes.c_char_p * B)(*[p.encode() for p in paths])
+    c_fracs = (ctypes.c_double * B)(*[float(s) for s in slice_fracs])
+    rc = lib.memev_load_batch_dsec(
+        c_paths, c_fracs, B, cap, seg_h, num_threads,
+        events.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        nvalid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise IOError(f"libmemev: failed loading {paths[rc - 1]!r}")
+    return events, nvalid
 
 
 def load_batch_xyp(paths: Sequence[str], slice_fracs: Sequence[float],

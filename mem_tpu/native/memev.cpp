@@ -449,6 +449,103 @@ int64_t memev_load_npy_sliced_xyp(const char* path, double slice_frac,
   return take;
 }
 
+// DSEC segmentation sample: (N, 4) npy [x, y, t, p{0,1}] -> int16 (cap, 3)
+// [x, y, 2p-1] with (1) y < seg_h crop, (2) SliceRandomMaxEvs window over
+// the KEPT rows, (3) counting-sort by y (the host presort feeding the
+// row-tiled Pallas histogram — order among equal y is unspecified on the
+// python path too: np.argsort is introsort; histogram counts are
+// order-invariant). Returns rows written or -1.
+int64_t memev_load_npy_dsec(const char* path, double slice_frac, int64_t cap,
+                            int64_t seg_h, int16_t* out) {
+  std::vector<uint8_t> buf;
+  if (!read_file(path, &buf)) return -1;
+  NpyInfo info;
+  if (!parse_npy_header(buf.data(), int64_t(buf.size()), &info)) return -1;
+  const uint8_t* data = buf.data() + info.data_off;
+  const int64_t rows = info.rows;
+
+  auto col = [&](int64_t r, int c) -> double {
+    if (info.itemsize == 8)
+      return reinterpret_cast<const double*>(data)[r * 4 + c];
+    return double(reinterpret_cast<const float*>(data)[r * 4 + c]);
+  };
+
+  // pass 1: kept count (y < seg_h crop)
+  int64_t n_keep = 0;
+  for (int64_t r = 0; r < rows; ++r)
+    if (col(r, 1) < double(seg_h)) ++n_keep;
+
+  int64_t start = 0, take = n_keep;
+  if (n_keep > cap) {
+    start = int64_t(slice_frac * double(n_keep - cap + 1));
+    if (start < 0) start = 0;
+    if (start > n_keep - cap) start = n_keep - cap;
+    take = cap;
+  }
+
+  // pass 2: y histogram over the kept window
+  std::vector<int32_t> hist(size_t(seg_h) + 1, 0);
+  int64_t k = 0;
+  for (int64_t r = 0; r < rows && k < start + take; ++r) {
+    const double y = col(r, 1);
+    if (y >= double(seg_h)) continue;
+    if (k >= start) ++hist[size_t(int64_t(y))];
+    ++k;
+  }
+  int32_t acc = 0;
+  for (auto& h : hist) {
+    const int32_t c = h;
+    h = acc;
+    acc += c;
+  }
+
+  // pass 3: scatter sorted rows
+  k = 0;
+  for (int64_t r = 0; r < rows && k < start + take; ++r) {
+    const double y = col(r, 1);
+    if (y >= double(seg_h)) continue;
+    if (k >= start) {
+      const int64_t pos = hist[size_t(int64_t(y))]++;
+      out[pos * 3 + 0] = int16_t(float(col(r, 0)));
+      out[pos * 3 + 1] = int16_t(float(y));
+      out[pos * 3 + 2] = int16_t(2.0 * col(r, 3) - 1.0);
+    }
+    ++k;
+  }
+  std::memset(out + take * 3, 0, size_t(cap - take) * 3 * sizeof(int16_t));
+  return take;
+}
+
+int64_t memev_load_batch_dsec(const char** paths, const double* slice_fracs,
+                              int64_t batch, int64_t cap, int64_t seg_h,
+                              int64_t num_threads, int16_t* out_events,
+                              int32_t* out_nvalid) {
+  std::atomic<int64_t> next(0), failed(0);
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t i = next.fetch_add(1);
+      if (i >= batch) return;
+      const int64_t n = memev_load_npy_dsec(
+          paths[i], slice_fracs[i], cap, seg_h, out_events + i * cap * 3);
+      if (n < 0) {
+        int64_t expect = 0;
+        failed.compare_exchange_strong(expect, i + 1);
+        out_nvalid[i] = 0;
+      } else {
+        out_nvalid[i] = int32_t(n);
+      }
+    }
+  };
+  if (num_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    for (int64_t t = 0; t < num_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+  return failed.load();
+}
+
 int64_t memev_load_batch_xyp(const char** paths, const double* slice_fracs,
                              int64_t batch, int64_t cap, int64_t num_threads,
                              int16_t* out_events, int32_t* out_nvalid,

@@ -194,8 +194,8 @@ def main():
     report("N-ImageNet pretrain (.npz structured + ReshapeScaleXandY, "
            "native column reader)", ni_sps, ni_bytes, STEP_MS, B)
     ds_sps, ds_bytes = measure_dsec_loader()
-    report("DSEC seg (180k evs, y-presort, compact wire)", ds_sps, ds_bytes,
-           SEG_STEP_MS, 16)
+    report("DSEC seg (180k evs, native crop+slice+counting-sort, "
+           "compact wire)", ds_sps, ds_bytes, SEG_STEP_MS, 16)
 
 
 if __name__ == "__main__":

@@ -588,3 +588,42 @@ def test_seg_pretrained_pt21k_refused():
     with pytest.raises(SystemExit, match="PT21k"):
         main(["--data_root", "/nonexistent", "--pretrained", "PT21k",
               *SEG_TINY])
+
+
+def test_seg_native_loader_matches_python(synth_seg_dataset):
+    """memev_load_batch_dsec == the python seg loader as a row MULTISET per
+    sample (both sort by y; order among equal y is unspecified on both
+    paths — np.argsort introsort vs C counting sort): same crop, slice
+    window, polarity remap, int16 wire, label decode, n_valid."""
+    from mem_tpu import native
+    from mem_tpu.data.seg_pipeline import (SegBatchIterator,
+                                           SegPipelineConfig, scan_seg_pairs)
+
+    if not native.available():
+        pytest.skip("toolchain unavailable")
+    pairs = scan_seg_pairs(synth_seg_dataset, "imgs/train", "anns/train")
+
+    def batch_for(use_native, cap):
+        cfg = SegPipelineConfig(batch_size=4, num_workers=0, seed=7,
+                                max_evs=cap, use_native=use_native)
+        it = SegBatchIterator(pairs, cfg)
+        assert it._native_eligible() == use_native
+        return next(it.batches(start_iter=0))
+
+    for cap in (100000, 1500):   # under-cap and slicing regimes
+        a, b = batch_for(False, cap), batch_for(True, cap)
+        assert set(a) == set(b)
+        np.testing.assert_array_equal(a["n_valid"], b["n_valid"])
+        np.testing.assert_array_equal(a["label"], b["label"])
+        for i in range(4):
+            m = int(a["n_valid"][i])
+            ra = a["events_xyp"][i][:m]
+            rb = b["events_xyp"][i][:m]
+            if cap >= 100000:  # no slicing: windows identical -> multiset
+                key = lambda e: np.lexsort((e[:, 2], e[:, 0], e[:, 1]))
+                np.testing.assert_array_equal(ra[key(ra)], rb[key(rb)])
+            # y-sorted on both paths either way
+            assert (np.diff(ra[:, 1].astype(np.int32)) >= 0).all()
+            assert (np.diff(rb[:, 1].astype(np.int32)) >= 0).all()
+            np.testing.assert_array_equal(a["events_xyp"][i][m:],
+                                          b["events_xyp"][i][m:])
