@@ -6,6 +6,8 @@ from __future__ import annotations
 import os
 from typing import Optional, Tuple
 
+import numpy as np
+
 from mem_tpu.data.device_pipeline import PreprocConfig
 from mem_tpu.data.folder import NpyFolder, loader_for_path, resolve_split_root
 from mem_tpu.data.pipeline import EventBatchIterator, PipelineConfig
@@ -25,6 +27,26 @@ def detect_dataset(data_path: str) -> str:
     return "ncaltech101"
 
 
+def _exact_scale_plan(num: int, den: int,
+                      extent: int) -> Optional[Tuple[int, int, int]]:
+    """(num, den, extent) for the on-device ReshapeScaleXandY of the
+    compact wire (device_pipeline.events_f32), or None when the raw
+    coordinate range is too large to table.
+
+    Exactness history, for the record: TPU f32 divide is reciprocal-based
+    (x*n/d measured 1 ulp off for 20-62% of exact-numerator quotients),
+    and every multiply/add decomposition tried (x = d*h + l with a
+    reciprocal, r*-searched reciprocals, exact remainder LUT + one add)
+    double-rounds on a measurable subset of coordinates. events_f32
+    therefore LOOKS UP the host-exact per-coordinate f32 table via the
+    radix-split one-hot bilinear form — exact by construction for any
+    (num, den), so the only gate left is the table size."""
+    num, den, extent = int(num), int(den), int(extent)
+    if extent > 1024:
+        return None
+    return num, den, extent
+
+
 def build_preproc(args, is_train: bool, color_jitter: float = 0.0) -> PreprocConfig:
     # match build_pipeline: the val split's quirks follow --eval_data_path
     # when that override is set
@@ -32,6 +54,7 @@ def build_preproc(args, is_train: bool, color_jitter: float = 0.0) -> PreprocCon
     if not is_train and getattr(args, "eval_data_path", None):
         src = args.eval_data_path
     ds = detect_dataset(src)
+    scale_rat = None   # on-device ReshapeScaleXandY for the compact wire
     if ds == "dsec":
         canvas = (440, 640)
         resize, crop = True, False
@@ -39,8 +62,14 @@ def build_preproc(args, is_train: bool, color_jitter: float = 0.0) -> PreprocCon
         if is_train:
             # ReshapeScaleXandY train: short-side-256 scale of 480x640
             canvas = (256, 342)
+            scale_rat = (_exact_scale_plan(256, 480, 640),
+                         _exact_scale_plan(256, 480, 480))
         else:
             canvas = (args.input_H, args.input_W)
+            scale_rat = (_exact_scale_plan(args.input_W, 640, 640),
+                         _exact_scale_plan(args.input_H, 480, 480))
+        if None in scale_rat:
+            scale_rat = None   # build_pipeline falls back to the f32 wire
         resize, crop = False, is_train
     elif ds == "ncars":
         # N-Cars recordings are ~100x120 crops; a 128^2 canvas quarters the
@@ -67,6 +96,7 @@ def build_preproc(args, is_train: bool, color_jitter: float = 0.0) -> PreprocCon
         rand_aug=bool(args.rand_aug) and is_train,
         rand_aug_batch_ops=bool(getattr(args, "rand_aug_batch_ops", 0)),
         color_jitter=color_jitter if is_train else 0.0,
+        scale_xy_rational=scale_rat,
     )
 
 
@@ -105,6 +135,7 @@ def build_pipeline(
     scale_xy = None
     fixed_hw = None
     sample_hw_from_data = True
+    can_defer_scale = True   # raw int16 wire + on-device exact scale
     canvas = (128, 128) if ds == "ncars" else (256, 256)
     if ds == "nimagenet":
         sample_hw_from_data = False
@@ -113,10 +144,16 @@ def build_pipeline(
             scale_xy = (s, s)
             fixed_hw = (256, 342)
             canvas = (256, 342)
+            can_defer_scale = (
+                _exact_scale_plan(256, 480, 640) is not None
+                and _exact_scale_plan(256, 480, 480) is not None)
         else:
             scale_xy = (args.input_W / 640.0, args.input_H / 480.0)
             fixed_hw = (args.input_H, args.input_W)
             canvas = (args.input_H, args.input_W)
+            can_defer_scale = (
+                _exact_scale_plan(args.input_W, 640, 640) is not None
+                and _exact_scale_plan(args.input_H, 480, 480) is not None)
     elif ds == "dsec":
         sample_hw_from_data = False
         fixed_hw = (440, 640)
@@ -145,11 +182,14 @@ def build_pipeline(
         shard_id=shard_id,
         num_shards=num_shards,
         # compact int16 wire format when the t column is dead (time surface
-        # off) and coords are integral — 2.7x less host->device traffic
+        # off) — 2.7x less host->device traffic. With scale_xy (nimagenet)
+        # the wire carries raw coords and build_preproc's scale_xy_rational
+        # applies ReshapeScaleXandY on-device (bit-identical,
+        # _exact_scale_plan-gated; exotic eval sizes fall back to f32)
         compact_wire=(
             bool(getattr(args, "compact_wire", 1))
             and not bool(getattr(args, "timesurface", 0))
-            and scale_xy is None
+            and (scale_xy is None or can_defer_scale)
         ),
         profile=bool(getattr(args, "loader_profile", 0)),
     )

@@ -21,6 +21,9 @@ datasets.py:34-38) — so this returns ONE image used for both.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -49,9 +52,17 @@ class PreprocConfig:
     rand_aug_batch_ops: bool = False  # batch-level op choice (speed mode)
     color_jitter: float = 0.0    # pretraining only (DataAugmentationForPT)
     wrap_uint8: bool = True
+    # On-device ReshapeScaleXandY for the compact int16 wire (N-ImageNet):
+    # ((num_x, den_x, extent_x), (num_y, den_y, extent_y)) from
+    # cli/common._exact_scale_plan. events_f32 reproduces the host's
+    # f64-multiply-then-single-f32-round BIT-EXACTLY by tabling the scaled
+    # value per raw coordinate (TPU f32 divide is not correctly rounded —
+    # see there). Applied only to the raw-coordinate ``events_xyp`` wire;
+    # the f32 ``events`` wire arrives already scaled.
+    scale_xy_rational: Optional[tuple] = None
 
 
-def events_f32(batch: dict) -> jnp.ndarray:
+def events_f32(batch: dict, scale_xy_rational=None) -> jnp.ndarray:
     """(B, N, 4) f32 events from either wire format.
 
     ``events_xyp`` is the compact int16 (B, N, 3) [x, y, p] format the host
@@ -59,19 +70,63 @@ def events_f32(batch: dict) -> jnp.ndarray:
     the classification default): 6 B/event instead of 16. The t column is
     reconstructed as zeros; nothing downstream reads it in this mode (the
     time-flip remap only feeds the time surface; its polarity negation uses
-    the p column)."""
+    the p column).
+
+    ``scale_xy_rational`` (((num, den, extent) per axis,
+    cli/common._exact_scale_plan) moves ReshapeScaleXandY (reference
+    transforms.py ReshapeScaleXandY; N-ImageNet path) on-device so the
+    wire can stay raw int16, via an exact per-coordinate table that is
+    bit-identical to the host path's f64 multiply + single f32 round
+    (exhaustive test, tests/test_imagenet_path.py)."""
     if "events" in batch:
         return batch["events"]
-    e = batch["events_xyp"].astype(jnp.float32)
-    z = jnp.zeros_like(e[..., :1])
-    return jnp.concatenate([e[..., 0:1], e[..., 1:2], z, e[..., 2:3]], axis=-1)
+    e = batch["events_xyp"]
+    if scale_xy_rational is not None:
+        # No f32 arithmetic can reproduce round_f32(x*num/den) on TPU:
+        # the divide is reciprocal-based (1 ulp off for 20-62% of exact-
+        # numerator quotients, scripts/exp_rational_scale.py) and every
+        # multiply/add decomposition double-rounds on a measurable subset
+        # of coordinates (x = d*h + l quotient/remainder forms: 8-9 of
+        # 640 flip — cli/common._exact_scale_plan history). So the scaled
+        # value is LOOKED UP, not computed: a host-built f32 table of the
+        # exact per-coordinate results, selected by the radix-split
+        # bilinear one-hot contraction of the radix-16 equalize kernel
+        # (ops/rand_augment._equalize) — every term is 0 or one exact
+        # table entry, so f32 accumulation is exact regardless of order
+        # or fma contraction. Gathers would serialize on TPU; the two
+        # one-hot einsums ride the MXU/VPU.
+        def scale(v_int, num, den, extent):
+            lut = (np.arange(extent, dtype=np.float64)
+                   * (float(num) / float(den))).astype(np.float32)
+            nhi = -(-extent // 32)
+            lutm = np.zeros((nhi, 32), np.float32)
+            lutm.flat[:extent] = lut            # row-major: v = 32*hi + lo
+            hi, lo = v_int // 32, v_int % 32
+            hi1 = (hi[..., None] == jnp.arange(nhi)).astype(jnp.float32)
+            lo1 = (lo[..., None] == jnp.arange(32)).astype(jnp.float32)
+            # HIGHEST keeps f32 operands f32 (the default single-pass
+            # bf16 matmul would round the table entries); with exact
+            # bf16-splittable one-hots the contraction stays bit-exact
+            return jnp.einsum("...h,hl,...l->...", hi1, lutm, lo1,
+                              precision=jax.lax.Precision.HIGHEST)
+
+        (px, py) = scale_xy_rational
+        xi = e[..., 0].astype(jnp.int32)
+        yi = e[..., 1].astype(jnp.int32)
+        x, y = scale(xi, *px)[..., None], scale(yi, *py)[..., None]
+    else:
+        x = e[..., 0:1].astype(jnp.float32)
+        y = e[..., 1:2].astype(jnp.float32)
+    z = jnp.zeros_like(x)
+    return jnp.concatenate(
+        [x, y, z, e[..., 2:3].astype(jnp.float32)], axis=-1)
 
 
 def preprocess_batch(batch: dict, cfg: PreprocConfig, is_train: bool) -> jnp.ndarray:
     """batch: dict from mem_tpu.data.pipeline (events, n_valid, aug params).
     Returns (B, input_h, input_w, 3) float32 in [0, 1]."""
     img = voxelize_fused(
-        events_f32(batch),
+        events_f32(batch, cfg.scale_xy_rational),
         batch["n_valid"],
         cfg.canvas_h,
         cfg.canvas_w,

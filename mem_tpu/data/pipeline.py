@@ -59,8 +59,12 @@ class PipelineConfig:
     use_native: bool = True   # libmemev threaded batch loader when eligible
     # compact wire format: ship events as (B, N, 3) int16 [x, y, p]
     # ("events_xyp") instead of (B, N, 4) f32 — 2.7x less host->device
-    # traffic. Only valid when the t column is dead (time surface off) and
-    # coordinates are integral (no scale_xy); cli/common gates it.
+    # traffic. Only valid when the t column is dead (time surface off);
+    # cli/common gates it. With scale_xy set (N-ImageNet) the wire carries
+    # the RAW integer sensor coords and ReshapeScaleXandY moves on-device
+    # (PreprocConfig.scale_xy_rational) — bit-identical results, see
+    # device_pipeline.events_f32. Requires fixed_hw (sample extents must
+    # not be inferred from the unscaled coords).
     compact_wire: bool = False
     # multi-host sharding
     shard_id: int = 0
@@ -77,6 +81,14 @@ class EventBatchIterator:
     def __init__(self, dataset: NpyFolder, config: PipelineConfig):
         self.ds = dataset
         self.cfg = config
+        # compact + scale_xy: ship raw integer coords, scale on-device
+        # (device_pipeline.events_f32 scale_xy_rational — bit-identical)
+        self._defer_scale = (config.compact_wire
+                             and config.scale_xy is not None)
+        if self._defer_scale and config.fixed_hw is None:
+            raise ValueError(
+                "compact_wire with scale_xy requires fixed_hw: sample "
+                "extents cannot be inferred from the unscaled coordinates")
         self.mask_gen = None
         self._mask_pool = None
         if config.masking:
@@ -150,7 +162,7 @@ class EventBatchIterator:
             ev = np.empty((n, 4), np.float32)
             xs = col("x").astype(np.float64)
             ys = col("y").astype(np.float64)
-            if cfg.scale_xy is not None:
+            if cfg.scale_xy is not None and not self._defer_scale:
                 xs *= cfg.scale_xy[0]
                 ys *= cfg.scale_xy[1]
             ev[:, 0] = xs
@@ -163,7 +175,7 @@ class EventBatchIterator:
             if events.ndim != 2 or events.shape[1] != 4:
                 events = events.reshape(-1, 4)
 
-            if cfg.scale_xy is not None:
+            if cfg.scale_xy is not None and not self._defer_scale:
                 events = events.copy()
                 events[:, 0] *= cfg.scale_xy[0]
                 events[:, 1] *= cfg.scale_xy[1]
@@ -288,9 +300,12 @@ class EventBatchIterator:
         from mem_tpu.data.folder import imgnet_columns_loader
 
         if self.ds.loader is imgnet_columns_loader:
-            # N-ImageNet .npz: slice-first column reads + in-loop rescale
+            # N-ImageNet .npz: slice-first column reads + in-loop rescale;
+            # deferred (on-device) scale ships the raw coords and
+            # _maybe_compact packs them into the int16 wire
             events, n_valid, maxxy = native.load_batch_imgnet(
-                paths, fracs, cfg.slice_max_evs, scale_xy=cfg.scale_xy,
+                paths, fracs, cfg.slice_max_evs,
+                scale_xy=None if self._defer_scale else cfg.scale_xy,
                 num_threads=max(cfg.num_workers, 1),
             )
             events_key = "events"

@@ -66,7 +66,7 @@ def measure_staging():
 
 
 def measure_nimagenet_loader(tmp="/tmp/host_feed_nimagenet", B_=128,
-                             nbatches=4):
+                             nbatches=4, compact=False):
     """N-ImageNet-shaped ingest (round-4 verdict #6): structured .npz
     records (imgnet_npy_loader: field decode + vstack.T), ReshapeScaleXandY
     as the scale_xy column multiply, slice to 30k — the python path (the
@@ -96,7 +96,7 @@ def measure_nimagenet_loader(tmp="/tmp/host_feed_nimagenet", B_=128,
         canvas_h=256, canvas_w=342, fixed_hw=(256, 342), scale_xy=(s, s),
         masking="block", window_size=(14, 14), num_mask_patches=98,
         min_mask_patches_per_block=16, mask_pool_size=4096,
-        num_workers=0, seed=0,
+        num_workers=0, seed=0, compact_wire=compact,
     )
     it = EventBatchIterator(ds, cfg)
 
@@ -193,6 +193,9 @@ def main():
     ni_sps, ni_bytes = measure_nimagenet_loader()
     report("N-ImageNet pretrain (.npz structured + ReshapeScaleXandY, "
            "native column reader)", ni_sps, ni_bytes, STEP_MS, B)
+    nc_sps, nc_bytes = measure_nimagenet_loader(compact=True)
+    report("N-ImageNet pretrain (compact int16 wire, on-device "
+           "ReshapeScaleXandY)", nc_sps, nc_bytes, STEP_MS, B)
     ds_sps, ds_bytes = measure_dsec_loader()
     report("DSEC seg (180k evs, native crop+slice+counting-sort, "
            "compact wire)", ds_sps, ds_bytes, SEG_STEP_MS, 16)

@@ -43,6 +43,9 @@ def test_imagenet_loader_and_scaling(imagenet_ds, rng):
     from mem_tpu.data.device_pipeline import preprocess_batch
 
     args = _args(imagenet_ds)
+    # this test pins the host-scaled f32 wire (the compact int16 wire +
+    # on-device scale is covered by test_compact_wire_on_device_scale_*)
+    args.compact_wire = 0
     assert detect_dataset(imagenet_ds) == "nimagenet"
 
     ds, it = build_pipeline(args, "train", True, batch_size=4, num_workers=0)
@@ -181,3 +184,65 @@ def test_eval_data_path_uses_val_splits_own_quirks(tmp_path):
     # the loaders differ too (polarity/column quirks per dataset)
     assert loader_for_path(args.data_path) is not loader_for_path(
         args.eval_data_path)
+
+
+def test_on_device_rational_scale_exhaustive():
+    """The compact wire's on-device ReshapeScaleXandY (events_f32
+    quotient/remainder form, gated by _exact_scale_plan) is BIT-IDENTICAL
+    to the host path's f64 multiply + single f32 round (pipeline._load_one
+    / native memev_load_batch_imgnet) for EVERY raw sensor coordinate, at
+    the train scale (256/480, datasets.py:617) and eval scales including
+    irreducible ones (341/640). A direct f32 division would NOT be (TPU's
+    divide is reciprocal-based, 1 ulp off for 20-62% of quotients —
+    scripts/exp_rational_scale.py), nor would any quotient/remainder
+    arithmetic (double rounding); hence the exact per-coordinate table."""
+    from mem_tpu.cli.common import _exact_scale_plan
+    from mem_tpu.data.device_pipeline import events_f32
+
+    for num, den, extent in [(256, 480, 640), (256, 480, 480),
+                             (224, 640, 640), (224, 480, 480),
+                             (112, 640, 640), (320, 480, 480),
+                             (341, 640, 640), (333, 480, 480),
+                             (500, 480, 480), (448, 640, 640)]:
+        plan = _exact_scale_plan(num, den, extent)
+        assert plan is not None, f"standard scale {num}/{den} refused"
+        raw = np.arange(extent, dtype=np.int16)
+        host = (raw.astype(np.float64) * (float(num) / float(den))
+                ).astype(np.float32)
+        batch = {"events_xyp": np.stack(
+            [raw, raw * 0, np.ones_like(raw)], -1)[None]}
+        dev = np.asarray(jax.jit(
+            lambda b: events_f32(b, (plan, plan)))(batch))[0, :, 0]
+        np.testing.assert_array_equal(host, dev,
+                                      err_msg=f"scale {num}/{den}")
+
+
+def test_compact_wire_on_device_scale_bit_exact(imagenet_ds):
+    """N-ImageNet with --compact_wire: the raw-int16 wire + on-device
+    rational scale yields BIT-IDENTICAL preprocessed images to the
+    host-scaled f32 wire, train (random-crop + RandAugment, shared
+    aug_seed streams — deferring the scale consumes no host rng draws)
+    and eval, through the full jitted preprocess chain."""
+    from mem_tpu.cli.common import build_pipeline, build_preproc
+    from mem_tpu.data.device_pipeline import preprocess_batch
+
+    args = _args(imagenet_ds)
+    args.rand_aug = 1
+    for is_train, split in ((True, "train"), (False, "val")):
+        pp = build_preproc(args, is_train)
+        assert pp.scale_xy_rational is not None
+        imgs = {}
+        for cw in (0, 1):
+            args.compact_wire = cw
+            _, it = build_pipeline(args, split, is_train, 4, num_workers=0)
+            assert it.cfg.compact_wire == bool(cw)
+            b = next(iter(it.epoch(0)))
+            assert ("events_xyp" in b) == bool(cw)
+            if cw:
+                assert b["events_xyp"].dtype == np.int16
+                # the wire really is raw: coords exceed the scaled canvas
+                assert int(b["events_xyp"][..., 0].max()) > 342
+            jb = {k: jnp.asarray(v) for k, v in b.items()}
+            imgs[cw] = np.asarray(
+                jax.jit(lambda bb: preprocess_batch(bb, pp, is_train))(jb))
+        np.testing.assert_array_equal(imgs[0], imgs[1])

@@ -217,3 +217,48 @@ def test_native_imgnet_pipeline_batch_equals_python(tmp_path, rng):
     for k in ("events", "n_valid", "label", "sample_h", "sample_w"):
         np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
                                       err_msg=k)
+
+
+def test_native_imgnet_compact_wire_equals_python(tmp_path, rng):
+    """N-ImageNet compact mode (raw int16 wire, scale deferred on-device):
+    the native .npz reader called WITHOUT the in-loop rescale + the int16
+    pack must equal the python deferred path bit for bit (under-cap, so
+    the slice rng streams don't diverge)."""
+    from mem_tpu import native
+    from mem_tpu.data.folder import NpyFolder, imgnet_columns_loader
+    from mem_tpu.data.pipeline import EventBatchIterator, PipelineConfig
+
+    if not native.available():
+        pytest.skip("toolchain unavailable")
+    d = tmp_path / "nimagenet" / "train" / "c0"
+    d.mkdir(parents=True)
+    for i in range(4):
+        n = int(rng.integers(300, 900))
+        np.savez(d / f"s{i}.npz",
+                 x=rng.integers(0, 640, n).astype("<u2"),
+                 y=rng.integers(0, 480, n).astype("<u2"),
+                 t=np.sort(rng.integers(0, 10**6, n)).astype("<i8"),
+                 p=rng.integers(0, 2, n).astype("u1"))
+    ds = NpyFolder(str(tmp_path / "nimagenet" / "train"),
+                   loader=imgnet_columns_loader)
+    s = 256.0 / 480.0
+
+    def batch_for(use_native):
+        cfg = PipelineConfig(
+            batch_size=4, slice_max_evs=1000, is_train=True,
+            max_random_shift_evs=4, sample_hw_from_data=False,
+            canvas_h=256, canvas_w=342, fixed_hw=(256, 342), scale_xy=(s, s),
+            seed=9, num_workers=0, use_native=use_native, compact_wire=True)
+        it = EventBatchIterator(ds, cfg)
+        assert it._defer_scale
+        assert it._native_eligible() == use_native
+        return next(iter(it.epoch(0)))
+
+    a, b = batch_for(False), batch_for(True)
+    assert set(a) == set(b)
+    assert a["events_xyp"].dtype == b["events_xyp"].dtype == np.int16
+    # raw coords on the wire (unscaled)
+    assert int(b["events_xyp"][..., 0].max()) > 342
+    for k in ("events_xyp", "n_valid", "label", "sample_h", "sample_w"):
+        np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]),
+                                      err_msg=k)
