@@ -40,7 +40,13 @@ def _exact_scale_plan(num: int, den: int,
     double-rounds on a measurable subset of coordinates. events_f32
     therefore LOOKS UP the host-exact per-coordinate f32 table via the
     radix-split one-hot bilinear form — exact by construction for any
-    (num, den), so the only gate left is the table size."""
+    (num, den), so the only gate left is the table size.
+
+    ``extent`` is the RAW sensor coordinate range (640/480 for N-ImageNet,
+    the only dataset with a scale), never the model input size — so for
+    every current config this returns a plan; the None branch (and the f32
+    fallbacks downstream of it) is defensive future-proofing for a sensor
+    with a coordinate range too large to table."""
     num, den, extent = int(num), int(den), int(extent)
     if extent > 1024:
         return None
@@ -184,8 +190,9 @@ def build_pipeline(
         # compact int16 wire format when the t column is dead (time surface
         # off) — 2.7x less host->device traffic. With scale_xy (nimagenet)
         # the wire carries raw coords and build_preproc's scale_xy_rational
-        # applies ReshapeScaleXandY on-device (bit-identical,
-        # _exact_scale_plan-gated; exotic eval sizes fall back to f32)
+        # applies ReshapeScaleXandY on-device (bit-identical; the
+        # _exact_scale_plan gate always passes at the 640/480 sensor
+        # extents — its f32 fallback only exists for larger future sensors)
         compact_wire=(
             bool(getattr(args, "compact_wire", 1))
             and not bool(getattr(args, "timesurface", 0))

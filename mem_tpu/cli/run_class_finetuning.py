@@ -346,7 +346,7 @@ def main(argv=None):
             else:
                 src = {"params": load_checkpoint(args.finetune)["params"]["params"]}
             print(f"Load MAE PT checkpoint from: {args.finetune}")
-            params = surgery_for_mae_finetune(src, params)
+            params = surgery_for_mae_finetune(src, params, grid=window)
     elif args.finetune:
         from mem_tpu.utils.surgery import surgery_for_finetune
 
@@ -471,11 +471,10 @@ def main(argv=None):
         # run in --output_dir needs the TRAINED params, not the init (the
         # reference's eval path equally goes through auto_load_model).
         # A --finetune checkpoint still wins when output_dir holds no
-        # checkpoint (auto_resume returns None then).
-        from mem_tpu.utils.checkpoint import latest_checkpoint
-
-        payload, resumed_epoch = auto_resume(
-            args.output_dir, resume_template(latest_checkpoint(args.output_dir)))
+        # checkpoint (auto_resume returns None then). resume_template is
+        # passed as a callable so the EMA probe and the restore resolve the
+        # SAME checkpoint (no double directory scan).
+        payload, resumed_epoch = auto_resume(args.output_dir, resume_template)
         if payload is not None:
             start_epoch = resumed_epoch
     if payload is not None:

@@ -148,7 +148,14 @@ class EventBatchIterator:
             # (imgnet_npy_loader); the rng draw order is unchanged.
             cols = events
             lazy = hasattr(cols, "column")   # LazyNpzColumns byte-range IO
-            n = cols.n if lazy else cols["x"].shape[0]
+            if lazy:
+                n = cols.n
+                xfull = None
+            else:
+                # read x once: np.load NpzFile __getitem__ inflates the whole
+                # member per access, so len-probe + slice must share one read
+                xfull = cols["x"]
+                n = xfull.shape[0]
             if n > cap:
                 start = int(rng.integers(0, n - cap + 1))
                 sl = slice(start, start + cap)
@@ -157,7 +164,9 @@ class EventBatchIterator:
                 sl = slice(0, n)
 
             def col(name):
-                return cols.column(name, sl) if lazy else cols[name][sl]
+                if lazy:
+                    return cols.column(name, sl)
+                return (xfull if name == "x" else cols[name])[sl]
 
             ev = np.empty((n, 4), np.float32)
             xs = col("x").astype(np.float64)
@@ -327,8 +336,12 @@ class EventBatchIterator:
             sh = np.full((B,), cfg.fixed_hw[0], np.int32)
             sw = np.full((B,), cfg.fixed_hw[1], np.int32)
         elif cfg.sample_hw_from_data:
-            sw = np.minimum(maxxy[:, 0], cfg.canvas_w).astype(np.int32)
-            sh = np.minimum(maxxy[:, 1], cfg.canvas_h).astype(np.int32)
+            # empty samples report maxxy == 0; fall back to the canvas
+            # extent like _load_one's `n > 0` guard
+            sw = np.where(n_valid > 0, np.minimum(maxxy[:, 0], cfg.canvas_w),
+                          cfg.canvas_w).astype(np.int32)
+            sh = np.where(n_valid > 0, np.minimum(maxxy[:, 1], cfg.canvas_h),
+                          cfg.canvas_h).astype(np.int32)
         else:
             sh = np.full((B,), cfg.canvas_h, np.int32)
             sw = np.full((B,), cfg.canvas_w, np.int32)

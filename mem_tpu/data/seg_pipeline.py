@@ -111,12 +111,18 @@ class SegBatchIterator:
 
     def _load_one(self, rng: np.random.Generator, index: int) -> dict:
         img_path, ann_path = self.pairs[index]
-        # crop/slice BEFORE the dtype convert + polarity remap so those
-        # passes touch only the kept <=180k rows (elementwise ops commute
-        # with row selection — bit-identical, ~2x less loader work; the
-        # round-4 host-feed stress rows showed this path loader-bound)
+        # crop/slice BEFORE the full dtype convert + polarity remap so those
+        # passes touch only the kept <=180k rows (~2x less loader work; the
+        # round-4 host-feed stress rows showed this path loader-bound). The
+        # crop compares the f32-ROUNDED y (one cheap column cast) so a f64
+        # y in (440-ulp, 440) cannot round up into an out-of-range raster
+        # row after the convert, and rejects negative/NaN y (corrupt data)
+        # instead of letting it reach the device kernel — same predicate as
+        # the native loader (memev.cpp memev_load_npy_dsec); deviation from
+        # the reference's bare `y < 440` (dataset_folder.py:275-283).
         raw = np.load(img_path)
-        raw = raw[raw[:, 1] < SEG_H]
+        y32 = raw[:, 1].astype(np.float32)
+        raw = raw[(y32 >= 0) & (y32 < SEG_H)]
         n = raw.shape[0]
         cap = self.cfg.max_evs
         if n > cap:

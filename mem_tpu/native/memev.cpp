@@ -94,6 +94,7 @@ bool parse_npy_header(const uint8_t* buf, int64_t len, NpyInfo* info) {
     hlen = h;
     hoff = 10;
   } else {
+    if (len < 12) return false;  // v2+ header length is 4 bytes
     uint32_t h;
     std::memcpy(&h, buf + 8, 4);
     hlen = h;
@@ -173,6 +174,7 @@ int64_t parse_npy_1d(const uint8_t* buf, int64_t len, int64_t base,
     hlen = h;
     hoff = base + 10;
   } else {
+    if (base + 12 > len) return -1;  // v2+ header length is 4 bytes
     uint32_t h;
     std::memcpy(&h, buf + base + 8, 4);
     hlen = h;
@@ -186,6 +188,7 @@ int64_t parse_npy_1d(const uint8_t* buf, int64_t len, int64_t base,
   auto sp = hdr.find("'shape':");
   if (sp == std::string::npos) return -1;
   auto lp = hdr.find('(', sp);
+  if (lp == std::string::npos) return -1;
   long long rows = -1;
   if (std::sscanf(hdr.c_str() + lp, "(%lld", &rows) != 1) return -1;
   // must be 1-D: "(N,)" — reject "(N, M"
@@ -470,10 +473,26 @@ int64_t memev_load_npy_dsec(const char* path, double slice_frac, int64_t cap,
     return double(reinterpret_cast<const float*>(data)[r * 4 + c]);
   };
 
-  // pass 1: kept count (y < seg_h crop)
+  // Crop predicate: keep rows whose f32-ROUNDED y lands inside [0, seg_h).
+  // The compare runs on the f32 value (what the int16 wire carries), so a
+  // double y in (seg_h-ulp, seg_h) cannot round up into an out-of-range
+  // histogram row; negative or NaN y (corrupt data) is dropped instead of
+  // indexing out of bounds. Deviation from the reference's bare `y < 440`
+  // (dataset_folder.py:275-283 dsec_npy_loader), which keeps negative y
+  // and relies on numpy negative-index wrapping; the python path
+  // (data/seg_pipeline.py _load_one) applies the same predicate.
+  auto keep_y = [&](int64_t r, float* yf) -> bool {
+    const float y = float(col(r, 1));
+    if (!(y >= 0.0f && y < float(seg_h))) return false;
+    *yf = y;
+    return true;
+  };
+
+  // pass 1: kept count
   int64_t n_keep = 0;
+  float yf;
   for (int64_t r = 0; r < rows; ++r)
-    if (col(r, 1) < double(seg_h)) ++n_keep;
+    if (keep_y(r, &yf)) ++n_keep;
 
   int64_t start = 0, take = n_keep;
   if (n_keep > cap) {
@@ -487,9 +506,8 @@ int64_t memev_load_npy_dsec(const char* path, double slice_frac, int64_t cap,
   std::vector<int32_t> hist(size_t(seg_h) + 1, 0);
   int64_t k = 0;
   for (int64_t r = 0; r < rows && k < start + take; ++r) {
-    const double y = col(r, 1);
-    if (y >= double(seg_h)) continue;
-    if (k >= start) ++hist[size_t(int64_t(y))];
+    if (!keep_y(r, &yf)) continue;
+    if (k >= start) ++hist[size_t(int64_t(yf))];
     ++k;
   }
   int32_t acc = 0;
@@ -502,12 +520,11 @@ int64_t memev_load_npy_dsec(const char* path, double slice_frac, int64_t cap,
   // pass 3: scatter sorted rows
   k = 0;
   for (int64_t r = 0; r < rows && k < start + take; ++r) {
-    const double y = col(r, 1);
-    if (y >= double(seg_h)) continue;
+    if (!keep_y(r, &yf)) continue;
     if (k >= start) {
-      const int64_t pos = hist[size_t(int64_t(y))]++;
+      const int64_t pos = hist[size_t(int64_t(yf))]++;
       out[pos * 3 + 0] = int16_t(float(col(r, 0)));
-      out[pos * 3 + 1] = int16_t(float(y));
+      out[pos * 3 + 1] = int16_t(yf);
       out[pos * 3 + 2] = int16_t(2.0 * col(r, 3) - 1.0);
     }
     ++k;

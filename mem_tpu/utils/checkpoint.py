@@ -168,11 +168,19 @@ def latest_checkpoint(output_dir: str) -> Optional[str]:
     return _path(output_dir, best) if best >= 0 else None
 
 
-def auto_resume(output_dir: str, template: Dict[str, Any]):
-    """Returns (payload, start_epoch) or (None, 0)."""
+def auto_resume(output_dir: str, template):
+    """Returns (payload, start_epoch) or (None, 0).
+
+    ``template`` may be the restore-template dict, or a callable taking the
+    RESOLVED checkpoint path — callers whose template depends on what is on
+    disk (e.g. the EMA-flag-flip probe) must use the callable form so the
+    probe and the restore see the same checkpoint (two independent
+    latest_checkpoint scans can race a concurrent save)."""
     path = latest_checkpoint(output_dir)
     if path is None:
         return None, 0
+    if callable(template):
+        template = template(path)
     payload = load_checkpoint(path, template)
     start_epoch = int(np.asarray(payload.get("epoch", -1))) + 1
     print(f"Auto-resumed from {path} (epoch {start_epoch})")

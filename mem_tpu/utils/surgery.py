@@ -97,24 +97,29 @@ def _resize_bicubic_axis(arr: np.ndarray, axis: int, out_size: int) -> np.ndarra
     return out
 
 
-def interpolate_abs_pos_embed(pos: np.ndarray, new_grid: int) -> np.ndarray:
-    """(1, 1+N, D) -> (1, 1+new_grid^2, D) bicubic (utils.py:710-731).
+def interpolate_abs_pos_embed(pos: np.ndarray, new_grid) -> np.ndarray:
+    """(1, 1+N, D) -> (1, 1+gh*gw, D) bicubic (utils.py:710-731).
+
+    ``new_grid`` is an int (square target, the reference's only case) or an
+    (gh, gw) tuple (non-square inputs, beyond-reference). The SOURCE grid is
+    always square — every checkpoint this ingests was trained at 224².
 
     Pure-numpy reimplementation of the reference's
     ``F.interpolate(mode='bicubic', align_corners=False)`` so that the
     core pretrain->finetune surgery path does not require torch (torch is
     only needed by the parity tooling, torch_import/export_torch)."""
     pos = np.asarray(pos)
+    gh, gw = (new_grid, new_grid) if np.isscalar(new_grid) else new_grid
     d = pos.shape[-1]
     n = pos.shape[1] - 1
     orig = int(round(n**0.5))
-    if orig == new_grid:
+    if (orig, orig) == (gh, gw):
         return pos
     extra = pos[:, :1]
     body = pos[:, 1:].astype(np.float32).reshape(1, orig, orig, d)
-    body = _resize_bicubic_axis(body, 1, new_grid)
-    body = _resize_bicubic_axis(body, 2, new_grid)
-    body = body.astype(np.float32).reshape(1, new_grid * new_grid, d)
+    body = _resize_bicubic_axis(body, 1, gh)
+    body = _resize_bicubic_axis(body, 2, gw)
+    body = body.astype(np.float32).reshape(1, gh * gw, d)
     return np.concatenate([extra, body], axis=1)
 
 
@@ -188,6 +193,7 @@ def surgery_for_mae_finetune(
     pretrain_params: Dict,
     finetune_template: Dict,
     strict: bool = True,
+    grid: "Tuple[int, int] | None" = None,
 ) -> Dict:
     """Load an MAE pretraining encoder into the MAE-finetune classifier
     (run_class_finetuning.py:402-432): drop a shape-mismatched head,
@@ -216,8 +222,10 @@ def surgery_for_mae_finetune(
             v = np.asarray(v)
             tgt = np.asarray(dst_node[k])
             if k == "pos_embed" and v.shape != tgt.shape:
+                # the caller passes the target (gh, gw) for non-square
+                # inputs; sqrt only recovers it for square grids
                 v = interpolate_abs_pos_embed(
-                    v, int(round((tgt.shape[1] - 1) ** 0.5)))
+                    v, grid or int(round((tgt.shape[1] - 1) ** 0.5)))
             if v.shape != tgt.shape:
                 # head.weight/bias removal on mismatch (:405-408)
                 print(f"Removing key {'/'.join(path + (k,))} from pretrained "

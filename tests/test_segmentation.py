@@ -627,3 +627,47 @@ def test_seg_native_loader_matches_python(synth_seg_dataset):
             assert (np.diff(rb[:, 1].astype(np.int32)) >= 0).all()
             np.testing.assert_array_equal(a["events_xyp"][i][m:],
                                           b["events_xyp"][i][m:])
+
+
+def test_seg_loader_corrupt_y_rows(tmp_path):
+    """Out-of-spec DSEC rows (negative y, NaN y, f64 y just under 440 that
+    ROUNDS UP to 440 in f32) must be dropped identically by the python and
+    native loaders — never crash, never emit a wire row with y outside
+    [0, 440). Regression for the counting-sort OOB write on
+    size_t(int64_t(-1)) and the f32-rounding crop mismatch."""
+    from PIL import Image
+
+    from mem_tpu import native
+    from mem_tpu.data.seg_pipeline import (SEG_H, SegBatchIterator,
+                                           SegPipelineConfig)
+
+    (tmp_path / "imgs" / "train" / "s").mkdir(parents=True)
+    (tmp_path / "anns" / "train" / "s").mkdir(parents=True)
+    ev = np.zeros((8, 4), np.float64)
+    ev[:, 0] = [0, 1, 2, 3, 4, 5, 6, 7]
+    # kept: 0, 10, 439, 439.4 (truncates to 439)
+    # dropped: -1, NaN, 440, 439.99999999999 (f32-rounds to 440.0)
+    ev[:, 1] = [0.0, -1.0, 10.0, np.nan, 440.0, 439.0,
+                np.nextafter(440.0, 0.0), 439.4]
+    ev[:, 3] = [0, 1, 0, 1, 0, 1, 0, 1]
+    np.save(tmp_path / "imgs" / "train" / "s" / "000000.npy", ev)
+    lab = np.zeros((440, 640), np.uint8)
+    Image.fromarray(lab).save(tmp_path / "anns" / "train" / "s" / "000000.png")
+    pairs = [(str(tmp_path / "imgs" / "train" / "s" / "000000.npy"),
+              str(tmp_path / "anns" / "train" / "s" / "000000.png"))]
+
+    batches = {}
+    for use_native in (False, True):
+        if use_native and not native.available():
+            pytest.skip("toolchain unavailable")
+        cfg = SegPipelineConfig(batch_size=1, num_workers=0, seed=3,
+                                max_evs=100, use_native=use_native)
+        b = next(SegBatchIterator(pairs, cfg).batches(start_iter=0))
+        assert int(b["n_valid"][0]) == 4
+        rows = b["events_xyp"][0][:4]
+        assert set(rows[:, 0].tolist()) == {0, 2, 5, 7}
+        assert (rows[:, 1] >= 0).all() and (rows[:, 1] < SEG_H).all()
+        batches[use_native] = rows
+    key = lambda e: np.lexsort((e[:, 2], e[:, 0], e[:, 1]))
+    np.testing.assert_array_equal(batches[False][key(batches[False])],
+                                  batches[True][key(batches[True])])

@@ -63,3 +63,56 @@ def test_core_imports_without_torch():
     )
     assert r.returncode == 0, r.stderr
     assert "NO-TORCH-OK" in r.stdout
+
+
+def test_bicubic_nonsquare_target(rng):
+    """Non-square (gh, gw) targets match torch bicubic — used by the MAE
+    finetune surgery when --input_H != --input_W (the grid is no longer
+    recoverable from sqrt(L), so the caller passes it explicitly)."""
+    torch = pytest.importorskip("torch")
+    d, orig, gh, gw = 8, 14, 12, 16
+    pos = rng.standard_normal((1, 1 + orig * orig, d)).astype(np.float32)
+
+    got = interpolate_abs_pos_embed(pos, (gh, gw))
+
+    body = pos[:, 1:].reshape(1, orig, orig, d).transpose(0, 3, 1, 2)
+    want_body = torch.nn.functional.interpolate(
+        torch.from_numpy(body.copy()).float(), size=(gh, gw),
+        mode="bicubic", align_corners=False,
+    ).numpy().transpose(0, 2, 3, 1).reshape(1, gh * gw, d)
+    want = np.concatenate([pos[:, :1], want_body], axis=1)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_mae_surgery_nonsquare_grid(rng):
+    """surgery_for_mae_finetune with a square 14x14 source checkpoint and a
+    non-square 12x16 target model: pos_embed must be interpolated to the
+    REAL grid (passed by the caller), not the bogus sqrt(193) one, and the
+    strict missing-keys check must pass."""
+    import jax
+    import jax.numpy as jnp
+
+    from mem_tpu.models.mae_classifier import MAEVisionTransformer
+    from mem_tpu.utils.surgery import surgery_for_mae_finetune
+
+    model = MAEVisionTransformer(
+        img_size=(192, 256), patch_size=16, num_classes=5,
+        embed_dim=32, depth=1, num_heads=2)
+    tmpl = jax.jit(model.init)(jax.random.key(0),
+                               jnp.zeros((1, 192, 256, 3)))["params"]
+    gh, gw = 12, 16
+    assert tmpl["pos_embed"].shape == (1, 1 + gh * gw, 32)
+
+    src = {k: np.asarray(v) for k, v in tmpl.items() if not k.startswith(
+        ("head", "fc_norm"))}
+    src = jax.tree.map(np.asarray, src)
+    # square 14x14 source pos_embed, as any 224^2-trained checkpoint carries
+    src["pos_embed"] = rng.standard_normal((1, 1 + 14 * 14, 32)).astype(
+        np.float32)
+    out = surgery_for_mae_finetune({"params": src}, {"params": tmpl},
+                                   grid=(gh, gw))["params"]
+    assert out["pos_embed"].shape == (1, 1 + gh * gw, 32)
+    want = interpolate_abs_pos_embed(src["pos_embed"], (gh, gw))
+    np.testing.assert_allclose(np.asarray(out["pos_embed"]), want,
+                               atol=1e-6)
