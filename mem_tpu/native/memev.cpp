@@ -84,6 +84,21 @@ struct NpyInfo {
   int64_t data_off = 0;
 };
 
+// Saturating casts for values sourced from UNTRUSTED file bytes: a corrupt
+// payload may carry arbitrary floats, and C++ float->int conversion of an
+// out-of-range value is undefined behavior (the python paths go through
+// numpy casts instead and never feed these back into indexing).
+inline int32_t sat_i32(float v) {
+  if (!(v >= -2147483648.0f)) return INT32_MIN;      // also catches NaN
+  if (v >= 2147483647.0f) return INT32_MAX;
+  return int32_t(v);
+}
+inline int16_t sat_i16(float v) {
+  if (!(v >= -32768.0f)) return INT16_MIN;           // also catches NaN
+  if (v >= 32767.0f) return INT16_MAX;
+  return int16_t(v);
+}
+
 bool parse_npy_header(const uint8_t* buf, int64_t len, NpyInfo* info) {
   if (len < 10 || std::memcmp(buf, "\x93NUMPY", 6) != 0) return false;
   const int major = buf[6];
@@ -114,6 +129,11 @@ bool parse_npy_header(const uint8_t* buf, int64_t len, NpyInfo* info) {
   if (std::sscanf(hdr.c_str() + lp, "(%lld, %lld)", &rows, &cols) != 2)
     return false;
   if (cols != 4) return false;
+  // The header's claimed row count must fit in the actual payload bytes —
+  // a truncated or corrupt file must fail the parse, not read past the
+  // buffer (division form avoids rows*itemsize overflow for absurd claims).
+  if (rows < 0 || rows > (len - hoff - hlen) / (4 * info->itemsize))
+    return false;
   info->rows = rows;
   info->data_off = hoff + hlen;
   return true;
@@ -124,6 +144,10 @@ bool read_file(const char* path, std::vector<uint8_t>* out) {
   if (!f) return false;
   std::fseek(f, 0, SEEK_END);
   const long sz = std::ftell(f);
+  if (sz < 0) {
+    std::fclose(f);
+    return false;
+  }
   std::fseek(f, 0, SEEK_SET);
   out->resize(size_t(sz));
   const bool ok = std::fread(out->data(), 1, size_t(sz), f) == size_t(sz);
@@ -149,6 +173,8 @@ struct NpzCol {
   int code = 0;
   int64_t n = 0;
 };
+
+int col_itemsize(int code);
 
 int dtype_code_from_header(const std::string& hdr) {
   struct { const char* pat; int code; } table[] = {
@@ -199,6 +225,9 @@ int64_t parse_npy_1d(const uint8_t* buf, int64_t len, int64_t base,
     auto q = hdr.find_first_not_of(" ", comma + 1);
     if (q == std::string::npos || hdr[q] != ')') return -1;
   }
+  // claimed length must fit in the remaining file bytes (untrusted input;
+  // division form avoids overflow for absurd claims)
+  if (rows < 0 || rows > (len - hoff - hlen) / col_itemsize(*code)) return -1;
   *n = rows;
   return hoff + hlen;
 }
@@ -256,6 +285,7 @@ bool parse_npz_columns(const uint8_t* buf, int64_t len, NpzCol cols[4]) {
     std::memcpy(&elen, buf + p + 30, 2);
     std::memcpy(&clen, buf + p + 32, 2);
     std::memcpy(&lho, buf + p + 42, 4);
+    if (p + 46 + int64_t(nlen) + elen + clen > len) return false;
     std::string name(reinterpret_cast<const char*>(buf + p + 46), nlen);
     p += 46 + nlen + elen + clen;
     int idx = -1;
@@ -326,8 +356,9 @@ int64_t memev_load_npz_imgnet(const char* path, double slice_frac,
     if (y > my) my = y;
   }
   for (int64_t i = take * 4; i < cap * 4; ++i) out[i] = 0.0f;
-  out_maxxy[0] = int32_t(mx) + 1;
-  out_maxxy[1] = int32_t(my) + 1;
+  // floor(mx)+1 == floor(mx+1) for every mx >= 0 (and mx == -1 when empty)
+  out_maxxy[0] = sat_i32(mx + 1.0f);
+  out_maxxy[1] = sat_i32(my + 1.0f);
   return take;
 }
 
@@ -397,8 +428,8 @@ int64_t memev_load_npy_sliced(const char* path, double slice_frac,
     if (out[i * 4 + 0] > mx) mx = out[i * 4 + 0];
     if (out[i * 4 + 1] > my) my = out[i * 4 + 1];
   }
-  out_maxxy[0] = int32_t(mx) + 1;
-  out_maxxy[1] = int32_t(my) + 1;
+  out_maxxy[0] = sat_i32(mx + 1.0f);
+  out_maxxy[1] = sat_i32(my + 1.0f);
   return take;
 }
 
@@ -428,9 +459,9 @@ int64_t memev_load_npy_sliced_xyp(const char* path, double slice_frac,
     for (int64_t i = 0; i < take; ++i) {
       const float x = float(d[i * 4 + 0]);
       const float y = float(d[i * 4 + 1]);
-      out[i * 3 + 0] = int16_t(x);
-      out[i * 3 + 1] = int16_t(y);
-      out[i * 3 + 2] = int16_t(float(d[i * 4 + 3]));
+      out[i * 3 + 0] = sat_i16(x);
+      out[i * 3 + 1] = sat_i16(y);
+      out[i * 3 + 2] = sat_i16(float(d[i * 4 + 3]));
       if (x > mx) mx = x;
       if (y > my) my = y;
     }
@@ -439,16 +470,16 @@ int64_t memev_load_npy_sliced_xyp(const char* path, double slice_frac,
     for (int64_t i = 0; i < take; ++i) {
       const float x = d[i * 4 + 0];
       const float y = d[i * 4 + 1];
-      out[i * 3 + 0] = int16_t(x);
-      out[i * 3 + 1] = int16_t(y);
-      out[i * 3 + 2] = int16_t(d[i * 4 + 3]);
+      out[i * 3 + 0] = sat_i16(x);
+      out[i * 3 + 1] = sat_i16(y);
+      out[i * 3 + 2] = sat_i16(d[i * 4 + 3]);
       if (x > mx) mx = x;
       if (y > my) my = y;
     }
   }
   std::memset(out + take * 3, 0, size_t(cap - take) * 3 * sizeof(int16_t));
-  out_maxxy[0] = int32_t(mx) + 1;
-  out_maxxy[1] = int32_t(my) + 1;
+  out_maxxy[0] = sat_i32(mx + 1.0f);
+  out_maxxy[1] = sat_i32(my + 1.0f);
   return take;
 }
 
@@ -523,9 +554,9 @@ int64_t memev_load_npy_dsec(const char* path, double slice_frac, int64_t cap,
     if (!keep_y(r, &yf)) continue;
     if (k >= start) {
       const int64_t pos = hist[size_t(int64_t(yf))]++;
-      out[pos * 3 + 0] = int16_t(float(col(r, 0)));
-      out[pos * 3 + 1] = int16_t(yf);
-      out[pos * 3 + 2] = int16_t(2.0 * col(r, 3) - 1.0);
+      out[pos * 3 + 0] = sat_i16(float(col(r, 0)));
+      out[pos * 3 + 1] = int16_t(yf);           // in [0, seg_h) by keep_y
+      out[pos * 3 + 2] = sat_i16(float(2.0 * col(r, 3) - 1.0));
     }
     ++k;
   }
