@@ -96,6 +96,11 @@ def _npz_member_table(path: str, mtime_ns: int):
             d = ast.literal_eval(hdr.decode("latin1"))
             if d["fortran_order"] or len(d["shape"]) != 1:
                 raise ValueError("not a flat C column")
+            # a truncated file whose header still claims N rows must fail
+            # HERE (-> retry-resample), not on a later short byte-range read
+            end = doff + d["shape"][0] * np.dtype(d["descr"]).itemsize
+            if end > os.fstat(f.fileno()).st_size:
+                raise ValueError("member payload truncated")
             name = info.filename[:-4] if info.filename.endswith(".npy") \
                 else info.filename
             cols[name] = (doff, np.dtype(d["descr"]), d["shape"][0])
@@ -216,6 +221,13 @@ class NpyFolder:
             except Exception:
                 index = int(self._retry_rng.integers(0, len(self.samples)))
         raise RuntimeError(f"too many corrupt samples under {self.root}")
+
+    def resample(self) -> Tuple[np.ndarray, int]:
+        """Random replacement item — the pipeline calls this when a LAZY
+        loader's deferred column reads hit a corrupt payload after
+        __getitem__ already returned (the eager reference loaders fail
+        inside the retried loader call instead, dataset_folder.py:206-213)."""
+        return self[int(self._retry_rng.integers(0, len(self.samples)))]
 
     @property
     def nb_classes(self):

@@ -138,7 +138,26 @@ class EventBatchIterator:
         cap = cfg.slice_max_evs
         from mem_tpu.data.folder import is_event_columns
 
-        if is_event_columns(events):
+        def materialize(events):
+            if not is_event_columns(events):
+                events = np.asarray(events, dtype=np.float64)
+                if events.ndim != 2 or events.shape[1] != 4:
+                    events = events.reshape(-1, 4)
+
+                if cfg.scale_xy is not None and not self._defer_scale:
+                    events = events.copy()
+                    events[:, 0] *= cfg.scale_xy[0]
+                    events[:, 1] *= cfg.scale_xy[1]
+
+                # SliceRandomMaxEvs (host memcpy; applied train AND eval like
+                # the reference, datasets.py:611-660)
+                n = events.shape[0]
+                if n > cap:
+                    start = int(rng.integers(0, n - cap + 1))
+                    events = events[start : start + cap]
+                    n = cap
+                return events, n
+
             # column-form samples (N-ImageNet structured/.npz): take the
             # SliceRandomMaxEvs window on the COLUMNS first, then build the
             # (n, 4) array from only the surviving rows. Elementwise
@@ -178,24 +197,24 @@ class EventBatchIterator:
             ev[:, 1] = ys
             ev[:, 2] = col("t")
             ev[:, 3] = col("p").astype(np.int8) * 2 - 1
-            events = ev
+            return ev, n
+
+        # Lazy column loaders (LazyNpzColumns / NpzFile) defer the file
+        # reads into materialize(); a corrupt payload discovered there must
+        # resample another item exactly like an in-loader failure does
+        # (dataset_folder.py:206-213 — the reference's eager loaders do all
+        # IO inside the retried loader call).
+        for _ in range(100):
+            try:
+                events, n = materialize(events)
+                break
+            except Exception:
+                if hasattr(self.ds, "resample"):
+                    events, label = self.ds.resample()
+                else:
+                    events, label = self.ds[int(rng.integers(0, len(self.ds)))]
         else:
-            events = np.asarray(events, dtype=np.float64)
-            if events.ndim != 2 or events.shape[1] != 4:
-                events = events.reshape(-1, 4)
-
-            if cfg.scale_xy is not None and not self._defer_scale:
-                events = events.copy()
-                events[:, 0] *= cfg.scale_xy[0]
-                events[:, 1] *= cfg.scale_xy[1]
-
-            # SliceRandomMaxEvs (host memcpy; applied train AND eval like
-            # the reference, datasets.py:611-660)
-            n = events.shape[0]
-            if n > cap:
-                start = int(rng.integers(0, n - cap + 1))
-                events = events[start : start + cap]
-                n = cap
+            raise RuntimeError("too many corrupt samples (column payloads)")
 
         # per-sample logical extents (the reference infers W=max_x+1 when the
         # dataset has no fixed resolution, datasets.py:555-575)

@@ -246,3 +246,91 @@ def test_compact_wire_on_device_scale_bit_exact(imagenet_ds):
             imgs[cw] = np.asarray(
                 jax.jit(lambda bb: preprocess_batch(bb, pp, is_train))(jb))
         np.testing.assert_array_equal(imgs[0], imgs[1])
+
+
+def test_deferred_column_read_failure_resamples():
+    """LazyNpzColumns defers file IO past NpyFolder's retry wrapper; a
+    payload that fails only at column()-read time must resample another
+    item inside _load_one (matching the reference semantics where eager
+    loaders fail inside the retried call, dataset_folder.py:206-213) —
+    not crash the epoch."""
+    from mem_tpu.data.folder import LazyNpzColumns
+    from mem_tpu.data.pipeline import EventBatchIterator, PipelineConfig
+
+    class BadCols(LazyNpzColumns):
+        def __init__(self):
+            self.path = "<corrupt>"
+            self._cols = {c: (0, np.dtype("<u2"), 500)
+                          for c in ("x", "y", "t", "p")}
+
+        def column(self, name, sl):
+            raise IOError("corrupt payload")
+
+    good = np.zeros(50, dtype=[("x", "<u2"), ("y", "<u2"),
+                               ("t", "<u4"), ("p", "u1")])
+    good["x"] = np.arange(50) % 30
+    good["y"] = np.arange(50) % 20
+    good["p"] = np.arange(50) % 2
+
+    class FlakyDS:
+        resampled = 0
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return (BadCols(), 0) if i == 2 else (good, 1)
+
+        def resample(self):
+            FlakyDS.resampled += 1
+            return good, 1
+
+    cfg = PipelineConfig(batch_size=4, slice_max_evs=100, is_train=True,
+                         sample_hw_from_data=False, canvas_h=32, canvas_w=32,
+                         fixed_hw=(32, 32), seed=0, num_workers=0,
+                         use_native=False)
+    b = next(iter(EventBatchIterator(FlakyDS(), cfg).epoch(0)))
+    assert FlakyDS.resampled >= 1
+    assert (np.asarray(b["label"]) == 1).all()
+    assert (np.asarray(b["n_valid"]) == 50).all()
+
+
+def test_lying_npz_header_fails_at_load_time(tmp_path, rng):
+    """An npz whose member header claims more rows than the payload holds
+    must be rejected when the member table is built (-> loader exception ->
+    NpyFolder retry-resample), never surface as a short byte-range read
+    mid-epoch."""
+    import zipfile
+
+    from mem_tpu.data.folder import NpyFolder, imgnet_columns_loader
+    from mem_tpu.data.pipeline import EventBatchIterator, PipelineConfig
+
+    root = tmp_path / "imagenet" / "train"
+    d = root / "n01"
+    d.mkdir(parents=True)
+    for i in range(3):
+        n = 200
+        np.savez(d / f"ok{i}.npz",
+                 x=rng.integers(0, 640, n).astype("<u2"),
+                 y=rng.integers(0, 480, n).astype("<u2"),
+                 t=np.sort(rng.integers(0, 10**6, n)).astype("<i8"),
+                 p=rng.integers(0, 2, n).astype("u1"))
+
+    hdr = "{'descr': '<u2', 'fortran_order': False, 'shape': (100000,), }"
+    hdr += " " * ((64 - (len(hdr) + 11) % 64) % 64) + "\n"
+    member = (b"\x93NUMPY\x01\x00" + len(hdr).to_bytes(2, "little")
+              + hdr.encode() + np.zeros(10, "<u2").tobytes())
+    with zipfile.ZipFile(d / "bad.npz", "w", zipfile.ZIP_STORED) as z:
+        for c in ("x", "y", "t", "p"):
+            z.writestr(c + ".npy", member)
+
+    with pytest.raises(Exception):
+        imgnet_columns_loader(str(d / "bad.npz"))["x"]
+
+    ds = NpyFolder(str(root), loader=imgnet_columns_loader)
+    cfg = PipelineConfig(batch_size=4, slice_max_evs=100, is_train=True,
+                         sample_hw_from_data=False, canvas_h=480,
+                         canvas_w=640, fixed_hw=(480, 640), seed=0,
+                         num_workers=0, use_native=False)
+    for b in EventBatchIterator(ds, cfg).epoch(0):
+        assert (np.asarray(b["n_valid"]) == 100).all()
