@@ -1,0 +1,384 @@
+"""Batched classification inference server — docs/SERVING.md made runnable.
+
+The reference ships no serving path (its inference surface is
+``run_class_finetuning --eval`` over a folder); this is the
+beyond-reference deployment harness implementing the batching policy the
+serving doc derives from measured operating points:
+
+- requests are bucketed into ONE static batch shape (``--batch_size``) so
+  the jitted forward never recompiles; the tail of a batch is wrap-padded
+  with duplicates (the eval loop's padding semantics,
+  run_mem_pretraining.py:313-316) and the pad rows' outputs are dropped;
+- a dispatcher collects requests until the bucket is full or
+  ``--max_wait_ms`` expires (latency/throughput knob: 8 for SLO-bound,
+  64 at the throughput knee — SERVING.md table);
+- ``/stats`` exports the autoscaling signal the doc prescribes:
+  ``queue_depth x batch_ms / batch_size`` IS the instantaneous added
+  latency (device time per batch is constant under static shapes).
+
+Protocol (stdlib HTTP, one round-trip per sample):
+  POST /predict   body = the bytes of an ``.npy`` event file ((N, 4)
+                  [x, y, t, p] rows, or an x/y/t/p structured array) ->
+                  {"topk": [[class_idx, prob], ...], "queue_ms": float}
+  GET  /healthz   200 {"ok": true} once the forward is compiled and warm
+  GET  /stats     queue depth, served/batches counters, avg batch fill,
+                  EMA batch latency, added-latency estimate
+
+Model/flags mirror ``run_class_finetuning`` (same geometry + preprocessing
+flag names, same checkpoint layout); ``--use_ema`` serves the EMA weights.
+Preprocessing runs inside the jitted forward on device — the host does
+only npy decode + slice + batch assembly (SERVING.md "preprocessing
+placement").
+"""
+from __future__ import annotations
+
+import io
+import json
+import threading
+import time
+from collections import deque
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mem_tpu.cli.common import add_preprocessing_args, build_preproc, detect_dataset
+from mem_tpu.data.device_pipeline import preprocess_batch
+from mem_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
+from mem_tpu.utils.config import ConfigArgumentParser
+
+
+def get_args(argv=None):
+    p = ConfigArgumentParser("MEM classification serving")
+    p.add_argument("--checkpoint", type=str, required=True,
+                   help="orbax checkpoint dir (checkpoint-N) or an output "
+                        "dir (serves its latest checkpoint)")
+    p.add_argument("--use_ema", type=int, default=0,
+                   help="serve the EMA weights when the checkpoint has them")
+    p.add_argument("--nb_classes", type=int, required=True)
+    p.add_argument("--dataset", dest="data_path", type=str,
+                   default="ncaltech101",
+                   help="dataset quirk profile (canvas/scale/extents): "
+                        "ncaltech101 | ncars | nimagenet")
+    # model geometry — the finetune CLI's flag surface
+    p.add_argument("--model", type=str, default="ft_vit")
+    p.add_argument("--MAE", type=int, default=0)
+    p.add_argument("--rel_pos_bias", type=int, default=1)
+    p.add_argument("--abs_pos_emb", type=int, default=0)
+    p.add_argument("--layer_scale_init_value", type=float, default=0.1)
+    p.add_argument("--init_scale", type=float, default=0.001)
+    p.add_argument("--use_mean_pooling", type=int, default=1)
+    p.add_argument("--linear_probe_batch_norm", type=int, default=0)
+    p.add_argument("--voxel", type=int, default=0)
+    p.add_argument("--num_layers", type=int, default=4)
+    p.add_argument("--transformer_emb", type=int, default=768)
+    p.add_argument("--transformer_depth", type=int, default=12)
+    p.add_argument("--transformer_heads", type=int, default=12)
+    p.add_argument("--transformer_mlp_ratio", type=float, default=4.0)
+    p.add_argument("--drop", type=float, default=0.0)
+    p.add_argument("--drop_path", type=float, default=0.0)
+    p.add_argument("--attn_drop_rate", type=float, default=0.0)
+    p.add_argument("--dtype", type=str, default="bfloat16")
+    p.add_argument("--int8", type=int, default=0)
+    add_preprocessing_args(p)
+    p.set_defaults(normalize_events=1)
+    # serving knobs
+    p.add_argument("--port", type=int, default=8787,
+                   help="0 = ephemeral (printed + returned on build)")
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="the static batch bucket (SERVING.md: 8 for "
+                        "latency SLOs, 64 at the throughput knee)")
+    p.add_argument("--max_wait_ms", type=float, default=5.0,
+                   help="batching deadline once a request is pending")
+    p.add_argument("--topk", type=int, default=5)
+    return p.parse_args(argv)
+
+
+class _Request:
+    __slots__ = ("events", "done", "result", "error", "t_enq")
+
+    def __init__(self, events):
+        self.events = events
+        self.done = threading.Event()
+        self.result = None
+        self.error = None
+        self.t_enq = time.monotonic()
+
+
+class ServeState:
+    """Queue + dispatcher + stats shared between HTTP threads and the one
+    device thread (one jitted dispatch at a time — replicas scale by
+    process, SERVING.md "replicas, not shards")."""
+
+    def __init__(self, args, infer, assemble):
+        self.args = args
+        self.infer = infer
+        self.assemble = assemble
+        self.queue: deque = deque()
+        self.cv = threading.Condition()
+        self.stop = False
+        self.warm = False
+        self.served = 0
+        self.batches = 0
+        self.fill_sum = 0
+        self.batch_ms_ema = 0.0
+
+    # -- dispatcher ---------------------------------------------------------
+    def run(self):
+        B = self.args.batch_size
+        wait_s = self.args.max_wait_ms / 1e3
+        while True:
+            with self.cv:
+                while not self.queue and not self.stop:
+                    self.cv.wait(0.05)
+                if self.stop:
+                    for r in self.queue:
+                        r.error = "server shutting down"
+                        r.done.set()
+                    self.queue.clear()
+                    return
+                reqs = [self.queue.popleft()]
+                deadline = time.monotonic() + wait_s
+                while len(reqs) < B:
+                    if self.queue:
+                        reqs.append(self.queue.popleft())
+                        continue
+                    rem = deadline - time.monotonic()
+                    if rem <= 0 or self.stop:
+                        break
+                    self.cv.wait(min(rem, 0.005))
+            self._serve_batch(reqs)
+
+    def _serve_batch(self, reqs):
+        B = self.args.batch_size
+        try:
+            batch = self.assemble([r.events for r in reqs], B)
+            t0 = time.perf_counter()
+            probs, idxs = self.infer(batch)
+            probs, idxs = np.asarray(probs), np.asarray(idxs)
+            ms = (time.perf_counter() - t0) * 1e3
+        except Exception as e:  # bad payload shapes surface per-request
+            for r in reqs:
+                r.error = f"inference failed: {e!r}"
+                r.done.set()
+            return
+        with self.cv:
+            self.batches += 1
+            self.fill_sum += len(reqs)
+            self.batch_ms_ema = (ms if self.batches == 1
+                                 else 0.9 * self.batch_ms_ema + 0.1 * ms)
+            self.served += len(reqs)
+        for j, r in enumerate(reqs):
+            r.result = {
+                "topk": [[int(c), float(p)]
+                         for c, p in zip(idxs[j], probs[j])],
+                "queue_ms": round((time.monotonic() - r.t_enq) * 1e3, 3),
+            }
+            r.done.set()
+
+    # -- stats --------------------------------------------------------------
+    def stats(self):
+        with self.cv:
+            depth = len(self.queue)
+            bm = self.batch_ms_ema
+            return {
+                "queue_depth": depth,
+                "batch_ms_ema": round(bm, 3),
+                # the SERVING.md autoscaling signal: queued work expressed
+                # as the latency it will add at the measured batch rate
+                "added_latency_ms": round(
+                    depth * bm / max(self.args.batch_size, 1), 3),
+                "served": self.served,
+                "batches": self.batches,
+                "avg_fill": round(self.fill_sum / self.batches, 3)
+                            if self.batches else 0.0,
+                "batch_size": self.args.batch_size,
+                "warm": self.warm,
+            }
+
+
+def _decode_events(body: bytes) -> np.ndarray:
+    arr = np.load(io.BytesIO(body), allow_pickle=False)
+    if arr.dtype.fields is not None and "x" in arr.dtype.fields:
+        ev = np.empty((arr.shape[0], 4), np.float64)
+        ev[:, 0] = arr["x"]
+        ev[:, 1] = arr["y"]
+        ev[:, 2] = arr["t"]
+        ev[:, 3] = arr["p"].astype(np.int8) * 2 - 1
+        return ev
+    ev = np.asarray(arr, np.float64)
+    if ev.ndim != 2 or ev.shape[1] != 4:
+        ev = ev.reshape(-1, 4)
+    return ev
+
+
+def build_server(args):
+    """Construct (httpd, state, threads); main() runs it, tests drive it
+    programmatically. The jitted forward is compiled and warmed before
+    this returns, so /healthz is green from the first request."""
+    from mem_tpu.cli.run_class_finetuning import _build_ft_vit
+    from mem_tpu.models import create_model
+
+    if args.int8:
+        from mem_tpu.models import vit as _vit
+
+        _vit.INT8_GEMM = True
+    ds = detect_dataset(args.data_path)
+    if ds == "dsec":
+        raise SystemExit("serve: classification only (DSEC is the "
+                         "segmentation surface — use test_seg)")
+    pp = build_preproc(args, is_train=False)
+    # eval-split host semantics from build_pipeline (cli/common.py): the
+    # f32 wire ships host-scaled coordinates; extents are fixed for
+    # N-ImageNet, data-derived otherwise
+    scale_xy = ((args.input_W / 640.0, args.input_H / 480.0)
+                if ds == "nimagenet" else None)
+    fixed_hw = (args.input_H, args.input_W) if ds == "nimagenet" else None
+    cap = args.slice_max_evs
+
+    patch = 2 ** args.num_layers
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    if args.MAE:
+        model = create_model(
+            "vit_base_patch16", num_classes=args.nb_classes,
+            global_pool=True, img_size=(args.input_H, args.input_W),
+            in_chans=3 if args.voxel == 0 else args.voxel, patch_size=patch,
+            embed_dim=args.transformer_emb, depth=args.transformer_depth,
+            num_heads=args.transformer_heads,
+            mlp_ratio=args.transformer_mlp_ratio, dtype=dtype)
+    else:
+        model = _build_ft_vit(args, args.nb_classes, patch, dtype)
+
+    path = args.checkpoint
+    if latest_checkpoint(path):
+        path = latest_checkpoint(path)
+    payload = load_checkpoint(path)
+    key = "ema" if (args.use_ema and "ema" in payload) else "params"
+    if args.use_ema and "ema" not in payload:
+        print("note: checkpoint has no EMA state; serving raw params")
+    params = payload[key]
+    print(f"serving {key} from {path}")
+
+    B, k = args.batch_size, args.topk
+
+    @jax.jit
+    def _fwd(params, batch):
+        images = preprocess_batch(batch, pp, is_train=False)
+        logits = model.apply(params, images).astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return jax.lax.top_k(probs, k)
+
+    def assemble(events_list, B):
+        n = len(events_list)
+        ev = np.zeros((B, cap, 4), np.float32)
+        nv = np.zeros((B,), np.int32)
+        sh = np.zeros((B,), np.int32)
+        sw = np.zeros((B,), np.int32)
+        rng = np.random.default_rng(0)  # eval slice: any window is valid
+        for j in range(B):
+            e = events_list[j % n]      # wrap-pad the tail
+            if scale_xy is not None:
+                e = e.copy()
+                e[:, 0] *= scale_xy[0]
+                e[:, 1] *= scale_xy[1]
+            m = e.shape[0]
+            if m > cap:
+                start = int(rng.integers(0, m - cap + 1))
+                e = e[start:start + cap]
+                m = cap
+            ev[j, :m] = e
+            nv[j] = m
+            if fixed_hw is not None:
+                sh[j], sw[j] = fixed_hw
+            elif m > 0:
+                sw[j] = min(int(e[:, 0].max()) + 1, pp.canvas_w)
+                sh[j] = min(int(e[:, 1].max()) + 1, pp.canvas_h)
+            else:
+                sh[j], sw[j] = pp.canvas_h, pp.canvas_w
+        return {
+            "events": ev, "n_valid": nv,
+            "label": np.zeros((B,), np.int64),
+            "sample_h": sh, "sample_w": sw,
+            "time_flip": np.zeros(B, bool), "x_flip": np.zeros(B, bool),
+            "shift_xy": np.zeros((B, 2), np.int32),
+            "aug_seed": np.zeros(B, np.uint32),
+        }
+
+    def infer(batch):
+        return _fwd(params, batch)
+
+    state = ServeState(args, infer, assemble)
+    # compile + warm before accepting traffic (SERVING.md scale-up lead
+    # time: a replica is healthy only once the forward is cached)
+    jax.block_until_ready(infer(assemble(
+        [np.zeros((8, 4), np.float64)], B)))
+    state.warm = True
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet access log
+            pass
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {"ok": True, "warm": state.warm})
+            elif self.path == "/stats":
+                self._json(200, state.stats())
+            else:
+                self._json(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path != "/predict":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = _Request(_decode_events(self.rfile.read(n)))
+            except Exception as e:
+                self._json(400, {"error": f"bad event payload: {e!r}"})
+                return
+            with state.cv:
+                state.queue.append(req)
+                state.cv.notify_all()
+            req.done.wait()
+            if req.error:
+                self._json(500, {"error": req.error})
+            else:
+                self._json(200, req.result)
+
+    httpd = ThreadingHTTPServer((args.host, args.port), Handler)
+    t = threading.Thread(target=state.run, name="dispatcher", daemon=True)
+    t.start()
+    return httpd, state, t
+
+
+def main(argv=None):
+    args = get_args(argv)
+    httpd, state, t = build_server(args)
+    print(f"serving on http://{args.host}:{httpd.server_address[1]} "
+          f"(B={args.batch_size}, max_wait={args.max_wait_ms}ms, "
+          f"topk={args.topk})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        with state.cv:
+            state.stop = True
+            state.cv.notify_all()
+        t.join(timeout=5)
+        httpd.server_close()
+
+
+if __name__ == "__main__":
+    main()
