@@ -29,6 +29,13 @@ flag names, same checkpoint layout); ``--use_ema`` serves the EMA weights.
 Preprocessing runs inside the jitted forward on device — the host does
 only npy decode + slice + batch assembly (SERVING.md "preprocessing
 placement").
+
+``--surface seg`` serves the second documented surface instead: DSEC
+semantic segmentation (EvBEiT + UPerNet from a ``train_seg`` checkpoint).
+POST /predict then takes the bytes of a DSEC event-window ``.npy``
+((N, 4) [x, y, t, p∈{0,1}] rows, the on-disk format) and returns the
+predicted 440x640 label map as a PNG (class index per pixel), queue time
+in the ``X-Queue-Ms`` header.
 """
 from __future__ import annotations
 
@@ -57,11 +64,17 @@ def get_args(argv=None):
                         "dir (serves its latest checkpoint)")
     p.add_argument("--use_ema", type=int, default=0,
                    help="serve the EMA weights when the checkpoint has them")
-    p.add_argument("--nb_classes", type=int, required=True)
+    p.add_argument("--nb_classes", "--num_classes", type=int, required=True)
+    p.add_argument("--surface", type=str, default="cls",
+                   choices=("cls", "seg"),
+                   help="cls = event classification (ft_vit / --MAE); "
+                        "seg = DSEC segmentation (train_seg checkpoint)")
     p.add_argument("--dataset", dest="data_path", type=str,
                    default="ncaltech101",
-                   help="dataset quirk profile (canvas/scale/extents): "
+                   help="cls dataset quirk profile (canvas/scale/extents): "
                         "ncaltech101 | ncars | nimagenet")
+    p.add_argument("--seg_input_size", type=int, default=512)
+    p.add_argument("--presort_y", type=int, default=1)
     # model geometry — the finetune CLI's flag surface
     p.add_argument("--model", type=str, default="ft_vit")
     p.add_argument("--MAE", type=int, default=0)
@@ -113,10 +126,11 @@ class ServeState:
     device thread (one jitted dispatch at a time — replicas scale by
     process, SERVING.md "replicas, not shards")."""
 
-    def __init__(self, args, infer, assemble):
+    def __init__(self, args, infer, assemble, unpack):
         self.args = args
         self.infer = infer
         self.assemble = assemble
+        self.unpack = unpack
         self.queue: deque = deque()
         self.cv = threading.Condition()
         self.stop = False
@@ -157,8 +171,7 @@ class ServeState:
         try:
             batch = self.assemble([r.events for r in reqs], B)
             t0 = time.perf_counter()
-            probs, idxs = self.infer(batch)
-            probs, idxs = np.asarray(probs), np.asarray(idxs)
+            outputs = jax.tree.map(np.asarray, self.infer(batch))
             ms = (time.perf_counter() - t0) * 1e3
         except Exception as e:  # bad payload shapes surface per-request
             for r in reqs:
@@ -172,11 +185,8 @@ class ServeState:
                                  else 0.9 * self.batch_ms_ema + 0.1 * ms)
             self.served += len(reqs)
         for j, r in enumerate(reqs):
-            r.result = {
-                "topk": [[int(c), float(p)]
-                         for c, p in zip(idxs[j], probs[j])],
-                "queue_ms": round((time.monotonic() - r.t_enq) * 1e3, 3),
-            }
+            qms = round((time.monotonic() - r.t_enq) * 1e3, 3)
+            r.result = self.unpack(j, outputs, qms)   # (ctype, bytes)
             r.done.set()
 
     # -- stats --------------------------------------------------------------
@@ -215,21 +225,23 @@ def _decode_events(body: bytes) -> np.ndarray:
     return ev
 
 
-def build_server(args):
-    """Construct (httpd, state, threads); main() runs it, tests drive it
-    programmatically. The jitted forward is compiled and warmed before
-    this returns, so /healthz is green from the first request."""
+def _load_payload(args):
+    path = args.checkpoint
+    if latest_checkpoint(path):
+        path = latest_checkpoint(path)
+    return path, load_checkpoint(path)
+
+
+def _build_cls(args, dtype):
+    """Classification surface: ft_vit / --MAE classifier + the same
+    device-side eval preprocessing the finetune CLI's eval loop runs."""
     from mem_tpu.cli.run_class_finetuning import _build_ft_vit
     from mem_tpu.models import create_model
 
-    if args.int8:
-        from mem_tpu.models import vit as _vit
-
-        _vit.INT8_GEMM = True
     ds = detect_dataset(args.data_path)
     if ds == "dsec":
-        raise SystemExit("serve: classification only (DSEC is the "
-                         "segmentation surface — use test_seg)")
+        raise SystemExit("serve: --surface cls does not cover DSEC "
+                         "(use --surface seg)")
     pp = build_preproc(args, is_train=False)
     # eval-split host semantics from build_pipeline (cli/common.py): the
     # f32 wire ships host-scaled coordinates; extents are fixed for
@@ -240,7 +252,6 @@ def build_server(args):
     cap = args.slice_max_evs
 
     patch = 2 ** args.num_layers
-    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     if args.MAE:
         model = create_model(
             "vit_base_patch16", num_classes=args.nb_classes,
@@ -252,17 +263,14 @@ def build_server(args):
     else:
         model = _build_ft_vit(args, args.nb_classes, patch, dtype)
 
-    path = args.checkpoint
-    if latest_checkpoint(path):
-        path = latest_checkpoint(path)
-    payload = load_checkpoint(path)
+    path, payload = _load_payload(args)
     key = "ema" if (args.use_ema and "ema" in payload) else "params"
     if args.use_ema and "ema" not in payload:
         print("note: checkpoint has no EMA state; serving raw params")
     params = payload[key]
     print(f"serving {key} from {path}")
 
-    B, k = args.batch_size, args.topk
+    k = args.topk
 
     @jax.jit
     def _fwd(params, batch):
@@ -310,11 +318,103 @@ def build_server(args):
     def infer(batch):
         return _fwd(params, batch)
 
-    state = ServeState(args, infer, assemble)
+    def unpack(j, outputs, queue_ms):
+        probs, idxs = outputs
+        body = json.dumps({
+            "topk": [[int(c), float(p)] for c, p in zip(idxs[j], probs[j])],
+            "queue_ms": queue_ms,
+        }).encode()
+        return "application/json", body
+
+    return assemble, infer, unpack
+
+
+def _build_seg(args, dtype):
+    """Segmentation surface: EvBEiT + UPerNet from a train_seg checkpoint;
+    single-scale whole-image inference (the SERVING.md seg row — TTA is an
+    offline-eval feature). Responses are 440x640 PNG label maps."""
+    from mem_tpu.data.seg_pipeline import SEG_H, SEG_W, seg_preprocess_batch
+    from mem_tpu.models.segmentation import EncoderDecoder
+
+    depth = args.transformer_depth
+    model = EncoderDecoder(
+        num_classes=args.nb_classes,
+        backbone_cfg=dict(
+            img_size=args.seg_input_size, embed_dim=args.transformer_emb,
+            depth=depth, num_heads=args.transformer_heads,
+            out_indices=tuple(max(0, depth - 4 + k) for k in range(4)),
+        ),
+        dtype=dtype,
+    )
+    path, payload = _load_payload(args)
+    variables = {"params": payload["params"],
+                 "batch_stats": payload["batch_stats"]}
+    print(f"serving seg params from {path}")
+    cap = args.slice_max_evs
+    presort = bool(args.presort_y)
+
+    @jax.jit
+    def _fwd(batch):
+        images, _ = seg_preprocess_batch(batch, False, y_sorted=presort)
+        logits, _ = model.apply(variables, images, train=False)
+        return jnp.argmax(logits.astype(jnp.float32), axis=-1)
+
+    def assemble(events_list, B):
+        n = len(events_list)
+        ev = np.zeros((B, cap, 4), np.float32)
+        nv = np.zeros((B,), np.int32)
+        rng = np.random.default_rng(0)
+        for j in range(B):
+            e = events_list[j % n]
+            # dsec_npy_loader semantics (dataset_folder.py:275-283 + the
+            # seg pipeline's f32-rounded crop): p{0,1} -> ±1, y in [0, 440)
+            y32 = e[:, 1].astype(np.float32)
+            e = e[(y32 >= 0) & (y32 < SEG_H)].astype(np.float32)
+            e[:, 3] = 2 * e[:, 3] - 1
+            m = e.shape[0]
+            if m > cap:
+                start = int(rng.integers(0, m - cap + 1))
+                e = e[start:start + cap]
+                m = cap
+            if presort and m:
+                e = e[np.argsort(e[:, 1], kind="stable")]
+            ev[j, :m] = e
+            nv[j] = m
+        return {
+            "events": ev, "n_valid": nv,
+            "label": np.zeros((B, SEG_H, SEG_W), np.int32),
+            "flip": np.zeros(B, bool),
+            "aug_seed": np.zeros(B, np.uint32),
+        }
+
+    def unpack(j, outputs, queue_ms):
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(outputs[j].astype(np.uint8)).save(buf, format="PNG")
+        return "image/png", buf.getvalue()
+
+    return assemble, _fwd, unpack
+
+
+def build_server(args):
+    """Construct (httpd, state, threads); main() runs it, tests drive it
+    programmatically. The jitted forward is compiled and warmed before
+    this returns, so /healthz is green from the first request."""
+    if args.int8:
+        from mem_tpu.models import vit as _vit
+
+        _vit.INT8_GEMM = True
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    build = _build_seg if args.surface == "seg" else _build_cls
+    assemble, infer, unpack = build(args, dtype)
+
+    state = ServeState(args, infer, assemble, unpack)
     # compile + warm before accepting traffic (SERVING.md scale-up lead
     # time: a replica is healthy only once the forward is cached)
-    jax.block_until_ready(infer(assemble(
-        [np.zeros((8, 4), np.float64)], B)))
+    warm = np.zeros((8, 4), np.float64)
+    warm[:, :2] = 1.0
+    jax.block_until_ready(infer(assemble([warm], args.batch_size)))
     state.warm = True
 
     class Handler(BaseHTTPRequestHandler):
@@ -353,8 +453,15 @@ def build_server(args):
             req.done.wait()
             if req.error:
                 self._json(500, {"error": req.error})
-            else:
-                self._json(200, req.result)
+                return
+            ctype, body = req.result
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.send_header("X-Queue-Ms", str(
+                round((time.monotonic() - req.t_enq) * 1e3, 3)))
+            self.end_headers()
+            self.wfile.write(body)
 
     httpd = ThreadingHTTPServer((args.host, args.port), Handler)
     t = threading.Thread(target=state.run, name="dispatcher", daemon=True)

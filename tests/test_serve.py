@@ -147,3 +147,67 @@ def test_bad_payload_is_a_400(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=10)
     assert e.value.code == 400
+
+
+def test_seg_surface_png_roundtrip(tmp_path, rng):
+    """--surface seg: a DSEC-format event window in, a 440x640 PNG label
+    map out, class ids bounded by num_classes."""
+    import functools
+    import io
+
+    from PIL import Image
+
+    from mem_tpu.cli.serve import build_server, get_args
+    from mem_tpu.models.segmentation import EncoderDecoder
+    from mem_tpu.utils.checkpoint import save_checkpoint
+
+    flags = [
+        "--checkpoint", str(tmp_path), "--surface", "seg",
+        "--num_classes", "4", "--transformer_emb", "32",
+        "--transformer_depth", "2", "--transformer_heads", "2",
+        "--seg_input_size", "64", "--slice_max_evs", "2000",
+        "--batch_size", "2", "--max_wait_ms", "20", "--dtype", "float32",
+        "--port", "0",
+    ]
+    args = get_args(flags)
+    model = EncoderDecoder(
+        num_classes=4,
+        backbone_cfg=dict(img_size=64, embed_dim=32, depth=2, num_heads=2,
+                          out_indices=(0, 0, 0, 1)),
+        dtype=jnp.float32)
+    x = jnp.zeros((1, 440, 640, 3))
+    variables = jax.jit(functools.partial(model.init, train=False))(
+        jax.random.key(0), x)
+    save_checkpoint(str(tmp_path), 0, {"params": variables["params"],
+                                       "batch_stats": variables["batch_stats"]})
+
+    httpd, state, disp = build_server(args)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{httpd.server_address[1]}"
+        n = 800
+        ev = np.zeros((n, 4), np.float64)
+        ev[:, 0] = rng.integers(0, 640, n)
+        ev[:, 1] = rng.integers(0, 470, n)   # some rows crop at y >= 440
+        ev[:, 2] = np.sort(rng.integers(0, 10**6, n))
+        ev[:, 3] = rng.integers(0, 2, n)     # on-disk p in {0, 1}
+        b = io.BytesIO()
+        np.save(b, ev)
+        req = urllib.request.Request(url + "/predict", data=b.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"] == "image/png"
+            assert float(r.headers["X-Queue-Ms"]) >= 0
+            png = r.read()
+        img = np.asarray(Image.open(io.BytesIO(png)))
+        assert img.shape == (440, 640)
+        assert img.max() < 4
+        assert state.stats()["served"] == 1
+    finally:
+        with state.cv:
+            state.stop = True
+            state.cv.notify_all()
+        httpd.shutdown()
+        httpd.server_close()
