@@ -88,6 +88,14 @@ def get_args(argv=None):
     p.add_argument("--transformer_heads", type=int, default=12)
     p.add_argument("--transformer_mlp_ratio", type=float, default=4.0)
     p.add_argument("--MAE", "--mae", type=int, default=0)
+    p.add_argument("--mae_pretrain_input_size", type=int, default=0,
+                   help="input size the orbax MAE checkpoint was pretrained "
+                        "at. Orbax MAE trees carry no pos_embed leaf (the "
+                        "sin-cos buffer is computed), so finetuning at a "
+                        "DIFFERENT resolution needs this to reproduce the "
+                        "torch-import behavior (bicubic-interpolated source "
+                        "table); 0 = same-resolution / fresh new-grid "
+                        "sin-cos (utils/surgery.surgery_for_mae_finetune)")
 
     p.add_argument("--epochs", "--class_epochs", type=int, default=300)
     p.add_argument("--batch_size", "--class_batch_size", type=int, default=1024)
@@ -167,7 +175,8 @@ def get_args(argv=None):
     p.add_argument("--dump_samples_n", type=int, default=64)
     p.add_argument("--int8", type=int, default=0,
                    help="W8A8 int8 GEMMs on eval/serving forwards "
-                        "(mem_tpu/ops/quant.py; ~2x MXU rate on v5e). "
+                        "(mem_tpu/ops/quant.py; measured SLOWER than bf16 "
+                        "at ViT-B shapes on v5e, docs/PERF.md round-3 int8). "
                         "Eval-only — training steps ignore the flag.")
     p.add_argument("--wandb", type=int, default=0)
     p.add_argument("--dtype", type=str, default="bfloat16")
@@ -346,7 +355,10 @@ def main(argv=None):
             else:
                 src = {"params": load_checkpoint(args.finetune)["params"]["params"]}
             print(f"Load MAE PT checkpoint from: {args.finetune}")
-            params = surgery_for_mae_finetune(src, params, grid=window)
+            src_grid = (args.mae_pretrain_input_size // patch
+                        if args.mae_pretrain_input_size else None)
+            params = surgery_for_mae_finetune(src, params, grid=window,
+                                              src_grid=src_grid)
     elif args.finetune:
         from mem_tpu.utils.surgery import surgery_for_finetune
 

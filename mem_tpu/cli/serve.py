@@ -243,7 +243,13 @@ class ServeState:
             }
 
 
-def _decode_events(body: bytes) -> np.ndarray:
+def _decode_events(body: bytes):
+    """-> (events (N, 4) float64, p_signed). Structured x/y/t/p payloads are
+    polarity-normalized to ±1 here (imgnet_npy_loader semantics) and tagged
+    p_signed=True so the seg surface does NOT apply its own {0,1} -> ±1
+    remap again (double-remapping yielded p in {-3, 1} and silently wrong
+    voxel counts). Plain (N, 4) arrays pass through with their on-disk
+    polarity convention (±1 for N-Caltech101, {0,1} for N-Cars/DSEC)."""
     arr = np.load(io.BytesIO(body), allow_pickle=False)
     if arr.dtype.fields is not None and "x" in arr.dtype.fields:
         ev = np.empty((arr.shape[0], 4), np.float64)
@@ -251,17 +257,21 @@ def _decode_events(body: bytes) -> np.ndarray:
         ev[:, 1] = arr["y"]
         ev[:, 2] = arr["t"]
         ev[:, 3] = arr["p"].astype(np.int8) * 2 - 1
-        return ev
+        return ev, True
     ev = np.asarray(arr, np.float64)
     if ev.ndim != 2 or ev.shape[1] != 4:
         ev = ev.reshape(-1, 4)
-    return ev
+    return ev, False
 
 
 def _load_payload(args):
+    # bind the scan result once: a concurrent checkpoint save between two
+    # latest_checkpoint calls could resolve DIFFERENT checkpoints (the race
+    # auto_resume's callable template fixed), and it double-scans the dir
     path = args.checkpoint
-    if latest_checkpoint(path):
-        path = latest_checkpoint(path)
+    latest = latest_checkpoint(path)
+    if latest:
+        path = latest
     return path, load_checkpoint(path)
 
 
@@ -323,7 +333,7 @@ def _build_cls(args, dtype):
         sw = np.zeros((B,), np.int32)
         rng = np.random.default_rng(0)  # eval slice: any window is valid
         for j in range(B):
-            e = events_list[j % n]      # wrap-pad the tail
+            e, _ = events_list[j % n]   # wrap-pad the tail
             if scale_xy is not None:
                 e = e.copy()
                 e[:, 0] *= scale_xy[0]
@@ -402,12 +412,15 @@ def _build_seg(args, dtype):
         nv = np.zeros((B,), np.int32)
         rng = np.random.default_rng(0)
         for j in range(B):
-            e = events_list[j % n]
+            e, p_signed = events_list[j % n]
             # dsec_npy_loader semantics (dataset_folder.py:275-283 + the
-            # seg pipeline's f32-rounded crop): p{0,1} -> ±1, y in [0, 440)
+            # seg pipeline's f32-rounded crop): p{0,1} -> ±1, y in [0, 440).
+            # Structured payloads arrive already ±1 from _decode_events —
+            # remapping those again would yield p in {-3, 1}
             y32 = e[:, 1].astype(np.float32)
             e = e[(y32 >= 0) & (y32 < SEG_H)].astype(np.float32)
-            e[:, 3] = 2 * e[:, 3] - 1
+            if not p_signed:
+                e[:, 3] = 2 * e[:, 3] - 1
             m = e.shape[0]
             if m > cap:
                 start = int(rng.integers(0, m - cap + 1))
@@ -417,9 +430,12 @@ def _build_seg(args, dtype):
                 e = e[np.argsort(e[:, 1], kind="stable")]
             ev[j, :m] = e
             nv[j] = m
+        # no "label" key: serving consumes only images, and a (B, 440, 640)
+        # int32 zero label map is ~9 MB of host->device traffic per dispatch
+        # (~100-200 ms over the remote tunnel at its measured ~50 MB/s —
+        # dwarfing the ~30 ms device time the --max_wait_ms knob targets)
         return {
             "events": ev, "n_valid": nv,
-            "label": np.zeros((B, SEG_H, SEG_W), np.int32),
             "flip": np.zeros(B, bool),
             "aug_seed": np.zeros(B, np.uint32),
         }
@@ -451,7 +467,7 @@ def build_server(args):
     # time: a replica is healthy only once the forward is cached)
     warm = np.zeros((8, 4), np.float64)
     warm[:, :2] = 1.0
-    jax.block_until_ready(infer(assemble([warm], args.batch_size)))
+    jax.block_until_ready(infer(assemble([(warm, False)], args.batch_size)))
     state.warm = True
 
     class Handler(BaseHTTPRequestHandler):

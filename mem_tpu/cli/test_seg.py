@@ -54,7 +54,8 @@ def get_args(argv=None):
                    help="include horizontally flipped passes in --aug_test")
     p.add_argument("--int8", type=int, default=0,
                    help="W8A8 int8 GEMMs in the backbone forward "
-                        "(mem_tpu/ops/quant.py; ~2x MXU rate on v5e)")
+                        "(mem_tpu/ops/quant.py; measured SLOWER than bf16 "
+                        "at ViT-B shapes on v5e, docs/PERF.md round-3 int8)")
     p.add_argument("--presort_y", type=int, default=1,
                    help="host-presort events by y for the row-tiled "
                         "wide-canvas histogram")

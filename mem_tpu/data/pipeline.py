@@ -204,17 +204,28 @@ class EventBatchIterator:
         # resample another item exactly like an in-loader failure does
         # (dataset_folder.py:206-213 — the reference's eager loaders do all
         # IO inside the retried loader call).
+        # catch only corrupt-DATA exception classes: a deterministic
+        # programming error (bad cfg, API change) must surface its own
+        # traceback, not be re-raised as "too many corrupt samples" after
+        # 100 wasted re-loads
+        first_err = None
         for _ in range(100):
             try:
                 events, n = materialize(events)
                 break
-            except Exception:
+            except (ValueError, OSError, KeyError, EOFError) as e:
+                if first_err is None:
+                    first_err = e
+                    print(f"pipeline: corrupt column payload ({e!r}); "
+                          f"resampling")
                 if hasattr(self.ds, "resample"):
                     events, label = self.ds.resample()
                 else:
                     events, label = self.ds[int(rng.integers(0, len(self.ds)))]
         else:
-            raise RuntimeError("too many corrupt samples (column payloads)")
+            raise RuntimeError(
+                "too many corrupt samples (column payloads); first error: "
+                f"{first_err!r}")
 
         # per-sample logical extents (the reference infers W=max_x+1 when the
         # dataset has no fixed resolution, datasets.py:555-575)

@@ -347,7 +347,10 @@ def seg_preprocess_batch(batch: dict, is_train: bool, rand_aug: bool = True,
         time_surface=False, wrap_uint8=True, y_sorted=y_sorted,
     ).astype(jnp.float32)                                # counts 0..255
 
-    labels = batch["label"]
+    # label-free batches (serving: only the images are consumed) return
+    # labels=None instead of forcing callers to ship a dummy (B, 440, 640)
+    # int32 map host->device on every dispatch
+    labels = batch.get("label")
     if is_train and "resize_jitter" in batch:
         # reference order: Resize rides before RemoveHotPixels (dsec.py:13-15)
         img, labels = apply_resize_jitter(img, labels, batch["resize_jitter"])

@@ -72,13 +72,17 @@ FUSED_MLP = False
 
 # W8A8 int8 GEMMs for SERVING forwards (ops/quant.py): per-output-channel
 # int8 weights + dynamic per-token int8 activations, int32 MXU accumulation.
-# The v5e MXU runs int8 at ~2x the bf16 rate (measured 342.6 vs 174.6
-# T(FL)OP/s; scripts/exp_int8_matmul.py), and the serving forward is
-# GEMM-dominated (~92% of ViT-B/197 FLOPs), so this trades ~1/255
-# quantization noise for a large step win. Honored ONLY on deterministic
-# (eval/serving) forwards — jnp.round has zero gradient, so training paths
-# ignore the flag. Default OFF; enable per-run (e.g. trace_infer int8=1,
-# run_class_finetuning --eval --int8).
+# MEASURED NEGATIVE at every shipped serving shape (docs/PERF.md round-3
+# int8 section): isolated int8 GEMMs really are ~2x bf16 (342.6 vs 174.6
+# T(FL)OP/s, scripts/exp_int8_matmul.py), but the full step LOSES — cls
+# inference 2600 -> 2552 samples/s even after the flatten-tax and fc2
+# refinements — because breaking a GEMM out as quantize -> int8-dot ->
+# dequant orphans the LN/residual/convert elementwise work XLA's bf16
+# block fusions were carrying for free. Kept validated (tests/test_quant)
+# and flag-gated for memory-bound regimes or future Mosaic/XLA int8
+# improvements. Honored ONLY on deterministic (eval/serving) forwards —
+# jnp.round has zero gradient, so training paths ignore the flag.
+# Default OFF: bf16 is faster at every shipped serving shape on this chip.
 INT8_GEMM = False
 
 # Selective MLP rematerialization: wrap each Mlp in jax.checkpoint with the

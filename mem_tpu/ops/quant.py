@@ -2,6 +2,13 @@
 measured on this chip: 342.6 int8 TOP/s vs 174.6 bf16 TFLOP/s at 8192^3, and
 276 TOP/s for the full dynamic-quant pattern below — scripts/exp_int8_matmul.py).
 
+MEASURED NEGATIVE end-to-end at the shipped ViT-B serving shapes despite the
+isolated-GEMM win (docs/PERF.md round-3 int8 section: cls inference 2600 ->
+2552 samples/s best case) — breaking GEMMs out as quantize -> int8-dot ->
+dequant orphans the neighbor elementwise work XLA's bf16 block fusions carry
+for free. Shipped flag-gated and default-OFF for memory-bound regimes or
+future Mosaic/XLA int8 improvements.
+
 Post-training quantization, no calibration pass needed:
   - weights: symmetric per-OUTPUT-CHANNEL int8 (absmax / 127), quantized
     inside the jitted forward (cost is O(C^2) against the GEMM's O(rows*C^2);

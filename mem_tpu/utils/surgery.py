@@ -194,6 +194,7 @@ def surgery_for_mae_finetune(
     finetune_template: Dict,
     strict: bool = True,
     grid: "Tuple[int, int] | None" = None,
+    src_grid: "int | None" = None,
 ) -> Dict:
     """Load an MAE pretraining encoder into the MAE-finetune classifier
     (run_class_finetuning.py:402-432): drop a shape-mismatched head,
@@ -207,9 +208,31 @@ def surgery_for_mae_finetune(
     torch-imported reference/MAE checkpoint (pos_embed present; decoder_*,
     mask_token and the pre-pool ``norm`` are unexpected keys and skipped,
     like torch load_state_dict(strict=False)).
+
+    ``src_grid``: the (square) PRETRAIN token grid for orbax sources that
+    carry no pos_embed leaf. When given and different from the finetune
+    grid, the source-grid sin-cos table is recomputed and bicubic-
+    interpolated — exactly what the torch-import path does with the saved
+    buffer — so both checkpoint formats produce the SAME pos_embed at
+    non-pretrain resolutions. When None (the orbax MAE checkpoint stores no
+    input geometry), the classifier keeps its fresh sin-cos at the NEW grid:
+    a documented deviation from the torch-import path at cross-resolution
+    finetunes (interpolated-224-table vs native-new-grid sin-cos).
     """
     src = copy.deepcopy(pretrain_params["params"])
     dst = copy.deepcopy(finetune_template["params"])
+
+    if "pos_embed" not in src and src_grid is not None and "pos_embed" in dst:
+        # synthesize the table the torch export would have saved
+        # (modeling_mae.py:116: the encoder pos_embed IS the sin-cos
+        # buffer); the walk below then interpolates it like any other
+        # shape-mismatched pos_embed
+        from mem_tpu.models.mae import get_2d_sincos_pos_embed
+
+        d = int(np.asarray(dst["pos_embed"]).shape[-1])
+        src["pos_embed"] = get_2d_sincos_pos_embed(
+            d, int(src_grid), cls_token=True)[None].astype(np.float32)
+
     loaded = set()
 
     def walk(src_node, dst_node, path=()):
@@ -246,8 +269,11 @@ def surgery_for_mae_finetune(
                 missing.add("/".join(path + (k,)))
 
     collect_missing(dst)
-    # our orbax MAE source has no pos_embed leaf; the dst init IS the same
-    # sin-cos table the torch checkpoint would carry -> counts as loaded
+    # our orbax MAE source has no pos_embed leaf; at the PRETRAIN grid the
+    # dst init IS the same sin-cos table the torch checkpoint would carry
+    # -> counts as loaded. At a DIFFERENT finetune grid without src_grid
+    # this deviates from torch-import (see the docstring): fresh new-grid
+    # sin-cos here vs bicubic-interpolated source table there.
     if "pos_embed" not in src:
         missing.discard("pos_embed")
     allowed = {"head/kernel", "head/bias", "fc_norm/scale", "fc_norm/bias"}

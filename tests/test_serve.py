@@ -205,6 +205,23 @@ def test_seg_surface_png_roundtrip(tmp_path, rng):
         assert img.shape == (440, 640)
         assert img.max() < 4
         assert state.stats()["served"] == 1
+
+        # structured x/y/t/p payload: _decode_events maps p to ±1 ONCE; the
+        # seg assemble must not remap again (a double 2p-1 yields p in
+        # {-3, 1} and silently different voxel counts) -> identical PNG
+        arr = np.zeros(n, dtype=[("x", "<u2"), ("y", "<u2"),
+                                 ("t", "<u4"), ("p", "u1")])
+        arr["x"] = ev[:, 0]
+        arr["y"] = ev[:, 1]
+        arr["t"] = ev[:, 2]
+        arr["p"] = ev[:, 3]
+        b = io.BytesIO()
+        np.save(b, arr)
+        req = urllib.request.Request(url + "/predict", data=b.getvalue(),
+                                     method="POST")
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
+            assert r.read() == png
     finally:
         with state.cv:
             state.stop = True

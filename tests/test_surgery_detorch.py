@@ -116,3 +116,38 @@ def test_mae_surgery_nonsquare_grid(rng):
     want = interpolate_abs_pos_embed(src["pos_embed"], (gh, gw))
     np.testing.assert_allclose(np.asarray(out["pos_embed"]), want,
                                atol=1e-6)
+
+
+def test_mae_surgery_orbax_src_grid_matches_torch_import(rng):
+    """An orbax MAE source (no pos_embed leaf) finetuned at a different grid
+    with ``src_grid`` must produce the SAME pos_embed as a torch-imported
+    checkpoint of the same pretrain run: the bicubic-interpolated
+    source-grid sin-cos table, not the fresh new-grid sin-cos."""
+    import jax
+    import jax.numpy as jnp
+
+    from mem_tpu.models.mae import get_2d_sincos_pos_embed
+    from mem_tpu.models.mae_classifier import MAEVisionTransformer
+    from mem_tpu.utils.surgery import surgery_for_mae_finetune
+
+    model = MAEVisionTransformer(
+        img_size=(256, 256), patch_size=16, num_classes=5,
+        embed_dim=32, depth=1, num_heads=2)
+    tmpl = jax.tree.map(np.asarray, jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 256, 256, 3)))["params"])
+    assert tmpl["pos_embed"].shape == (1, 1 + 16 * 16, 32)
+
+    # orbax source: the MAE tree has NO pos_embed leaf
+    src = {k: v for k, v in tmpl.items()
+           if not k.startswith(("head", "fc_norm", "pos_embed"))}
+    # pretrained at 224^2 -> 14x14 source grid
+    out = surgery_for_mae_finetune({"params": src}, {"params": tmpl},
+                                   src_grid=14)["params"]
+    src_table = get_2d_sincos_pos_embed(32, 14, cls_token=True)[None]
+    want = interpolate_abs_pos_embed(src_table.astype(np.float32), 16)
+    np.testing.assert_allclose(np.asarray(out["pos_embed"]), want, atol=1e-6)
+    # and the deviation branch: without src_grid, pos_embed stays the
+    # template's fresh 16x16 sin-cos (documented; counts as loaded)
+    out2 = surgery_for_mae_finetune({"params": src}, {"params": tmpl})["params"]
+    np.testing.assert_array_equal(np.asarray(out2["pos_embed"]),
+                                  tmpl["pos_embed"])
