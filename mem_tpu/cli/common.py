@@ -103,6 +103,7 @@ def build_preproc(args, is_train: bool, color_jitter: float = 0.0) -> PreprocCon
         rand_aug_batch_ops=bool(getattr(args, "rand_aug_batch_ops", 0)),
         color_jitter=color_jitter if is_train else 0.0,
         scale_xy_rational=scale_rat,
+        voxel=int(getattr(args, "voxel", 0)),
     )
 
 
@@ -196,6 +197,7 @@ def build_pipeline(
         compact_wire=(
             bool(getattr(args, "compact_wire", 1))
             and not bool(getattr(args, "timesurface", 0))
+            and not int(getattr(args, "voxel", 0))  # time bins need t
             and (scale_xy is None or can_defer_scale)
         ),
         profile=bool(getattr(args, "loader_profile", 0)),
@@ -225,6 +227,20 @@ def validate_preproc_args(args, train: bool = True) -> None:
         chk(v in (0, 1), f"{f} must be 0 or 1, got {v}")
     chk(not (args.logtrafo and args.gammatrafo),
         "logtrafo and gammatrafo are mutually exclusive")
+    voxel = int(getattr(args, "voxel", 0))
+    chk(voxel == 0 or (voxel >= 2 and voxel % 2 == 0 and voxel <= 32),
+        f"voxel must be 0 (3-channel histogram) or an even channel count "
+        f"in [2, 32] (= 2 polarities x voxel/2 time bins, "
+        f"ops/voxelize.voxelize_grid_numpy), got {voxel}")
+    if voxel:
+        chk(not args.timesurface,
+            "voxel > 0 has no time-surface channel (drop --timesurface)")
+        chk(not getattr(args, "rand_aug", 0) or not train,
+            "voxel > 0 is incompatible with --rand_aug (the RandAugment "
+            "photometric table is RGB-defined); pass --rand_aug 0")
+        chk(float(getattr(args, "color_jitter", 0.0)) == 0.0,
+            "voxel > 0 is incompatible with --color_jitter (RGB-defined); "
+            "pass --color_jitter 0")
     chk(0 < args.hotpix_num_stds < 30,
         f"hotpix_num_stds {args.hotpix_num_stds} not in (0, 30)")
     chk(0 < args.gamma < 5, f"gamma {args.gamma} not in (0, 5)")

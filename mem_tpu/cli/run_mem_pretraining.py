@@ -12,6 +12,12 @@ Design deviation (documented): the reference maps voxel==0 -> in_chans=2
 (run_mem_pretraining.py:184), which cannot consume the 3-channel histograms
 its own pipeline emits (the script crashes before reaching this point as
 shipped). Here voxel==0 -> in_chans=3 so the default config trains.
+``--voxel V`` (> 0) is IMPLEMENTED (the reference only plumbs the channel
+count; no voxel raster exists anywhere in its pipeline): the preprocessing
+emits a V-channel time-binned voxel grid (V/2 bins x pos/neg polarity,
+semantics in ops/voxelize.voxelize_grid_numpy), the stage-1 VAE must have
+been trained with the same --voxel (checked at load), and the ViT consumes
+in_chans=V. RGB-defined augs are rejected (validate_preproc_args).
 """
 from __future__ import annotations
 
@@ -233,6 +239,15 @@ def load_vae(args):
         raise NotImplementedError()  # utils.py:564-565
     payload = load_checkpoint(args.discrete_vae_weight_path)
     h = payload["hparams"]
+    # channel handshake: the frozen tokenizer consumes the SAME raster as
+    # the ViT (older checkpoints predate the hparam -> default 3)
+    vae_chans = int(h.get("channels", 3))
+    in_chans = 3 if args.voxel == 0 else args.voxel
+    if vae_chans != in_chans:
+        raise SystemExit(
+            f"config error: VAE checkpoint was trained on {vae_chans} "
+            f"channels but --voxel {args.voxel} rasterizes {in_chans}; "
+            f"retrain the stage-1 VAE with the same --voxel")
     vae = DiscreteVAE(
         input_hw=(int(h["input_H"]), int(h["input_W"])),
         num_tokens=int(h["num_tokens"]),
@@ -240,6 +255,7 @@ def load_vae(args):
         num_layers=int(h["num_layers"]),
         num_resnet_blocks=int(h["num_resnet_blocks"]),
         hidden_dim=int(h["hidden_dim"]),
+        channels=vae_chans,
         loss_type=str(h["loss"]),
     )
     return vae, payload["params"]

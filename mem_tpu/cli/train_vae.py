@@ -56,6 +56,12 @@ def get_args(argv=None):
     p.add_argument("--anneal_rate", type=float, default=1e-6)
     p.add_argument("--kl_loss_weight", "--vae_kl_loss_weight", type=float, default=1e-10)
     p.add_argument("--num_tokens", type=int, default=8192)
+    p.add_argument("--voxel", type=int, default=0,
+                   help="0 = 3-channel event histogram; V = V-channel "
+                        "time-binned voxel grid (V/2 bins x pos/neg, "
+                        "ops/voxelize.voxelize_grid_numpy). The VAE then "
+                        "reconstructs V channels and the pretrain stage "
+                        "must pass the same --voxel")
     p.add_argument("--emb_dim", type=int, default=32)
     p.add_argument("--num_layers", type=int, default=4)
     p.add_argument("--hidden_dim", "--vae_hidden_dim", type=int, default=384)
@@ -102,6 +108,20 @@ def get_args(argv=None):
     if args.disable_wandb:
         args.wandb = 0
     return args
+
+
+def _vae_hparams(args) -> dict:
+    """The checkpoint hparams the pretrain stage's create_d_vae rebuilds the
+    frozen tokenizer from (one definition — drift between the three save
+    sites would make auto-resume restore silently-mismatched state)."""
+    return {
+        "input_H": args.input_H, "input_W": args.input_W,
+        "num_tokens": args.num_tokens, "emb_dim": args.emb_dim,
+        "num_layers": args.num_layers,
+        "num_resnet_blocks": args.num_resnet_blocks,
+        "hidden_dim": args.hidden_dim, "loss": args.loss,
+        "channels": 3 if args.voxel == 0 else args.voxel,
+    }
 
 
 def main(argv=None):
@@ -186,6 +206,7 @@ def main(argv=None):
         num_layers=args.num_layers,
         num_resnet_blocks=args.num_resnet_blocks,
         hidden_dim=args.hidden_dim,
+        channels=3 if args.voxel == 0 else args.voxel,
         loss_type=args.loss,
         straight_through=bool(args.straight_through),
         kl_div_loss_weight=args.kl_loss_weight,
@@ -273,13 +294,7 @@ def main(argv=None):
                 "epoch": epoch - 1,
                 "lr": sched.lr, "temp": sched.temp,
                 "global_step": sched.global_step,
-                "hparams": {
-                    "input_H": args.input_H, "input_W": args.input_W,
-                    "num_tokens": args.num_tokens, "emb_dim": args.emb_dim,
-                    "num_layers": args.num_layers,
-                    "num_resnet_blocks": args.num_resnet_blocks,
-                    "hidden_dim": args.hidden_dim, "loss": args.loss,
-                },
+                "hparams": _vae_hparams(args),
             })
             print(f"preempted at epoch {epoch}: checkpoint saved; exiting")
             return
@@ -323,13 +338,7 @@ def main(argv=None):
         resumable = {
             "params": params, "opt_state": opt_state, "epoch": epoch,
             "lr": sched.lr, "temp": sched.temp, "global_step": sched.global_step,
-            "hparams": {
-                "input_H": args.input_H, "input_W": args.input_W,
-                "num_tokens": args.num_tokens, "emb_dim": args.emb_dim,
-                "num_layers": args.num_layers,
-                "num_resnet_blocks": args.num_resnet_blocks,
-                "hidden_dim": args.hidden_dim, "loss": args.loss,
-            },
+            "hparams": _vae_hparams(args),
         }
         if (epoch + 1) % args.save_ckpt_freq == 0 or epoch + 1 == args.epochs:
             # non-blocking: the persist overlaps the next epoch
@@ -347,13 +356,7 @@ def main(argv=None):
     save_checkpoint(args.output_dir, "final", {
         "params": params,
         "epoch": args.epochs - 1,
-        "hparams": {
-            "input_H": args.input_H, "input_W": args.input_W,
-            "num_tokens": args.num_tokens, "emb_dim": args.emb_dim,
-            "num_layers": args.num_layers,
-            "num_resnet_blocks": args.num_resnet_blocks,
-            "hidden_dim": args.hidden_dim, "loss": args.loss,
-        },
+        "hparams": _vae_hparams(args),
     })
 
 

@@ -60,6 +60,13 @@ class PreprocConfig:
     # see there). Applied only to the raw-coordinate ``events_xyp`` wire;
     # the f32 ``events`` wire arrives already scaled.
     scale_xy_rational: Optional[tuple] = None
+    # --voxel V: time-binned voxel grid with V channels (V/2 time bins x
+    # pos/neg; ops/voxelize.voxelize_grid_numpy defines the semantics — the
+    # reference's flag is dead code, SURVEY §2.11(1)). 0 = the 3-channel
+    # histogram. RGB-assuming augs (RandAugment photometric table,
+    # ColorJitter) and the time surface are rejected with voxel > 0 by
+    # cli/common.validate_preproc_args.
+    voxel: int = 0
 
 
 def events_f32(batch: dict, scale_xy_rational=None) -> jnp.ndarray:
@@ -124,7 +131,8 @@ def events_f32(batch: dict, scale_xy_rational=None) -> jnp.ndarray:
 
 def preprocess_batch(batch: dict, cfg: PreprocConfig, is_train: bool) -> jnp.ndarray:
     """batch: dict from mem_tpu.data.pipeline (events, n_valid, aug params).
-    Returns (B, input_h, input_w, 3) float32 in [0, 1]."""
+    Returns (B, input_h, input_w, C) float32 in [0, 1] — C = 3, or
+    ``cfg.voxel`` in voxel-grid mode."""
     img = voxelize_fused(
         events_f32(batch, cfg.scale_xy_rational),
         batch["n_valid"],
@@ -137,6 +145,7 @@ def preprocess_batch(batch: dict, cfg: PreprocConfig, is_train: bool) -> jnp.nda
         sample_H=batch.get("sample_h"),
         time_surface=cfg.timesurface,
         wrap_uint8=cfg.wrap_uint8,
+        n_bins=cfg.voxel // 2,
     )
     x = img.astype(jnp.float32) / 255.0                     # ToTensor
 
@@ -171,6 +180,14 @@ def preprocess_batch(batch: dict, cfg: PreprocConfig, is_train: bool) -> jnp.nda
         x = I.gamma_transform(x, cfg.gamma)
     if cfg.normalize_events:
         x = I.normalize_event(x)
+
+    if is_train and (cfg.rand_aug or cfg.color_jitter > 0) and cfg.voxel:
+        # RandAugment's photometric table and ColorJitter are RGB-definitions
+        # (luma weights, HSV trips) — meaningless on a V-channel voxel grid.
+        # validate_preproc_args rejects the flag combination up front; this
+        # guards programmatic callers.
+        raise ValueError("rand_aug/color_jitter require the 3-channel "
+                         "histogram (voxel == 0); pass --rand_aug 0")
 
     if is_train and cfg.rand_aug:
         u8 = (255.0 * x).astype(jnp.uint8)                  # ToUnit8 truncation

@@ -167,27 +167,38 @@ def random_crop_batch(imgs, tops, lefts, out_h, out_w):
 _EVENT_CH = jnp.array([1.0, 0.0, 1.0])  # mask selecting pos/neg channels
 
 
+def _count_ch(img) -> jnp.ndarray:
+    """Count-channel selector mask: the reference's 3-channel convention has
+    counts at 0&2 and the time surface at 1; a voxel grid (``--voxel`` mode,
+    ops/voxelize.voxelize_grid_numpy — any C != 3) is ALL count channels."""
+    c = img.shape[-1]
+    return _EVENT_CH if c == 3 else jnp.ones((c,))
+
+
 def remove_timesurface(img: jnp.ndarray) -> jnp.ndarray:
-    """Zero channel 1 (RemoveTimesurface, transforms.py:239-247)."""
+    """Zero channel 1 (RemoveTimesurface, transforms.py:239-247).
+    No-op for voxel grids (C != 3): there is no time-surface channel."""
+    if img.shape[-1] != 3:
+        return img
     return img * _EVENT_CH.astype(img.dtype)
 
 
 def log_transform(img: jnp.ndarray) -> jnp.ndarray:
-    """log1p on channels 0&2 (LogTransform, transforms.py:200-210)."""
-    ch = _EVENT_CH.astype(img.dtype)
+    """log1p on the count channels (LogTransform, transforms.py:200-210)."""
+    ch = _count_ch(img).astype(img.dtype)
     return jnp.log1p(img) * ch + img * (1 - ch)
 
 
 def gamma_transform(img: jnp.ndarray, gamma: float) -> jnp.ndarray:
-    """pow-gamma on channels 0&2 (GammaTransform, transforms.py:212-222)."""
-    ch = _EVENT_CH.astype(img.dtype)
+    """pow-gamma on the count channels (GammaTransform, transforms.py:212-222)."""
+    ch = _count_ch(img).astype(img.dtype)
     return jnp.power(jnp.maximum(img, 0.0), gamma) * ch + img * (1 - ch)
 
 
 def normalize_event(img: jnp.ndarray) -> jnp.ndarray:
-    """Divide channels 0&2 by their joint max, if nonzero
+    """Divide the count channels by their joint max, if nonzero
     (NormalizeEvent, transforms.py:225-237). Per-sample over (H, W, C)."""
-    ch = _EVENT_CH.astype(img.dtype)
+    ch = _count_ch(img).astype(img.dtype)
     # barrier: XLA refuses the reduce into its broadcast consumer with
     # per-lane-tile recompute (ops/softmax.py module doc)
     m = jax.lax.optimization_barrier(
@@ -203,37 +214,38 @@ def remove_hot_pixels(
 ) -> jnp.ndarray:
     """Zero pos&neg at "hot" pixels (RemoveHotPixels, transforms.py:249-275).
 
-    Default mode: pixels where either count plane exceeds
-    mean + num_stds * std (mean/std joint over both planes, Bessel-corrected
-    like torch.std). Alternative top-k mode (``num_hot_pixels``): zero the k
-    largest values across the two flattened planes (the reference's argsort
-    branch) — expressed as a threshold at the k-th order statistic via
-    top_k. The reference zeroes both planes at any flagged (h, w) regardless
-    of which plane triggered — preserved here. Per-sample over (H, W, C).
+    Default mode: pixels where any count plane exceeds
+    mean + num_stds * std (mean/std joint over the count planes, Bessel-
+    corrected like torch.std). Alternative top-k mode (``num_hot_pixels``):
+    zero the k largest values across the flattened count planes (the
+    reference's argsort branch) — expressed as a threshold at the k-th order
+    statistic via top_k. The reference zeroes both planes at any flagged
+    (h, w) regardless of which plane triggered — preserved here (voxel
+    grids zero ALL channels at hot pixels). Per-sample over (H, W, C).
     """
-    pos = img[..., 0]
-    neg = img[..., 2]
-    both = jnp.stack([pos, neg], axis=-1)
+    c = img.shape[-1]
+    sel = [0, 2] if c == 3 else list(range(c))  # static count-channel pick
+    cnt = img[..., sel]                                   # (..., H, W, K)
     if num_hot_pixels is not None:
-        flat = both.reshape(*both.shape[:-3], -1)
+        flat = cnt.reshape(*cnt.shape[:-3], -1)
         k = min(int(num_hot_pixels), flat.shape[-1])
         kth = jax.lax.top_k(flat, k)[0][..., -1]
-        thr = kth[..., None, None] - 1e-30  # >= kth value counts as hot
-        hot = (pos >= thr) | (neg >= thr)
+        thr = kth[..., None, None, None] - 1e-30  # >= kth value is hot
+        hot = jnp.any(cnt >= thr, axis=-1)
     else:
-        n = both.shape[-3] * both.shape[-2] * 2
+        n = cnt.shape[-3] * cnt.shape[-2] * cnt.shape[-1]
         # barriers on both reductions (reduce-broadcast refusion pathology,
         # ops/softmax.py module doc)
         mean = jax.lax.optimization_barrier(
-            jnp.mean(both, axis=(-3, -2, -1), keepdims=True))
+            jnp.mean(cnt, axis=(-3, -2, -1), keepdims=True))
         var = jax.lax.optimization_barrier(
-            jnp.sum((both - mean) ** 2, axis=(-3, -2, -1), keepdims=True)
+            jnp.sum((cnt - mean) ** 2, axis=(-3, -2, -1), keepdims=True)
             / (n - 1))
-        thr = (mean + num_stds * jnp.sqrt(var))[..., 0]
-        hot = (pos > thr) | (neg > thr)                   # (..., H, W)
+        thr = mean + num_stds * jnp.sqrt(var)
+        hot = jnp.any(cnt > thr, axis=-1)                 # (..., H, W)
     keep = (~hot)[..., None].astype(img.dtype)
-    ch = _EVENT_CH.astype(img.dtype)
-    return img * (keep * ch + (1 - ch))
+    chm = _count_ch(img).astype(img.dtype)
+    return img * (keep * chm + (1 - chm))
 
 
 # ---------------------------------------------------------------------------

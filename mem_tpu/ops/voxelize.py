@@ -41,6 +41,44 @@ import jax.numpy as jnp
 # numpy reference (bit-exact vs mem/datasets.py:552-595)
 # ---------------------------------------------------------------------------
 
+def voxelize_grid_numpy(
+    events: np.ndarray,
+    H: int,
+    W: int,
+    n_bins: int,
+) -> np.ndarray:
+    """CPU oracle for the time-binned voxel grid (``--voxel > 0``).
+
+    The reference declares the semantics only through its channel plumbing
+    (``in_chans = 2 if voxel==0 else voxel``, run_mem_pretraining.py:184 —
+    the flag is otherwise dead code, SURVEY §2.11(1)), so the grid itself is
+    defined HERE: ``voxel = 2 * n_bins`` channels laid out as
+    ``[pos bin 0..n_bins-1, neg bin 0..n_bins-1]`` where bin k counts the
+    events whose normalized timestamp falls in the k-th of ``n_bins`` equal
+    slices of the sample's [t_min, t_max] (last bin closed). ``n_bins = 1``
+    degenerates to exactly the pos/neg count planes of the 3-channel
+    histogram — the reference's own voxel==0 -> 2-channel intent. uint8
+    wrapping overflow matches :func:`voxelize_numpy`.
+
+    Returns (H, W, 2 * n_bins) uint8.
+    """
+    xs, ys, ts, ps = events.T
+    xs = xs.astype(np.int64)
+    ys = ys.astype(np.int64)
+    t_min = ts.min() if len(ts) else 0.0
+    t_rng = (ts.max() - t_min) if len(ts) else 0.0
+    if t_rng > 0:
+        bins = np.minimum((ts - t_min) / t_rng * n_bins, n_bins - 1).astype(np.int64)
+    else:
+        bins = np.zeros(len(ts), np.int64)
+    out = np.zeros((2 * n_bins, H * W), np.uint8)
+    for k in range(n_bins):
+        sel = bins == k
+        np.add.at(out[k], xs[sel & (ps == 1)] + W * ys[sel & (ps == 1)], 1)
+        np.add.at(out[n_bins + k], xs[sel & (ps == -1)] + W * ys[sel & (ps == -1)], 1)
+    return out.reshape(2 * n_bins, H, W).transpose(1, 2, 0)
+
+
 def voxelize_numpy(
     events: np.ndarray,
     H: int | None = None,
@@ -203,6 +241,7 @@ def voxelize_fused(
     time_surface: bool = False,
     wrap_uint8: bool = True,
     y_sorted: bool = False,
+    n_bins: int = 0,
 ) -> jnp.ndarray:
     """Batched fused augmentation + rasterization, fully on chip.
 
@@ -229,9 +268,19 @@ def voxelize_fused(
         False; setting it wrongly costs performance, never correctness
         (tile skipping is conservative). Note time/x flips preserve y
         order; y-shifts (classification only) would break it.
+      n_bins: > 0 selects the time-binned voxel grid (``--voxel`` mode,
+        semantics in :func:`voxelize_grid_numpy`): returns
+        (B, H, W, 2 * n_bins) uint8, channels [pos bins | neg bins]. The
+        grid rides the SAME histogram backends by folding the time bin
+        into the row index (``y' = bin * H + y``, an H' = n_bins * H
+        canvas) — the wide-canvas routing in voxelize_pallas_planes then
+        picks the row-tiled kernel whenever the folded accumulator would
+        blow VMEM. Mutually exclusive with ``time_surface``.
 
-    Returns (B, H, W, 3) uint8.
+    Returns (B, H, W, 3) uint8 — or (B, H, W, 2 * n_bins) when n_bins > 0.
     """
+    if n_bins > 0 and time_surface:
+        raise ValueError("voxel-grid mode has no time-surface channel")
     B, N, _ = events.shape
     if sample_W is None:
         sample_W = jnp.full((B,), W, dtype=jnp.int32)
@@ -265,6 +314,45 @@ def voxelize_fused(
         xs = xs + shift_xy[:, 0:1]
         ys = ys + shift_xy[:, 1:2]
         valid &= (xs >= 0) & (xs < sample_W[:, None]) & (ys >= 0) & (ys < sample_H[:, None])
+
+    if n_bins > 0:
+        # time bin over the sample's valid rows ([t_min, t_max] split into
+        # n_bins equal slices, last bin closed; degenerate range -> bin 0),
+        # then ride the 2-plane backends on the bin-folded H' = n_bins * H
+        # canvas. int32 cast truncates toward zero == floor (values >= 0).
+        t_min = jnp.min(jnp.where(valid, ts, jnp.inf), axis=1, keepdims=True)
+        t_max = jnp.max(jnp.where(valid, ts, -jnp.inf), axis=1, keepdims=True)
+        t_rng = t_max - t_min
+        binf = jnp.where(t_rng > 0, (ts - t_min) / t_rng * n_bins, 0.0)
+        bins = jnp.clip(binf.astype(jnp.int32), 0, n_bins - 1)
+        in_b = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
+        ok = valid & in_b
+        wpos = jnp.where(ok & (ps == 1), 1.0, 0.0)
+        wneg = jnp.where(ok & (ps == -1), 1.0, 0.0)
+        xs_c = jnp.clip(xs, 0, W - 1)
+        ys_f = jnp.clip(ys, 0, H - 1) + bins * H
+        Hf = n_bins * H
+        if _use_pallas_hist():
+            from mem_tpu.ops.voxelize_pallas import voxelize_pallas_planes
+
+            # bin-folding breaks any host y-presort -> y_sorted=False (the
+            # sorted path re-sorts on chip when routing selects it)
+            planes = voxelize_pallas_planes(
+                xs_c, ys_f, wpos, wneg, Hf, W,
+                interpret=jax.default_backend() != "tpu", y_sorted=False)
+        else:
+            pos_f, neg_f = jax.vmap(
+                lambda a, b, wp, wn: _onehot_hist_planes(a, b, wp, wn, Hf, W)
+            )(xs_c, ys_f, wpos, wneg)
+            planes = jnp.concatenate([pos_f, neg_f], axis=-1)
+        pos = planes[..., :W].reshape(B, n_bins, H, W)
+        neg = planes[..., W:].reshape(B, n_bins, H, W)
+        grid = jnp.concatenate([pos, neg], axis=1)        # (B, 2*bins, H, W)
+        if wrap_uint8:
+            grid = jnp.mod(grid, 256.0)
+        else:
+            grid = jnp.minimum(grid, 255.0)
+        return grid.transpose(0, 2, 3, 1).astype(jnp.uint8)
 
     if _use_pallas_hist():
         # Pallas chunked-accumulator histogram: one-hot factors built in
