@@ -232,6 +232,26 @@ def _fa_flat_bwd(scale, interpret, res, do):
 fused_attention_flat.defvjp(_fa_flat_fwd, _fa_flat_bwd)
 
 
+def _spmd(fn):
+    """Self-shard_map over the batch axis under a multi-device mesh (Mosaic
+    kernels cannot be auto-partitioned; ops/spmd.py). q/k/v shard on batch;
+    the bias is replicated — its cotangent gets the transpose-psum, exact
+    vs the unsharded gradient (tests/test_pallas_spmd.py)."""
+
+    @functools.wraps(fn)
+    def wrapped(q, k, v, bias, scale, interpret=False):
+        from mem_tpu.ops.spmd import shard_map_batch
+
+        return shard_map_batch(
+            lambda a, b, c, d: fn(a, b, c, d, scale, interpret),
+            (q, k, v), (bias,))
+
+    return wrapped
+
+
+fused_attention_flat = _spmd(fused_attention_flat)
+
+
 def _fwd_flat_long_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale, H, D):
     """Flat-layout forward for long sequences (seg backbone N=1025): one
     grid instance per batch element, heads unrolled as static lane slices —
@@ -387,6 +407,7 @@ def fused_attention_flat_long(q, k, v, bias, scale: float,
 
 
 fused_attention_flat_long.defvjp(_fa_flat_long_fwd, _fa_flat_long_bwd)
+fused_attention_flat_long = _spmd(fused_attention_flat_long)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *, scale):
@@ -628,3 +649,4 @@ def _fa_bwd(scale, interpret, res, do):
 
 
 fused_attention.defvjp(_fa_fwd, _fa_bwd)
+fused_attention = _spmd(fused_attention)

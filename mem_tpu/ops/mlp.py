@@ -229,3 +229,23 @@ def _mlp_bwd(interpret, res, dout):
 
 
 mlp_fused.defvjp(_mlp_fwd, _mlp_bwd)
+
+
+def _spmd(fn):
+    """Self-shard_map over the leading (batch) axis under a multi-device
+    mesh (Mosaic kernels cannot be auto-partitioned; ops/spmd.py). The
+    token stream shards on batch; weights are replicated and their
+    cotangents get the transpose-psum."""
+
+    @functools.wraps(fn)
+    def wrapped(x, w1, b1, w2, b2, interpret=False):
+        from mem_tpu.ops.spmd import shard_map_batch
+
+        return shard_map_batch(
+            lambda a, p1, q1, p2, q2: fn(a, p1, q1, p2, q2, interpret),
+            (x,), (w1, b1, w2, b2))
+
+    return wrapped
+
+
+mlp_fused = _spmd(mlp_fused)

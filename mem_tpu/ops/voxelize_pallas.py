@@ -201,6 +201,17 @@ def pack_cols(xs, ys, wpos, wneg, H, W):
     return col, ys
 
 
+def _planes_impl(xs, ys, wpos, wneg, H, W, chunk, interpret, y_sorted):
+    col, ysf = pack_cols(xs, ys, wpos, wneg, H, W)
+    if H * 2 * W >= WIDE_CANVAS_CELLS and 2 * W < 4096:
+        return hist_planes_cols_sorted(col, ysf, H, W, chunk=chunk,
+                                       presorted=y_sorted,
+                                       interpret=interpret)
+    return hist_planes_cols(col, ysf, H, W, chunk=chunk, interpret=interpret)
+
+
+
+
 @functools.partial(jax.jit, static_argnames=("H", "W", "chunk", "interpret",
                                              "y_sorted"))
 def voxelize_pallas_planes(
@@ -218,13 +229,16 @@ def voxelize_pallas_planes(
     :func:`hist_planes_cols`; wide canvases route through the sorted path).
     This is the ONE home of the dense-vs-sorted routing rule — callers
     (voxelize_fused included) must not re-derive it. ``y_sorted`` promises
-    events are already host-presorted by y (skips the on-chip sort)."""
-    col, ysf = pack_cols(xs, ys, wpos, wneg, H, W)
-    if H * 2 * W >= WIDE_CANVAS_CELLS and 2 * W < 4096:
-        return hist_planes_cols_sorted(col, ysf, H, W, chunk=chunk,
-                                       presorted=y_sorted,
-                                       interpret=interpret)
-    return hist_planes_cols(col, ysf, H, W, chunk=chunk, interpret=interpret)
+    events are already host-presorted by y (skips the on-chip sort).
+
+    Under a multi-device mesh the call shard_maps itself over the batch
+    axis (Mosaic kernels cannot be auto-partitioned; ops/spmd.py) — each
+    device histograms ITS batch shard."""
+    from mem_tpu.ops.spmd import shard_map_batch
+
+    impl = functools.partial(_planes_impl, H=H, W=W, chunk=chunk,
+                             interpret=interpret, y_sorted=y_sorted)
+    return shard_map_batch(impl, (xs, ys, wpos, wneg))
 
 
 def voxelize_pallas(
