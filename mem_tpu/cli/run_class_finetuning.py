@@ -8,7 +8,6 @@ both raw and EMA params; "best" checkpoint tagging.
 """
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -31,7 +30,7 @@ from mem_tpu.train.steps import make_finetune_eval_step, make_finetune_train_ste
 from mem_tpu.utils.checkpoint import (auto_resume, load_checkpoint,
                                        save_checkpoint, wait_for_saves)
 from mem_tpu.utils.config import ConfigArgumentParser
-from mem_tpu.data.prefetch import device_prefetch, prefetch
+from mem_tpu.data.prefetch import chunk_batches, device_prefetch, prefetch
 from mem_tpu.utils.metrics import MetricLogger, maybe_wandb
 
 
@@ -100,6 +99,11 @@ def get_args(argv=None):
     p.add_argument("--epochs", "--class_epochs", type=int, default=300)
     p.add_argument("--batch_size", "--class_batch_size", type=int, default=1024)
     p.add_argument("--update_freq", "--class_update_freq", type=int, default=1)
+    p.add_argument("--steps_per_dispatch", type=int, default=8,
+                   help="chain K optimizer steps into ONE device dispatch "
+                        "(train/steps.py 'Chained dispatch'); each chained "
+                        "step still folds --update_freq micro-batches. "
+                        "1 = step-at-a-time (reference semantics)")
     p.add_argument("--lr", "--class_lr", type=float, default=4e-3)
     p.add_argument("--layer_decay", "--class_layer_decay", type=float, default=0.9)
     p.add_argument("--warmup_lr", type=float, default=1e-6)
@@ -441,11 +445,12 @@ def main(argv=None):
         args.mixup_switch_prob, args.smoothing,
         mode=args.mixup_mode, cutmix_minmax=args.cutmix_minmax,
     )
+    K = max(1, args.steps_per_dispatch)
     train_step = make_finetune_train_step(
         model, tx, preproc_train, nb_classes, mixup_fn=mixup_fn,
         smoothing=args.smoothing, update_freq=args.update_freq,
         ema_decay=args.model_ema_decay if args.model_ema else None,
-        image_preproc=image_preproc,
+        image_preproc=image_preproc, chain=K > 1,
     )
     eval_step = make_finetune_eval_step(model, preproc_val)
 
@@ -602,10 +607,16 @@ def main(argv=None):
                 micros = [next(micro_iter) for _ in range(args.update_freq)]
                 yield {k: np.stack([m[k] for m in micros]) for k in micros[0]}
 
-        # shard the batch dim; transfers issue one step ahead (async)
+        # --steps_per_dispatch K: stack K (update_freq, B, ...) step batches
+        # into one (K, uf, B, ...) block; ONE dispatch scans K optimizer
+        # steps (train/steps.py "Chained dispatch"). Batch dim shards over
+        # 'data'; transfers issue one chunk ahead (async).
+        n_chunks = -(-steps_per_epoch // K)
         dev_iter = device_prefetch(
-            stacked(), lambda x: shard_batch(x, mesh, axis_pos=1))
-        for step, b in enumerate(dev_iter):
+            chunk_batches(stacked(), K),
+            lambda x: shard_batch(x, mesh, axis_pos=2 if K > 1 else 1))
+        for chunk_i, b in enumerate(dev_iter):
+            k_actual = jax.tree.leaves(b)[0].shape[0] if K > 1 else 1
             key, sk = jax.random.split(key)
             if use_ema:
                 params, opt_state, ema_params, m = train_step(
@@ -613,14 +624,19 @@ def main(argv=None):
             else:
                 params, opt_state, m = train_step(params, opt_state, b, sk)
             # sync metrics only periodically (device->host fetch = tunnel RTT)
-            if step % 10 == 0 or step == steps_per_epoch - 1:
-                lv = float(m["loss"])
-                if not math.isfinite(lv):
-                    raise RuntimeError(f"non-finite loss at epoch {epoch} step {step}")
-                logger.update(loss=lv)
-            if run and step % 100 == 0:
-                run.log({"train/loss": float(m["loss"]),
-                         "epoch": epoch, "step": epoch * steps_per_epoch + step})
+            if chunk_i % max(1, 10 // K) == 0 or chunk_i == n_chunks - 1:
+                losses = np.atleast_1d(np.asarray(m["loss"], np.float32))
+                if not np.isfinite(losses).all():
+                    bad = chunk_i * K + int(np.argmin(np.isfinite(losses)))
+                    raise RuntimeError(
+                        f"non-finite loss at epoch {epoch} step {bad}")
+                logger.update(loss=float(losses[-1]))
+            if run and chunk_i % max(1, 100 // K) == 0:
+                run.log({"train/loss": float(np.atleast_1d(
+                             np.asarray(m["loss"], np.float32))[-1]),
+                         "epoch": epoch,
+                         "step": epoch * steps_per_epoch
+                         + chunk_i * K + k_actual - 1})
             if stopper.requested:
                 break
         if stopper.requested:

@@ -21,7 +21,6 @@ in_chans=V. RGB-defined augs are rejected (validate_preproc_args).
 """
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
@@ -48,7 +47,7 @@ from mem_tpu.train.steps import (
 from mem_tpu.utils.checkpoint import (auto_resume, load_checkpoint,
                                        save_checkpoint, wait_for_saves)
 from mem_tpu.utils.config import ConfigArgumentParser
-from mem_tpu.data.prefetch import device_prefetch, prefetch
+from mem_tpu.data.prefetch import chunk_batches, device_prefetch, prefetch
 from mem_tpu.utils.metrics import MetricLogger, TensorboardLogger, maybe_wandb
 
 
@@ -142,6 +141,14 @@ def get_args(argv=None):
     p.add_argument("--dtype", type=str, default="bfloat16")
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of a few steps here")
+    p.add_argument("--steps_per_dispatch", type=int, default=8,
+                   help="chain K optimizer steps into ONE device dispatch "
+                        "(lax.scan over a stacked batch block) — amortizes "
+                        "per-dispatch host latency K-fold (train/steps.py "
+                        "'Chained dispatch'; measured 110 -> 726 samples/s "
+                        "wall at K=8 on the remote chip). 1 = the "
+                        "step-at-a-time driver (reference semantics; exact "
+                        "per-step dropout rng stream)")
     p.add_argument("--dump_recon_dir", type=str, default=None,
                    help="save VAE-reconstruction/mask-overlay panels at eval "
                         "(the reference's wandb image dumps, "
@@ -420,14 +427,16 @@ def main(argv=None):
         params, opt_state, mesh, tp=args.tp, zero1=bool(args.zero1),
         fsdp=bool(args.fsdp))
 
+    K = max(1, args.steps_per_dispatch)
     if args.MAE:
-        train_step = make_mae_train_step(model, tx, preproc_train)
+        train_step = make_mae_train_step(model, tx, preproc_train, chain=K > 1)
         eval_step = None
         vae_params = None
     else:
         vae, vae_params = load_vae(args)
         vae_params = replicate(vae_params, mesh)
-        train_step = make_pretrain_train_step(model, vae, tx, preproc_train)
+        train_step = make_pretrain_train_step(model, vae, tx, preproc_train,
+                                              chain=K > 1)
         eval_step = make_pretrain_eval_step(model, vae, preproc_val)
 
     start_epoch = args.start_epoch
@@ -468,18 +477,28 @@ def main(argv=None):
     stopper = GracefulShutdown()
     profiled = False
     last_trigger_dump = -(10**9)
+    n_chunks = -(-steps_per_epoch // K)
+    fetch_every = max(1, 10 // K)   # metric-fetch cadence, in chunks
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger()
         timer = StepTimer(args.batch_size)
         t0 = time.time()
-        for step, b in enumerate(
+        # --steps_per_dispatch K: consecutive host batches are stacked into
+        # (K, ...) blocks and ONE dispatch scans K optimizer steps
+        # device-side (train/steps.py "Chained dispatch") — per-dispatch
+        # host latency amortizes K-fold. Metrics come back stacked, so
+        # per-step logging/abort checks below read m["loss"][j].
+        for chunk_i, b in enumerate(
             logger.log_every(
-                device_prefetch(prefetch(train_it.epoch(epoch)),
-                                lambda x: shard_batch(x, mesh)),
-                10, f"Epoch: [{epoch}]", total=steps_per_epoch)
+                device_prefetch(
+                    prefetch(chunk_batches(train_it.epoch(epoch), K)),
+                    lambda x: shard_batch(x, mesh,
+                                          axis_pos=1 if K > 1 else 0)),
+                max(1, 10 // K), f"Epoch: [{epoch}]", total=n_chunks)
         ):
+            k_actual = jax.tree.leaves(b)[0].shape[0] if K > 1 else 1
             key, sk = jax.random.split(key)
-            do_trace = args.profile_dir and not profiled and step == 2
+            do_trace = args.profile_dir and not profiled and chunk_i == 2
             with trace(args.profile_dir if do_trace else None):
                 if args.MAE:
                     params, opt_state, m = train_step(params, opt_state, b, sk)
@@ -488,33 +507,42 @@ def main(argv=None):
                 if do_trace:
                     jax.block_until_ready(m)
                     profiled = True
-            rate = timer.step()
-            if rate is not None and step % 50 == 0:
+            rate = None
+            for _ in range(k_actual):
+                rate = timer.step()
+            if rate is not None and chunk_i % max(1, 50 // K) == 0:
                 logger.update(samples_per_sec=rate)
-            it = epoch * steps_per_epoch + step
+            step0 = chunk_i * K                 # full chunks precede the tail
+            it = epoch * steps_per_epoch + step0 + k_actual - 1
             # fetch metrics only every print interval: a synchronous
             # device->host read costs a full tunnel round trip (~30 ms) and
             # would otherwise serialize every step
-            if it % 10 == 0 or step == steps_per_epoch - 1:
-                loss_v = float(m["loss"])
+            if chunk_i % fetch_every == 0 or chunk_i == n_chunks - 1:
+                losses = np.atleast_1d(np.asarray(m["loss"], np.float32))
+                gnorms = np.atleast_1d(np.asarray(m["grad_norm"], np.float32))
+                loss_v = float(losses[-1])
                 logger.update(loss=loss_v, lr=float(lr_sched[min(it, total_steps - 1)]))
                 if not args.MAE:
-                    logger.update(mlm_acc=float(m["mlm_acc"]))
-                if not math.isfinite(loss_v):
-                    raise RuntimeError(f"non-finite loss at step {it}")
+                    logger.update(mlm_acc=float(np.atleast_1d(
+                        np.asarray(m["mlm_acc"], np.float32))[-1]))
+                if not np.isfinite(losses).all():
+                    bad = step0 + int(np.argmin(np.isfinite(losses)))
+                    raise RuntimeError(
+                        f"non-finite loss at step {epoch * steps_per_epoch + bad}")
                 # grad-norm-triggered recon dump (the reference's
                 # grad_norm>6 wandb image path, engine_for_pretraining.py:167)
                 if (args.dump_recon_dir and not args.MAE
                         and should_dump_on_grad_norm(
-                            float(m["grad_norm"]), it, last_trigger_dump,
+                            float(gnorms.max()), it, last_trigger_dump,
                             args.recon_grad_norm_thresh)):
                     last_trigger_dump = it
+                    bb = (jax.tree.map(lambda x: x[0], b) if K > 1 else b)
                     _dump_recon_panel(args, vae, vae_params, preproc_train,
-                                      b, epoch, tag=f"trigger_it{it}")
-                if run and it % 100 == 0:
+                                      bb, epoch, tag=f"trigger_it{it}")
+                if run and chunk_i % max(1, 100 // K) == 0:
                     run.log({"train/loss": loss_v,
-                             "train/grad_norm": float(m["grad_norm"]), "step": it})
-                if tb and it % 100 == 0:
+                             "train/grad_norm": float(gnorms[-1]), "step": it})
+                if tb and chunk_i % max(1, 100 // K) == 0:
                     tb.update(head="train", step=it, loss=loss_v)
             if stopper.requested:
                 break

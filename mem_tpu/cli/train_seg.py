@@ -82,6 +82,11 @@ def get_args(argv=None):
     p.add_argument("--layer_decay", type=float, default=0.65)
     p.add_argument("--warmup_iters", type=int, default=1500)
     p.add_argument("--eval_interval", type=int, default=4000)
+    p.add_argument("--steps_per_dispatch", type=int, default=8,
+                   help="chain K optimizer steps into ONE device dispatch "
+                        "(train/steps.py 'Chained dispatch'); chunks are cut "
+                        "at eval/save boundaries. 1 = iter-at-a-time "
+                        "(reference IterBasedRunner semantics)")
     p.add_argument("--save_interval", type=int, default=4000)
     p.add_argument("--rand_aug", type=int, default=1)
     p.add_argument("--rand_aug_batch_ops", type=int, default=1,
@@ -118,7 +123,12 @@ def get_args(argv=None):
 
 
 def make_seg_steps(model, tx, num_classes: int, rand_aug: bool,
-                   rand_aug_batch_ops: bool = False, y_sorted: bool = False):
+                   rand_aug_batch_ops: bool = False, y_sorted: bool = False,
+                   chain: bool = False):
+    """``chain=True``: batch leaves carry a leading K axis and ONE dispatch
+    scans K optimizer steps device-side (train/steps.py module docstring,
+    "Chained dispatch") — amortizes the per-dispatch host latency the
+    iter-based reference runner pays every iteration."""
     def train_step(params, batch_stats, opt_state, batch, rng):
         images, labels = seg_preprocess_batch(batch, True, rand_aug,
                                               rand_aug_batch_ops, y_sorted)
@@ -147,8 +157,27 @@ def make_seg_steps(model, tx, num_classes: int, rand_aug: bool,
         pred = jnp.argmax(logits, axis=-1)
         return confusion_matrix(pred, labels, num_classes, IGNORE_INDEX)
 
+    if not chain:
+        return (
+            jax.jit(train_step, donate_argnums=(0, 1, 2)),
+            jax.jit(eval_step),
+        )
+
+    def chained(params, batch_stats, opt_state, batches, rng):
+        K = jax.tree.leaves(batches)[0].shape[0]
+
+        def body(carry, xs):
+            b, k = xs
+            p, bs, o, m = train_step(*carry, b, k)
+            return (p, bs, o), m
+
+        (params, batch_stats, opt_state), ms = jax.lax.scan(
+            body, (params, batch_stats, opt_state),
+            (batches, jax.random.split(rng, K)))
+        return params, batch_stats, opt_state, ms
+
     return (
-        jax.jit(train_step, donate_argnums=(0, 1, 2)),
+        jax.jit(chained, donate_argnums=(0, 1, 2)),
         jax.jit(eval_step),
     )
 
@@ -267,9 +296,11 @@ def main(argv=None):
     batch_stats = replicate(batch_stats, mesh)
     opt_state = replicate(opt_state, mesh)
 
+    K = max(1, args.steps_per_dispatch)
     train_step, eval_step = make_seg_steps(
         model, tx, args.num_classes, bool(args.rand_aug),
         bool(args.rand_aug_batch_ops), y_sorted=bool(args.presort_y),
+        chain=K > 1,
     )
 
     start_iter = 0
@@ -320,34 +351,62 @@ def main(argv=None):
     stopper = GracefulShutdown()
     key = jax.random.key(args.seed + 7)
     t0 = time.time()
-    for it, batch in enumerate(
-        device_prefetch(prefetch(train_it.batches(start_iter)),
-                        lambda x: shard_batch(x, mesh)),
-        start=start_iter,
-    ):
-        if it >= args.max_iters:
-            break
+    batch_iter = prefetch(train_it.batches(start_iter))
+
+    def chunk_stream():
+        # --steps_per_dispatch K: one dispatch scans K optimizer steps
+        # (train/steps.py "Chained dispatch"). Chunks never CROSS an
+        # eval/save boundary or max_iters so the interval hooks fire at the
+        # reference iterations; a non-divisible interval yields one short
+        # chunk per period (one extra compiled program shape, cached).
+        it = start_iter
+        while it < args.max_iters:
+            nb = min(
+                ((it // args.eval_interval) + 1) * args.eval_interval,
+                ((it // args.save_interval) + 1) * args.save_interval,
+                args.max_iters,
+            )
+            k = min(K, nb - it)
+            if K > 1:
+                bl = [next(batch_iter) for _ in range(k)]
+                yield it, k, {key: np.stack([b[key] for b in bl])
+                              for key in bl[0]}
+            else:
+                yield it, 1, next(batch_iter)
+            it += k
+
+    steps_done = 0
+    last_print = start_iter
+    for chunk_i, (it0, k, batch) in enumerate(device_prefetch(
+            chunk_stream(),
+            lambda t: (t[0], t[1],
+                       shard_batch(t[2], mesh, axis_pos=1 if K > 1 else 0)))):
         if stopper.requested:
             wait_for_saves()
-            save_checkpoint(args.output_dir, it, {
+            save_checkpoint(args.output_dir, it0, {
                 "params": params, "batch_stats": batch_stats,
                 "opt_state": opt_state,
-                "epoch": it,  # resume continues at this iteration
+                "epoch": it0,  # resume continues at this iteration
             })
-            print(f"preempted at iter {it}: checkpoint saved; exiting")
+            print(f"preempted at iter {it0}: checkpoint saved; exiting")
             return
         key, sk = jax.random.split(key)
         params, batch_stats, opt_state, m = train_step(
             params, batch_stats, opt_state, batch, sk
         )
+        it = it0 + k - 1       # the chunk's last optimizer step
+        steps_done += k
         # sync metrics only periodically (device->host fetch = tunnel RTT)
-        if it % 10 == 0:
-            logger.update(loss=float(m["loss"]))
-        if it % 50 == 0:
-            ips = args.batch_size * 50 / max(time.time() - t0, 1e-9)
+        if chunk_i % max(1, 10 // K) == 0:
+            logger.update(loss=float(np.atleast_1d(
+                np.asarray(m["loss"], np.float32))[-1]))
+        if it + 1 - last_print >= 50:
+            ips = args.batch_size * (it + 1 - last_print) \
+                / max(time.time() - t0, 1e-9)
             print(f"iter {it}/{args.max_iters} loss {logger.meters['loss'].avg:.4f} "
                   f"{ips:.1f} img/s", flush=True)
             t0 = time.time()
+            last_print = it + 1
         if (it + 1) % args.eval_interval == 0:
             stats = evaluate()
             print(f"* iter {it}: mIoU {stats['mIoU']:.4f} aAcc {stats['aAcc']:.4f} "

@@ -28,7 +28,7 @@ from mem_tpu.train.schedules import VaeAnnealState
 from mem_tpu.train.steps import make_vae_eval_step, make_vae_train_step
 from mem_tpu.utils.checkpoint import auto_resume, save_checkpoint, wait_for_saves
 from mem_tpu.utils.config import ConfigArgumentParser
-from mem_tpu.data.prefetch import device_prefetch, prefetch
+from mem_tpu.data.prefetch import chunk_batches, device_prefetch, prefetch
 from mem_tpu.utils.metrics import MetricLogger, maybe_wandb
 
 
@@ -73,6 +73,11 @@ def get_args(argv=None):
                         "(train_vae.py:95 parses it, nothing reads it); "
                         "accepted for .conf compatibility")
     p.add_argument("--save_ckpt_freq", "--vae_save_ckpt_freq", type=int, default=25)
+    p.add_argument("--steps_per_dispatch", type=int, default=8,
+                   help="chain K optimizer steps into ONE device dispatch "
+                        "(train/steps.py 'Chained dispatch'); the lr/temp "
+                        "anneal advances per step inside the chunk. "
+                        "1 = step-at-a-time (reference semantics)")
     p.add_argument("--output_dir", type=str, default="./vae_out")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--num_workers", type=int, default=4)
@@ -233,8 +238,10 @@ def main(argv=None):
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)
 
+    K = max(1, args.steps_per_dispatch)
     train_step = make_vae_train_step(vae, tx, preproc_train,
-                                     image_preproc=image_preproc)
+                                     image_preproc=image_preproc,
+                                     chain=K > 1)
     eval_step = make_vae_eval_step(vae, preproc_val)
 
     sched = VaeAnnealState(
@@ -264,26 +271,52 @@ def main(argv=None):
                                           rss_gb, rss_recycle_due)
 
     stopper = GracefulShutdown()
+    steps_per_epoch = train_it.steps_per_epoch()
+    n_chunks = -(-steps_per_epoch // K)
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger()
         t0 = time.time()
-        for i, b in enumerate(
+        # --steps_per_dispatch K: one dispatch scans K optimizer steps
+        # (train/steps.py "Chained dispatch"). The lr/temp anneal advances
+        # per step INSIDE the chunk: the host pre-walks VaeAnnealState for
+        # the chunk's step range and ships (K,) arrays, preserving the
+        # reference's i%10000 update points exactly.
+        for chunk_i, b in enumerate(
             logger.log_every(
-                device_prefetch(prefetch(train_it.epoch(epoch)),
-                                lambda x: shard_batch(x, mesh)),
-                10, f"Epoch: [{epoch}]", total=train_it.steps_per_epoch())
+                device_prefetch(prefetch(chunk_batches(train_it.epoch(epoch), K)),
+                                lambda x: shard_batch(
+                                    x, mesh, axis_pos=1 if K > 1 else 0)),
+                max(1, 10 // K), f"Epoch: [{epoch}]", total=n_chunks)
         ):
             key, sk = jax.random.split(key)
-            params, opt_state, metrics = train_step(
-                params, opt_state, b, sk,
-                jnp.float32(sched.lr), jnp.float32(sched.temp), jnp.float32(args.clip),
-            )
-            sched.after_step(i)
+            if K > 1:
+                k_actual = jax.tree.leaves(b)[0].shape[0]
+                lrs, temps = [], []
+                for j in range(k_actual):
+                    lrs.append(sched.lr)
+                    temps.append(sched.temp)
+                    sched.after_step(chunk_i * K + j)
+                params, opt_state, metrics = train_step(
+                    params, opt_state, b, sk,
+                    jnp.asarray(lrs, jnp.float32),
+                    jnp.asarray(temps, jnp.float32), jnp.float32(args.clip),
+                )
+            else:
+                params, opt_state, metrics = train_step(
+                    params, opt_state, b, sk,
+                    jnp.float32(sched.lr), jnp.float32(sched.temp),
+                    jnp.float32(args.clip),
+                )
+                sched.after_step(chunk_i)
             # sync metrics only periodically (device->host fetch = tunnel RTT)
-            if i % 10 == 0:
-                logger.update(loss=float(metrics["loss"]), lr=sched.lr)
-            if run and i % 1000 == 0:
-                run.log({"epoch": epoch, "iter": i, "loss": float(metrics["loss"]),
+            if chunk_i % max(1, 10 // K) == 0:
+                loss_last = float(np.atleast_1d(
+                    np.asarray(metrics["loss"], np.float32))[-1])
+                logger.update(loss=loss_last, lr=sched.lr)
+            if run and chunk_i % max(1, 1000 // K) == 0:
+                run.log({"epoch": epoch, "iter": chunk_i * K,
+                         "loss": float(np.atleast_1d(
+                             np.asarray(metrics["loss"], np.float32))[-1]),
                          "lr": sched.lr})
             if stopper.requested:
                 break

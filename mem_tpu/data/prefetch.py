@@ -61,6 +61,28 @@ def prefetch(it: Iterable, depth: int = 2) -> Iterator:
         stop.set()
 
 
+def chunk_batches(it: Iterable, k: int) -> Iterator:
+    """Stack consecutive batches into (k, ...) blocks for chained dispatch
+    (train/steps.py "Chained dispatch": one jitted call scans k optimizer
+    steps device-side, amortizing per-dispatch host latency k-fold).
+
+    The epoch tail yields a smaller block (one extra program shape, compiled
+    once and cached). Run AHEAD of ``prefetch`` so the host stacking memcpy
+    overlaps device compute like the rest of the host work."""
+    import numpy as np
+
+    buf = []
+    for b in it:
+        buf.append(b)
+        if len(buf) == k:
+            yield (buf[0] if k == 1
+                   else {key: np.stack([x[key] for x in buf]) for key in buf[0]})
+            buf = []
+    if buf:
+        yield (buf[0] if len(buf) == 1 and k == 1
+               else {key: np.stack([x[key] for x in buf]) for key in buf[0]})
+
+
 def device_prefetch(it: Iterable, put_fn, depth: int = 1) -> Iterator:
     """Issue the (async) host->device transfer for batch i+1 before the
     consumer blocks on step i.

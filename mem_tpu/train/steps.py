@@ -12,6 +12,20 @@ Mixed precision: models run bf16 compute / f32 params; losses and optimizer
 math are f32. No loss scaling (bf16 has f32's exponent range) — replacing
 the reference's GradScaler machinery (utils.py:351-377) with nothing, by
 design. Grad-norm is still reported for parity with the reference's metrics.
+
+Chained dispatch (``chain=True`` on the train-step factories): the step is
+lax.scan-ed over a leading K axis on the batch (and per-step rng keys), so
+ONE host dispatch drives K optimizer steps device-side. On a remote/real
+deployment the per-dispatch host latency (RPC + program launch) then
+amortizes K-fold — the round-4 wall-vs-device gap (206.6 vs 827.7
+samples/s/chip through this box's tunnel) was pure dispatch overhead the
+reference's step-at-a-time engine (engine_for_pretraining.py:108-287)
+structurally cannot hide. Numerics are the step-at-a-time program exactly:
+same per-step schedules (the optimizer counts steps in opt_state), same
+per-sample host randomness; the per-step dropout keys are split from the
+chunk key (a different — but equally deterministic — stream than the
+step-at-a-time driver's fold_in(step)). Metrics come back stacked (K,) so
+per-step logging is preserved.
 """
 from __future__ import annotations
 
@@ -36,7 +50,8 @@ from mem_tpu.train.optim import grad_global_norm
 
 def make_vae_train_step(vae, tx_factory, preproc: PreprocConfig,
                         inject_noise: bool = False,
-                        image_preproc=None):
+                        image_preproc=None,
+                        chain: bool = False):
     """tx_factory: lr -> optax tx is inlined via passing lr as an argument;
     we use a fixed Adam and scale updates by lr/base_lr trick-free: the
     optimizer here is plain Adam whose lr is injected per call (the VAE's
@@ -73,7 +88,25 @@ def make_vae_train_step(vae, tx_factory, preproc: PreprocConfig,
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, "grad_norm": gnorm}
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    if not chain:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    # chained (module docstring): lr/temp are PER-STEP (K,) arrays — the
+    # VAE's anneal advances inside the chunk exactly like step-at-a-time
+    def chained(params, opt_state, batches, rng, lrs, temps, clip):
+        K = jax.tree.leaves(batches)[0].shape[0]
+
+        def body(carry, xs):
+            b, k, lr_i, temp_i = xs
+            p, o, m = step(*carry, b, k, lr_i, temp_i, clip)
+            return (p, o), m
+
+        (params, opt_state), ms = jax.lax.scan(
+            body, (params, opt_state),
+            (batches, jax.random.split(rng, K), lrs, temps))
+        return params, opt_state, ms
+
+    return jax.jit(chained, donate_argnums=(0, 1))
 
 
 def make_vae_eval_step(vae, preproc: PreprocConfig):
@@ -99,9 +132,13 @@ def make_vae_eval_step(vae, preproc: PreprocConfig):
 # MEM pretraining (engine_for_pretraining.py:108-287)
 # ---------------------------------------------------------------------------
 
-def make_pretrain_train_step(model, d_vae, tx, preproc: PreprocConfig):
+def make_pretrain_train_step(model, d_vae, tx, preproc: PreprocConfig,
+                             chain: bool = False):
     """One fused step: on-chip preprocess -> frozen-VAE codebook indices ->
-    masked ViT forward -> CE at masked positions -> AdamW update."""
+    masked ViT forward -> CE at masked positions -> AdamW update.
+
+    ``chain=True``: the batch leaves carry a leading K axis and one dispatch
+    scans K steps device-side (module docstring, "Chained dispatch")."""
 
     def step(params, opt_state, vae_params, batch, rng):
         if "patches" in batch:
@@ -133,7 +170,25 @@ def make_pretrain_train_step(model, d_vae, tx, preproc: PreprocConfig):
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, "mlm_acc": acc, "grad_norm": gnorm}
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    if not chain:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def chained(params, opt_state, vae_params, batches, rng):
+        K = jax.tree.leaves(batches)[0].shape[0]
+
+        def body(carry, xs):
+            p, o = carry
+            b, k = xs
+            p, o, m = step(p, o, vae_params, b, k)
+            return (p, o), m
+
+        (params, opt_state), ms = jax.lax.scan(
+            body, (params, opt_state), (batches, jax.random.split(rng, K)))
+        return params, opt_state, ms
+
+    # batch block NOT donated: its buffers cannot alias any output
+    # (different shapes), so donation would only emit 'not usable' warnings
+    return jax.jit(chained, donate_argnums=(0, 1))
 
 
 def make_pretrain_eval_step(model, d_vae, preproc: PreprocConfig):
@@ -155,8 +210,10 @@ def make_pretrain_eval_step(model, d_vae, preproc: PreprocConfig):
     return jax.jit(step)
 
 
-def make_mae_train_step(model, tx, preproc: PreprocConfig):
-    """MAE variant (--MAE 1): pixel regression, no tokenizer."""
+def make_mae_train_step(model, tx, preproc: PreprocConfig,
+                        chain: bool = False):
+    """MAE variant (--MAE 1): pixel regression, no tokenizer.
+    ``chain=True``: K-step scan per dispatch (module docstring)."""
 
     def step(params, opt_state, batch, rng):
         images = preprocess_batch(batch, preproc, is_train=True)
@@ -180,7 +237,22 @@ def make_mae_train_step(model, tx, preproc: PreprocConfig):
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, "grad_norm": gnorm}
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    if not chain:
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def chained(params, opt_state, batches, rng):
+        K = jax.tree.leaves(batches)[0].shape[0]
+
+        def body(carry, xs):
+            b, k = xs
+            p, o, m = step(*carry, b, k)
+            return (p, o), m
+
+        (params, opt_state), ms = jax.lax.scan(
+            body, (params, opt_state), (batches, jax.random.split(rng, K)))
+        return params, opt_state, ms
+
+    return jax.jit(chained, donate_argnums=(0, 1))
 
 
 # ---------------------------------------------------------------------------
@@ -197,11 +269,15 @@ def make_finetune_train_step(
     update_freq: int = 1,
     ema_decay: Optional[float] = None,
     image_preproc: Optional[Callable] = None,
+    chain: bool = False,
 ):
     """Supports grad accumulation (``update_freq`` micro-batches folded into
     one call via an extra leading axis on the batch) and post-step EMA.
     ``image_preproc`` handles real-image (IMNET) batches carrying an
-    ``image`` key instead of events (device_pipeline.preprocess_image_cls)."""
+    ``image`` key instead of events (device_pipeline.preprocess_image_cls).
+    ``chain=True``: batch leaves carry a leading K axis ABOVE the
+    update_freq axis — (K, update_freq, B, ...) — and one dispatch scans K
+    optimizer steps (module docstring, "Chained dispatch")."""
 
     def ce(logits, targets):
         logits = logits.astype(jnp.float32)
@@ -266,6 +342,38 @@ def make_finetune_train_step(
                 lambda e, q: ema_decay * e + (1 - ema_decay) * q, ema_params, params
             )
         return params, opt_state, ema_params, {"loss": loss, "grad_norm": gnorm}
+
+    if chain:
+        if ema_decay is None:
+            def chained_noema(params, opt_state, batches, rng):
+                K = jax.tree.leaves(batches)[0].shape[0]
+
+                def body(carry, xs):
+                    b, k = xs
+                    p, o, _, m = step(*carry, None, b, k)
+                    return (p, o), m
+
+                (params, opt_state), ms = jax.lax.scan(
+                    body, (params, opt_state),
+                    (batches, jax.random.split(rng, K)))
+                return params, opt_state, ms
+
+            return jax.jit(chained_noema, donate_argnums=(0, 1))
+
+        def chained(params, opt_state, ema_params, batches, rng):
+            K = jax.tree.leaves(batches)[0].shape[0]
+
+            def body(carry, xs):
+                b, k = xs
+                p, o, e, m = step(*carry, b, k)
+                return (p, o, e), m
+
+            (params, opt_state, ema_params), ms = jax.lax.scan(
+                body, (params, opt_state, ema_params),
+                (batches, jax.random.split(rng, K)))
+            return params, opt_state, ema_params, ms
+
+        return jax.jit(chained, donate_argnums=(0, 1, 2))
 
     if ema_decay is None:
         # no EMA tree in the step signature at all: threading one through
