@@ -262,7 +262,14 @@ def run_pretrain(epochs: int, data_dir: str):
     return params, twin, curves
 
 
-def run_finetune(epochs: int, data_dir: str, pt_params, val_dir: str):
+def run_finetune(epochs: int, data_dir: str, pt_params, val_dir: str,
+                 init_key: int = 5, torch_only: bool = False):
+    """Stage B. ``init_key`` seeds the finetune init — surgery overwrites
+    the backbone from ``pt_params``, so redrawing it perturbs exactly the
+    fresh head/fc_norm leaves (the seed-variance knob of
+    scripts/parity_finetune_envelope.py). ``torch_only=True`` skips the jax
+    training/eval arms (the envelope's torch-vs-torch seed runs); the jax
+    PREPROCESSING still feeds the twin — it is the shared data path."""
     import jax
     import jax.numpy as jnp
     import torch
@@ -283,7 +290,7 @@ def run_finetune(epochs: int, data_dir: str, pt_params, val_dir: str):
     val_it = make_iterator(val_dir, False, masking=False)
 
     dummy = jnp.zeros((1, IMG, IMG, 3))
-    ft_init = jax.jit(ft_model.init)(jax.random.key(5), dummy)
+    ft_init = jax.jit(ft_model.init)(jax.random.key(init_key), dummy)
     params = surgery_for_finetune(pt_params, ft_init, dst_window=(GRID, GRID))
 
     twin = TwinFtViT(img_size=IMG, patch=PATCH, num_classes=NCLS, dim=DIM,
@@ -320,14 +327,15 @@ def run_finetune(epochs: int, data_dir: str, pt_params, val_dir: str):
         c_j = c_t = n = 0
         for vb in val_it.epoch(0):
             jb = jax.tree.map(jnp.asarray, vb)
-            out = jeval(p, jb)
+            if not torch_only:
+                out = jeval(p, jb)
+                c_j += float(out["acc1"]) / 100.0 * vb["label"].shape[0]
             imgs = np.asarray(prep_v(jb))
             twin.eval()
             with _t.no_grad():
                 lt = twin(_t.from_numpy(imgs.transpose(0, 3, 1, 2)))
             twin.train()
             bs = vb["label"].shape[0]
-            c_j += float(out["acc1"]) / 100.0 * bs
             c_t += (lt.argmax(-1).numpy() == vb["label"]).sum()
             n += bs
         return 100.0 * c_j / n, 100.0 * c_t / n
@@ -336,10 +344,12 @@ def run_finetune(epochs: int, data_dir: str, pt_params, val_dir: str):
     for epoch in range(epochs):
         for batch in it.epoch(epoch):
             jb = jax.tree.map(jnp.asarray, batch)
-            stacked = jax.tree.map(lambda x: x[None], jb)  # update_freq=1
             images = np.asarray(prep_t(jb))
-            params, opt_state, m = jstep(params, opt_state, stacked,
-                                         jax.random.key(2000 + step_i))
+            if not torch_only:
+                stacked = jax.tree.map(lambda x: x[None], jb)  # update_freq=1
+                params, opt_state, m = jstep(params, opt_state, stacked,
+                                             jax.random.key(2000 + step_i))
+                curves["loss_jax"].append(float(m["loss"]))
 
             timg = torch.from_numpy(images.transpose(0, 3, 1, 2).copy())
             logits = twin(timg)
@@ -347,14 +357,16 @@ def run_finetune(epochs: int, data_dir: str, pt_params, val_dir: str):
                 logits, torch.from_numpy(batch["label"]), NCLS, 0.1)
             torch_step(twin, topt, loss_t, float(lr_arr[step_i]), wd, 3.0)
 
-            curves["loss_jax"].append(float(m["loss"]))
             curves["loss_torch"].append(float(loss_t.detach()))
             step_i += 1
         a_j, a_t = eval_both(params)
-        curves["top1_jax"].append(a_j)
+        if not torch_only:
+            curves["top1_jax"].append(a_j)
         curves["top1_torch"].append(a_t)
-        print(f"[finetune e{epoch}] jax loss {curves['loss_jax'][-1]:.4f} "
-              f"torch {curves['loss_torch'][-1]:.4f} "
+        print(f"[finetune e{epoch}] "
+              + ("" if torch_only
+                 else f"jax loss {curves['loss_jax'][-1]:.4f} ")
+              + f"torch {curves['loss_torch'][-1]:.4f} "
               f"top1 {a_j:.1f}/{a_t:.1f}", flush=True)
     return curves
 
