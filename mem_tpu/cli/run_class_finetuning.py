@@ -8,6 +8,10 @@ both raw and EMA params; "best" checkpoint tagging.
 """
 from __future__ import annotations
 
+from mem_tpu import _signals
+
+_signals.latch()  # before the jax import below: a setup-time SIGTERM must latch
+
 import os
 import sys
 import time
@@ -227,7 +231,9 @@ def _build_ft_vit(args, nb_classes, patch, dtype):
 def main(argv=None):
     args = get_args(argv)
     validate_preproc_args(args, train=not args.eval)
-    from mem_tpu.utils.preemption import validate_rss_flag
+    from mem_tpu.utils.preemption import GracefulShutdown, validate_rss_flag
+    # latch SIGTERM before setup/first-compile (see run_mem_pretraining.main)
+    stopper = GracefulShutdown()
     validate_rss_flag(args.rss_restart_gb)
     if args.int8:
         from mem_tpu.models import vit as _vit
@@ -592,10 +598,9 @@ def main(argv=None):
         tb = TensorboardLogger(args.log_dir + args.wandb_group)
     key = jax.random.key(args.seed + jax.process_index() + 2)
 
-    from mem_tpu.utils.preemption import (RESTART_EXIT_CODE, GracefulShutdown,
-                                          rss_gb, rss_recycle_due)
+    from mem_tpu.utils.preemption import (RESTART_EXIT_CODE, rss_gb,
+                                          rss_recycle_due)
 
-    stopper = GracefulShutdown()
     for epoch in range(start_epoch, args.epochs):
         logger = MetricLogger()
         t0 = time.time()

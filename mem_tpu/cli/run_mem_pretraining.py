@@ -21,6 +21,10 @@ in_chans=V. RGB-defined augs are rejected (validate_preproc_args).
 """
 from __future__ import annotations
 
+from mem_tpu import _signals
+
+_signals.latch()  # before the jax import below: a setup-time SIGTERM must latch
+
 import os
 import sys
 import time
@@ -312,7 +316,11 @@ def _dump_recon_panel(args, vae, vae_params, preproc, batch, epoch, tag=None):
 def main(argv=None):
     args = get_args(argv)
     validate_preproc_args(args)
-    from mem_tpu.utils.preemption import validate_rss_flag
+    from mem_tpu.utils.preemption import GracefulShutdown, validate_rss_flag
+    # latch SIGTERM from the very start: a preemption that lands during
+    # setup/first-compile (minutes on a cold cache) must not hit the default
+    # disposition (exit 143) — it defers to the first epoch-loop check
+    stopper = GracefulShutdown()
     validate_rss_flag(args.rss_restart_gb)
     init_distributed()
     os.makedirs(args.output_dir, exist_ok=True)
@@ -471,10 +479,9 @@ def main(argv=None):
 
     from mem_tpu.utils.profiling import StepTimer, trace
 
-    from mem_tpu.utils.preemption import (RESTART_EXIT_CODE, GracefulShutdown,
-                                          rss_gb, rss_recycle_due)
+    from mem_tpu.utils.preemption import (RESTART_EXIT_CODE, rss_gb,
+                                          rss_recycle_due)
 
-    stopper = GracefulShutdown()
     profiled = False
     last_trigger_dump = -(10**9)
     n_chunks = -(-steps_per_epoch // K)

@@ -8,6 +8,10 @@ initializes from a MEM pretraining checkpoint via the same surgery importer.
 """
 from __future__ import annotations
 
+from mem_tpu import _signals
+
+_signals.latch()  # before the jax import below: a setup-time SIGTERM must latch
+
 import os
 import sys
 import time
@@ -190,7 +194,9 @@ def main(argv=None):
             "--pretrained PT21k downloads from the timm hub "
             "(train_api.py:377-402); no network egress here — pass a "
             "local .npz of the 21k weights instead")
-    from mem_tpu.utils.preemption import validate_rss_flag
+    from mem_tpu.utils.preemption import GracefulShutdown, validate_rss_flag
+    # latch SIGTERM before setup/first-compile (see run_mem_pretraining.main)
+    stopper = GracefulShutdown()
     validate_rss_flag(args.rss_restart_gb)
     init_distributed()
     os.makedirs(args.output_dir, exist_ok=True)
@@ -345,10 +351,9 @@ def main(argv=None):
         print(f"dumped {idx} sample panels to {args.dump_samples_dir}")
 
     logger = MetricLogger()
-    from mem_tpu.utils.preemption import (RESTART_EXIT_CODE, GracefulShutdown,
-                                          rss_gb, rss_recycle_due)
+    from mem_tpu.utils.preemption import (RESTART_EXIT_CODE, rss_gb,
+                                          rss_recycle_due)
 
-    stopper = GracefulShutdown()
     key = jax.random.key(args.seed + 7)
     t0 = time.time()
     batch_iter = prefetch(train_it.batches(start_iter))

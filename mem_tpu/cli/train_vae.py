@@ -8,6 +8,10 @@ reference payload; eval every 25 epochs reports recon loss + codebook usage.
 """
 from __future__ import annotations
 
+from mem_tpu import _signals
+
+_signals.latch()  # before the jax import below: a setup-time SIGTERM must latch
+
 import os
 import sys
 import time
@@ -132,7 +136,9 @@ def _vae_hparams(args) -> dict:
 def main(argv=None):
     args = get_args(argv)
     validate_preproc_args(args)
-    from mem_tpu.utils.preemption import validate_rss_flag
+    from mem_tpu.utils.preemption import GracefulShutdown, validate_rss_flag
+    # latch SIGTERM before setup/first-compile (see run_mem_pretraining.main)
+    stopper = GracefulShutdown()
     validate_rss_flag(args.rss_restart_gb)
     init_distributed()
     os.makedirs(args.output_dir, exist_ok=True)
@@ -267,10 +273,9 @@ def main(argv=None):
                       group=f"{args.expweek}_{args.expname}")
     key = jax.random.key(args.seed + jax.process_index())
 
-    from mem_tpu.utils.preemption import (RESTART_EXIT_CODE, GracefulShutdown,
-                                          rss_gb, rss_recycle_due)
+    from mem_tpu.utils.preemption import (RESTART_EXIT_CODE, rss_gb,
+                                          rss_recycle_due)
 
-    stopper = GracefulShutdown()
     steps_per_epoch = train_it.steps_per_epoch()
     n_chunks = -(-steps_per_epoch // K)
     for epoch in range(start_epoch, args.epochs):

@@ -88,10 +88,17 @@ def rss_recycle_due(limit_gb: float) -> bool:
 
 
 class GracefulShutdown:
-    """Latches SIGTERM (and optionally SIGINT) into a poll-able flag."""
+    """Latches SIGTERM (and optionally SIGINT) into a poll-able flag.
+
+    Adopts any signal already latched by :mod:`mem_tpu._signals` (the
+    stdlib-only early latch the CLIs install before importing jax), so a
+    SIGTERM that lands during setup/first-compile is not lost.
+    """
 
     def __init__(self, signals=(signal.SIGTERM,)):
-        self.requested = False
+        from mem_tpu import _signals
+
+        self.requested = _signals.pending()
         self._previous = {}
         for s in signals:
             try:

@@ -85,6 +85,43 @@ def test_sigterm_saves_and_resumes(synth, tmp_path):
     assert os.path.isdir(os.path.join(out, "checkpoint-final"))
 
 
+def test_sigterm_during_setup_is_graceful(synth, tmp_path):
+    """A SIGTERM that lands BEFORE the epoch loop exists (mid-import /
+    first-compile — minutes on a cold cache) must still end in a resumable
+    checkpoint and exit 0, not the default-disposition 143: the CLIs install
+    the stdlib-only mem_tpu._signals latch before importing jax and
+    GracefulShutdown adopts anything it caught (round-5 soak finding)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "vae")
+    env = dict(os.environ)
+    env.update({
+        "PYTHONPATH": repo, "JAX_PLATFORMS": "cpu",
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=8",
+        "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_test_cache",
+    })
+    p = subprocess.Popen(
+        [sys.executable, "-m", "mem_tpu.cli.train_vae",
+         "--data_path", synth, "--output_dir", out,
+         "--epochs", "500", "--batch_size", "8",
+         "--num_tokens", "16", "--emb_dim", "4", "--num_layers", "2",
+         "--hidden_dim", "8", "--num_resnet_blocks", "0",
+         "--save_ckpt_freq", "1000", "--eval_freq", "1000",
+         "--auto_resume", "1",
+         "--input_H", "32", "--input_W", "32", "--slice_max_evs", "2000",
+         "--max_random_shift_evs", "2",
+         "--hotpixfilter", "0", "--rand_aug", "0", "--num_workers", "0",
+         "--wandb", "0", "--dtype", "float32"],
+        env=env, cwd=repo, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    time.sleep(1.5)  # still importing jax / building the pipeline
+    p.send_signal(signal.SIGTERM)
+    outtxt, _ = p.communicate(timeout=300)
+    assert p.returncode == 0, outtxt[-3000:]
+    assert "preempted at epoch" in outtxt
+    assert [d for d in os.listdir(out) if d.startswith("checkpoint-")], outtxt[-2000:]
+
+
 def test_rss_watchdog_helpers():
     from mem_tpu.utils.preemption import (RESTART_EXIT_CODE, rss_gb,
                                           rss_recycle_due)
