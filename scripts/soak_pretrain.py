@@ -174,7 +174,7 @@ def parse_log(path):
         if m:
             epochs.append((seg, int(m.group(1)), float(m.group(2))))
         m = re.search(r"loss: ([\d.eE+-]+) \(", line)
-        if m:
+        if m and seg is not None:   # skip VAE-warmup lines before segment A
             losses.append(float(m.group(1)))
         if "Auto-resumed from" in line:
             events.append(("resume", line.strip().split()[-1], len(losses)))
